@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table access. All queries take an sf directory and read the
+  * driver's parquet tables from it (TESTDATA.md). Embeddings are stored as
+  * `array<float>`; the engine works in `array<double>` to match the
+  * reference's `DOUBLE_VECTOR` semantics (`vector-db.h:1`).
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** embeddings with the vector cast to array<double>. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"), col("label"))
+}
