@@ -12,7 +12,11 @@ object SparkEntry {
     queries_registry
 
   private lazy val queries_registry: Seq[QueryDef] =
-    graft.queries.VectorQueries.all
+    graft.queries.VectorQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.PromptQueries.all ++
+      graft.queries.RelationalQueries.all ++
+      graft.queries.EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

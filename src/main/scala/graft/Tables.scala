@@ -16,4 +16,15 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"), col("label"))
+
+  /** events, with the TIMESTAMP(NANOS) parquet column (which Spark 4
+    * rejects by default) read as long nanos and truncated to µs — the
+    * same truncation DuckDB applies, so both engines see identical
+    * timestamps.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

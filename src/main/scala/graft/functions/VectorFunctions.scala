@@ -61,6 +61,7 @@ object VectorFunctions {
     aggregate(reverse(slice(v, 1, bits)), lit(0L),
       (acc, x) => acc * 2 + when(x > 0.0d, lit(1L)).otherwise(lit(0L)))
 
-  /** Hamming distance between two bit-packed BIGINT columns. */
-  def hammingBits(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  /** Hamming distance between two bit-packed BIGINT columns, as long. */
+  def hammingBits(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered prompt assembly — the reference's A1 operator
+  * (`generate_instruct_prompt_with_db`, `multirag.c:52-152`): an
+  * order-sensitive string fold over the top-k relation, producing the
+  * Llama-3 instruct prompt.
+  *
+  * The reference's typos ("takeing", "assistent") are preserved as the
+  * canonical golden strings (`multirag.c:68-80`).
+  *
+  * Ordering is made shuffle-safe with the
+  * `array_sort(collect_list(struct(rank, text)))` idiom — bare
+  * `collect_list` after `orderBy` has no ordering guarantee across
+  * partitions.
+  */
+object Prompt {
+
+  val SystemMsgStart: String =
+    "<|start_header_id|>system<|end_header_id|>\n\n" +
+      "You are a helpful AI assistant answering prompt " +
+      "takeing the following \n" +
+      "contexts into account in you answer as good as you can \n"
+
+  val UserMsgStart: String =
+    "<|eot_id|><|start_header_id|>user<|end_header_id|>\n\n"
+
+  val AssistantMsgStart: String =
+    "<|eot_id|><|start_header_id|>assistent<|end_header_id|>\n\n"
+
+  val ContextSep: String = " \n "
+
+  /** Append a user turn to the running conversation, as the reference does
+    * before gluing it onto the prompt (`multirag.c:127-149`).
+    */
+  def conversationWithUserTurn(conversation: String, userInput: String): String =
+    conversation + UserMsgStart + userInput + AssistantMsgStart
+
+  /** Fold a (rank, text) relation into the single-row instruct prompt.
+    * `rank` is 1-based ascending-distance rank.
+    */
+  def assemble(topk: DataFrame, rankCol: String, textCol: String,
+               conversation: String, userInput: String): DataFrame = {
+    val ctx = transform(
+      array_sort(collect_list(struct(col(rankCol).cast("long").as("rank"), col(textCol).as("text")))),
+      x => concat(lit("Context "), x.getField("rank").cast("string"), lit(":\n"),
+        x.getField("text"), lit(ContextSep)))
+    topk
+      .agg(array_join(ctx, "").as("ctxs"))
+      .select(concat(lit(SystemMsgStart), col("ctxs"),
+        lit(conversationWithUserTurn(conversation, userInput))).as("prompt"))
+  }
+}

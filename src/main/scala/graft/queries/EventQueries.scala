@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Time-series / event analytics over the `events` fixture: tumbling
+  * windows, JSON extraction, and sessionization. Timestamps are emitted as
+  * epoch seconds (BIGINT) so parquet timestamp encodings never enter the
+  * hash compare; event timestamps carry µs fractions which both engines
+  * preserve identically after ns→µs truncation.
+  */
+object EventQueries {
+
+  /** Tumbling 1-hour window aggregation — batch form of the streaming
+    * `groupBy(window($"ts", "1 hour"))` (same Catalyst operator).
+    */
+  val hourly: QueryDef = QueryDef.sql(
+    "q_events_hourly",
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+      |       event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("hour_ts"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** JSON extraction (J1/J3 semantics, `get_json_object`) + aggregation. */
+  val jsonExtract: QueryDef = QueryDef.sql(
+    "q_events_json",
+    """SELECT event_type,
+      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"), count(lit(1)).as("n"))
+  }
+
+  /** Sessionization with a 30-minute gap, using Spark's native
+    * `session_window` (the same operator Structured Streaming uses for
+    * session state); the oracle expresses identical semantics via
+    * lag+gap-count. A new session starts when the gap is >= 30 min.
+    */
+  val sessionize: QueryDef = QueryDef.sql(
+    "q_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, epoch(ts) AS sec,
+      |         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |       CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sec - prev >= 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+      |FROM e GROUP BY user_id""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_in_session"))
+      .groupBy("user_id")
+      .agg(sum(col("n_in_session")).as("n_events"), count(lit(1)).as("n_sessions"))
+      .select("user_id", "n_events", "n_sessions")
+  }
+
+  val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize)
+}

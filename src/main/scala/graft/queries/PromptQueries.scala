@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.operators.{Prompt, TopK}
+
+/** RAG retrieval + prompt assembly (T1+T2+A1, `multirag.c:52-152`):
+  * top-3 nearest embeddings to the query vector, gather their document
+  * text by id (the reference's positional gather, `multirag.c:115-119`,
+  * here an explicit broadcast join), fold into the Llama-3 instruct
+  * prompt in ascending-distance order.
+  */
+object PromptQueries {
+
+  private val UserInput = "What does the spark engine do?"
+
+  // SQL-escaped prompt constants for the DuckDB oracle (newlines as chr(10)).
+  private def sqlStr(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+  val ragPrompt: QueryDef = QueryDef.sql(
+    "q_rag_prompt",
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |topk AS (
+       |  SELECT vec_id,
+       |         row_number() OVER (ORDER BY 1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), vec_id) AS rank
+       |  FROM embeddings, q
+       |  QUALIFY rank <= 3
+       |),
+       |ctx AS (SELECT t.rank, d.text FROM topk t JOIN documents d ON d.doc_id = t.vec_id)
+       |SELECT ${sqlStr(Prompt.SystemMsgStart)}
+       |       || string_agg('Context ' || CAST(rank AS VARCHAR) || ':' || chr(10) || text || ' ' || chr(10) || ' ', '' ORDER BY rank)
+       |       || ${sqlStr(Prompt.conversationWithUserTurn("", UserInput))} AS prompt
+       |FROM ctx""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val topk = TopK.nearest(emb, "embedding", "vec_id", q, 3)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("dist").asc, col("vec_id").asc)))
+      .select("vec_id", "rank")
+    // gather text for the k winners: broadcast the tiny top-k side
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val ctx = docs.join(broadcast(topk), topk("vec_id") === docs("doc_id"))
+    Prompt.assemble(ctx, "rank", "text", "", UserInput)
+  }
+
+  val all: Seq[QueryDef] = Seq(ragPrompt)
+}

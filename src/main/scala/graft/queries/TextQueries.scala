@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.operators.Chunker
+
+/** Chunking (R2) over the `documents` fixture. The DuckDB oracle replays
+  * the exact `cut_texts_in_subtexts` control flow (`load-texts.c:37-105`)
+  * as a recursive CTE: backward scan to the last space via
+  * reverse+strpos, hard cut when no space in the window, tail chunk
+  * dropping the final character, short texts passing through whole.
+  */
+object TextQueries {
+
+  val ChunkLen = 100
+
+  private def chunkOracle(l: Int): String =
+    s"""WITH RECURSIVE step AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+       |         CAST(0 AS BIGINT) AS prev, CAST(-1 AS BIGINT) AS chunk_idx,
+       |         CAST(NULL AS VARCHAR) AS chunk, false AS fin
+       |  FROM documents WHERE length(text) >= $l
+       |  UNION ALL
+       |  SELECT doc_id, text, len,
+       |         CASE WHEN tail THEN len ELSE nxt END AS prev,
+       |         chunk_idx + 1,
+       |         CASE WHEN tail THEN substr(text, prev + 1, len - 1 - prev)
+       |              ELSE substr(text, prev + 1, nxt - prev) END AS chunk,
+       |         tail AS fin
+       |  FROM (
+       |    SELECT doc_id, text, len, prev, chunk_idx,
+       |           (prev + $l >= len - 1) AS tail,
+       |           CASE WHEN sp > 0 THEN prev + $l - sp + 1 ELSE prev + $l END AS nxt
+       |    FROM (
+       |      SELECT *, strpos(reverse(substr(text, prev + 2, $l)), ' ') AS sp
+       |      FROM step WHERE NOT fin
+       |    ) t
+       |  ) u
+       |)
+       |SELECT doc_id, chunk_idx, chunk FROM step WHERE chunk_idx >= 0
+       |UNION ALL
+       |SELECT doc_id, CAST(0 AS BIGINT), text FROM documents WHERE length(text) < $l""".stripMargin
+
+  val chunk: QueryDef = QueryDef.sql("q_chunk", chunkOracle(ChunkLen)) { (spark, dir) =>
+    Chunker.chunk(Tables(spark, dir, "documents").select("doc_id", "text"), "text", ChunkLen)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
+  }
+
+  val all: Seq[QueryDef] = Seq(chunk)
+}

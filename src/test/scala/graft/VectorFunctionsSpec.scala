@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def distOf(a: Seq[Double], b: Seq[Double]): Double =
+    Seq((a, b)).toDF("a", "b")
+      .select(cosineDistance(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+
+  test("cosine distance: hand-computed values") {
+    assert(math.abs(distOf(Seq(1, 0), Seq(0, 1)) - 1.0) < 1e-12)
+    assert(math.abs(distOf(Seq(1, 0), Seq(-1, 0)) - 2.0) < 1e-12)
+    assert(math.abs(distOf(Seq(1, 2, 3), Seq(1, 2, 3))) < 1e-12)
+    assert(math.abs(distOf(Seq(1, 1), Seq(1, 0)) - (1 - 1 / math.sqrt(2))) < 1e-12)
+  }
+
+  test("agrees with Kahan oracle within 1e-12 on random vectors") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val a = Array.fill(64)(rnd.nextDouble() - 0.5)
+      val b = Array.fill(64)(rnd.nextDouble() - 0.5)
+      assert(math.abs(distOf(a.toSeq, b.toSeq) - cosineDistanceKahan(a, b)) < 1e-12)
+    }
+  }
+
+  test("scale invariance and symmetry") {
+    val a = Seq(0.3, -1.2, 0.7); val b = Seq(2.0, 0.1, -0.5)
+    assert(math.abs(distOf(a, b) - distOf(b, a)) < 1e-12)
+    assert(math.abs(distOf(a.map(_ * 7), b) - distOf(a, b)) < 1e-12)
+  }
+
+  test("packSignBits packs bit i iff v[i] > 0, hamming counts differing bits") {
+    val df = Seq((Seq(1.0, -1.0, 0.5, 0.0), Seq(1.0, 1.0, -0.5, 2.0))).toDF("a", "b")
+    val row = df.select(
+      packSignBits(col("a"), 4).as("pa"),
+      packSignBits(col("b"), 4).as("pb")).head()
+    assert(row.getLong(0) == 5L) // bits 0,2
+    assert(row.getLong(1) == 11L) // bits 0,1,3
+    val h = df.select(hammingBits(packSignBits(col("a"), 4), packSignBits(col("b"), 4))).head().getLong(0)
+    assert(h == 3L)
+  }
+}
