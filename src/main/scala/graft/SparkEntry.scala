@@ -16,7 +16,9 @@ object SparkEntry {
       graft.queries.TextQueries.all ++
       graft.queries.PromptQueries.all ++
       graft.queries.RelationalQueries.all ++
-      graft.queries.EventQueries.all
+      graft.queries.EventQueries.all ++
+      graft.queries.TextStatsQueries.all ++
+      graft.queries.DedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

