@@ -64,4 +64,23 @@ object VectorFunctions {
   /** Hamming distance between two bit-packed BIGINT columns, as long. */
   def hammingBits(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
+
+  // ---- DuckDB oracle fragments -----------------------------------------
+  // Spark's `aggregate(zip_with(a,b,*), 0.0, +)` is a strict sequential
+  // left fold; these fragments express the *same op order* in DuckDB, so
+  // cosine values are bit-identical across engines and results need no
+  // rounding (cross-engine `round()` itself disagrees on tie digits).
+
+  /** Sequential-fold dot product over two DOUBLE[] expressions. */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, v) -> acc + v)"
+
+  /** Cosine similarity with the exact op order of [[cosineSimilarity]]. */
+  def cosSimSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Cosine distance with the exact op order of [[cosineDistance]]. */
+  def cosDistSql(a: String, b: String): String =
+    s"(1 - ${cosSimSql(a, b)})"
 }

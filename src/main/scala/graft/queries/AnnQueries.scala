@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` fixture.
+  *
+  * - `q_ann_topk`: brute-force exact top-k for a *batch* of query vectors
+  *   — the tiny query side is broadcast against the (at scale,
+  *   partitioned) vector table; per-query ranking via window row_number.
+  * - `q_centroids` / `q_centroid_spread`: per-label centroids and mean
+  *   squared distance — k-means-style building blocks. Order-independence
+  *   across engines: each float-origin value is scaled by a power of two
+  *   (exact) and floored to BIGINT, so sums are exact integer arithmetic
+  *   (DECIMAL casts of full-precision doubles are NOT cross-engine safe:
+  *   DuckDB's cast rounds through double multiplication).
+  * - `q_ivf_topk`: IVF-style probe — assign the query to its nearest
+  *   centroid, then search only that partition. At 100 TB this is the
+  *   scale path: the vector table is bucketed by centroid id, a probe
+  *   touches 1/nlist of the data, and the centroid table is broadcast.
+  */
+object AnnQueries {
+
+  private val Dim = 64
+
+  /** 2^52: exact power-of-two scale for float-origin values (any |x| >=
+    * 2^-29 scales to an exact integer; fixture min |x| ~ 8e-6). */
+  private val S52 = "4503599627370496.0"
+  private val S52d = 4503599627370496.0
+  /** 2^45: scale for squared-term quantization (terms < 4, 32k-row sums
+    * stay far inside BIGINT). */
+  private val S45 = "35184372088832.0"
+  private val S45d = 35184372088832.0
+
+  val annTopk: QueryDef = QueryDef.sql(
+    "q_ann_topk",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |d AS (SELECT qid, vec_id AS nid, ${cosDistSql("v", "qv")} AS dist
+       |      FROM e, q WHERE vec_id <> qid),
+       |r AS (SELECT qid, nid, dist,
+       |             row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       |      FROM d)
+       |SELECT qid, rank, nid, dist FROM r WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id").asc)
+    emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist", cosineDistance(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id").as("nid"), col("dist"))
+  }
+
+  /** (label, dim 1-based, centroid) — exact decimal mean per dimension. */
+  val centroids: QueryDef = QueryDef.sql(
+    "q_centroids",
+    s"""WITH ed AS (SELECT label, vec_id, i,
+       |                   CAST(floor(embedding[i] * $S52) AS BIGINT) AS ix
+       |            FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i))
+       |SELECT label, i,
+       |       CAST(sum(ix) AS DOUBLE) / $S52 / count(*) AS centroid
+       |FROM ed GROUP BY label, i""".stripMargin) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("label"), (col("i0") + 1).cast("long").as("i"),
+        floor(col("x") * S52d).cast("long").as("ix"))
+      .groupBy("label", "i")
+      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("centroid"))
+  }
+
+  private val CentCte =
+    s"""ed AS (SELECT label, vec_id, i, embedding[i] AS x,
+       |              CAST(floor(embedding[i] * $S52) AS BIGINT) AS ix
+       |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)),
+       |cent AS (SELECT label, i,
+       |                CAST(sum(ix) AS DOUBLE) / $S52 / count(*) AS c
+       |         FROM ed GROUP BY label, i)""".stripMargin
+
+  /** Mean squared L2 distance of each label's members to their centroid. */
+  val centroidSpread: QueryDef = QueryDef.sql(
+    "q_centroid_spread",
+    s"""WITH $CentCte,
+       |terms AS (SELECT ed.label, ed.vec_id,
+       |                 CAST(floor((ed.x - cent.c) * (ed.x - cent.c) * $S45) AS BIGINT) AS t
+       |          FROM ed JOIN cent ON cent.label = ed.label AND cent.i = ed.i)
+       |SELECT label,
+       |       count(DISTINCT vec_id) AS n_vecs,
+       |       CAST(sum(t) AS DOUBLE) / $S45 / count(DISTINCT vec_id) AS avg_dist2
+       |FROM terms GROUP BY label""".stripMargin) { (spark, dir) =>
+    val ed = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("label"), col("vec_id"), (col("i0") + 1).cast("long").as("i"), col("x"),
+        floor(col("x") * S52d).cast("long").as("ix"))
+    val cent = ed.groupBy("label", "i")
+      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+    ed.join(cent.withColumnRenamed("label", "clabel"),
+        col("clabel") === ed("label") && cent("i") === ed("i"))
+      .select(ed("label"), ed("vec_id"),
+        floor((ed("x") - col("c")) * (ed("x") - col("c")) * S45d).cast("long").as("t"))
+      .groupBy("label")
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        (sum(col("t")).cast("double") / S45d / countDistinct(col("vec_id"))).as("avg_dist2"))
+  }
+
+  /** IVF probe: nearest centroid to the query vector, exact top-5 within
+    * that one partition.
+    */
+  val ivfTopk: QueryDef = QueryDef.sql(
+    "q_ivf_topk",
+    s"""WITH $CentCte,
+       |qd AS (SELECT i, embedding[i] AS qx
+       |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i) WHERE vec_id = 0),
+       |cdist AS (SELECT cent.label,
+       |                 sum(CAST(floor((qd.qx - cent.c) * (qd.qx - cent.c) * $S45) AS BIGINT)) AS d2
+       |          FROM cent JOIN qd ON qd.i = cent.i GROUP BY cent.label),
+       |best AS (SELECT label FROM cdist ORDER BY d2, label LIMIT 1),
+       |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.label AS probe_label, e.vec_id AS nid,
+       |       ${cosDistSql("e.v", "q.qv")} AS dist
+       |FROM e JOIN best ON e.label = best.label, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY dist, e.vec_id
+       |LIMIT 5""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val qlit = array(q.map(lit): _*)
+    val ed = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("label"), (col("i0") + 1).cast("long").as("i"),
+        floor(col("x") * S52d).cast("long").as("ix"))
+    val cent = ed.groupBy("label", "i")
+      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+    // query dims as a literal-joined frame: reuse the collected vector
+    val qd = cent.select(col("label"), col("i"), col("c"),
+      element_at(qlit, col("i").cast("int")).as("qx"))
+    val best = qd
+      .select(col("label"), floor((col("qx") - col("c")) * (col("qx") - col("c")) * S45d).cast("long").as("t"))
+      .groupBy("label").agg(sum(col("t")).as("d2"))
+      .orderBy(col("d2").asc, col("label").asc).limit(1)
+      .select(col("label").as("probe_label"))
+    emb.join(broadcast(best), emb("label") === col("probe_label"))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("dist", cosineDistance(col("embedding"), qlit))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(5)
+      .select(col("probe_label"), col("vec_id").as("nid"), col("dist"))
+  }
+
+  val all: Seq[QueryDef] = Seq(annTopk, centroids, centroidSpread, ivfTopk)
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions.cosineSimilarity
+import graft.functions.VectorFunctions.{cosineSimilarity, cosSimSql}
 import graft.operators.Dedup
 
 /** Deduplication query suite over `documents` / `embeddings`. Every
@@ -47,7 +47,7 @@ object DedupQueries {
        |                      JOIN sh sb ON sb.doc_id = c.idb AND sb.s = sa.s
        |          GROUP BY c.ida, c.idb)
        |SELECT i.ida, i.idb,
-       |       round(CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i), 6) AS jaccard
+       |       CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
        |FROM inter i JOIN card ca ON ca.doc_id = i.ida
        |             JOIN card cb ON cb.doc_id = i.idb
        |WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= $threshold""".stripMargin
@@ -87,7 +87,7 @@ object DedupQueries {
     val cand = Dedup.lshCandidates(sig, "doc_id")
     Dedup.jaccardForPairs(cand, sh, "doc_id")
       .filter(col("jaccard") >= 0.2)
-      .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("ida"), col("idb"), col("jaccard"))
   }
 
   val ngramJaccard: QueryDef = QueryDef.sql(
@@ -98,7 +98,7 @@ object DedupQueries {
           |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id)""".stripMargin, 0.5)}""".stripMargin) { (spark, dir) =>
     val sh = Dedup.shingleTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
     Dedup.ngramJaccardPairs(sh, "doc_id", 0.5)
-      .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("ida"), col("idb"), col("jaccard"))
   }
 
   private val SimhashCte = {
@@ -155,15 +155,15 @@ object DedupQueries {
        |           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
        |pv AS (SELECT vec_id, v FROM packed)
        |SELECT c.ida, c.idb,
-       |       round(list_cosine_similarity(pa.v, pb.v), 6) AS sim
+       |       ${cosSimSql("pa.v", "pb.v")} AS sim
        |FROM cand c JOIN pv pa ON pa.vec_id = c.ida
        |            JOIN pv pb ON pb.vec_id = c.idb
-       |WHERE list_cosine_similarity(pa.v, pb.v) >= 0.4""".stripMargin) { (spark, dir) =>
+       |WHERE ${cosSimSql("pa.v", "pb.v")} >= 0.4""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding")
       .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
       .filter(col("sim") >= 0.4)
-      .select(col("ida"), col("idb"), round(col("sim"), 6).as("sim"))
+      .select(col("ida"), col("idb"), col("sim"))
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions.cosDistSql
 import graft.operators.{Prompt, TopK}
 
 /** RAG retrieval + prompt assembly (T1+T2+A1, `multirag.c:52-152`):
@@ -20,11 +21,12 @@ object PromptQueries {
 
   val ragPrompt: QueryDef = QueryDef.sql(
     "q_rag_prompt",
-    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |topk AS (
        |  SELECT vec_id,
-       |         row_number() OVER (ORDER BY 1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), vec_id) AS rank
-       |  FROM embeddings, q
+       |         row_number() OVER (ORDER BY ${cosDistSql("v", "qv")}, vec_id) AS rank
+       |  FROM e, q
        |  QUALIFY rank <= 3
        |),
        |ctx AS (SELECT t.rank, d.text FROM topk t JOIN documents d ON d.doc_id = t.vec_id)

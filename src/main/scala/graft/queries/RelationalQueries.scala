@@ -29,7 +29,7 @@ object RelationalQueries {
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base,
       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc,
-      |       round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / count(*) AS avg_qty,
       |       count(*) AS n
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -42,7 +42,7 @@ object RelationalQueries {
         sum(col("l_extendedprice").cast(Dec)).cast(DecOut).as("sum_base"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).cast(DecOut).as("sum_disc"),
         count(lit(1)).as("n"))
-      .withColumn("avg_qty", round(col("sum_qty").cast("double") / col("n"), 6))
+      .withColumn("avg_qty", col("sum_qty").cast("double") / col("n"))
       .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base", "sum_disc", "avg_qty", "n")
   }
 

@@ -40,11 +40,11 @@ object TextStatsQueries {
        |             CAST(len(list_filter(toks, x -> list_contains($StopSql, x))) AS BIGINT) AS n_stop
        |      FROM t)
        |SELECT doc_id, n_tokens, n_distinct,
-       |       round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
-       |       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-       |       round((CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+       |       CAST(tok_chars AS DOUBLE) / n_tokens AS avg_tok_len,
+       |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |       (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
        |             * (0.5 + 0.5 * CAST(n_distinct AS DOUBLE) / n_tokens)
-       |             - 0.1 * CAST(n_stop AS DOUBLE) / n_tokens, 6) AS quality
+       |             - 0.1 * CAST(n_stop AS DOUBLE) / n_tokens AS quality
        |FROM s""".stripMargin) { (spark, dir) =>
     val toks = tokens(col("text"))
     Tables(spark, dir, "documents")
@@ -55,11 +55,11 @@ object TextStatsQueries {
         aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("tok_chars"),
         size(filter(col("toks"), x => x.isin(Stopwords: _*))).cast("long").as("n_stop"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(col("tok_chars").cast("double") / col("n_tokens"), 6).as("avg_tok_len"),
-        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
-        round((least(col("n_tokens"), lit(100)).cast("double") / 100.0)
+        (col("tok_chars").cast("double") / col("n_tokens")).as("avg_tok_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        ((least(col("n_tokens"), lit(100)).cast("double") / 100.0)
           * (lit(0.5) + lit(0.5) * col("n_distinct").cast("double") / col("n_tokens"))
-          - lit(0.1) * col("n_stop").cast("double") / col("n_tokens"), 6).as("quality"))
+          - lit(0.1) * col("n_stop").cast("double") / col("n_tokens")).as("quality"))
   }
 
   /** Marker words per language for the n-gram-free language-ID heuristic.

@@ -2,11 +2,13 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
 import graft.operators.TopK
 
 /** Vector-search queries over the `embeddings` fixture: the reference's
   * retrieval surface (brute-force cosine top-k, `vector-db.c:148-177`)
-  * re-expressed Spark-first.
+  * re-expressed Spark-first. Distances are emitted unrounded: the oracle
+  * replays the identical sequential fold, so doubles match bit-for-bit.
   */
 object VectorQueries {
 
@@ -21,15 +23,15 @@ object VectorQueries {
 
   val topkCosine: QueryDef = QueryDef.sql(
     "q_topk_cosine",
-    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-      |SELECT vec_id,
-      |       round(1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS dist
-      |FROM embeddings, q
-      |ORDER BY 1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), vec_id
-      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT vec_id, ${cosDistSql("v", "qv")} AS dist
+       |FROM e, q
+       |ORDER BY dist, vec_id
+       |LIMIT 10""".stripMargin) { (spark, dir) =>
     val q = queryVec(spark, dir)
     TopK.nearest(Tables.embeddings(spark, dir), "embedding", "vec_id", q, 10)
-      .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      .select(col("vec_id"), col("dist"))
   }
 
   val all: Seq[QueryDef] = Seq(topkCosine)
