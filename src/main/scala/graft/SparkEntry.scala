@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.EventQueries.all ++
       graft.queries.TextStatsQueries.all ++
       graft.queries.DedupQueries.all ++
-      graft.queries.AnnQueries.all
+      graft.queries.AnnQueries.all ++
+      graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

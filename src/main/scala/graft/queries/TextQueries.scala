@@ -14,8 +14,12 @@ object TextQueries {
 
   val ChunkLen = 100
 
-  private def chunkOracle(l: Int): String =
-    s"""WITH RECURSIVE step AS (
+  /** Composable CTE list (use after `WITH RECURSIVE`) defining
+    * `chunks(doc_id, chunk_idx, chunk)` with the reference chunker
+    * semantics. Shared by the pipeline queries.
+    */
+  def chunkCte(l: Int): String =
+    s"""step AS (
        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
        |         CAST(0 AS BIGINT) AS prev, CAST(-1 AS BIGINT) AS chunk_idx,
        |         CAST(NULL AS VARCHAR) AS chunk, false AS fin
@@ -36,12 +40,14 @@ object TextQueries {
        |      FROM step WHERE NOT fin
        |    ) t
        |  ) u
-       |)
-       |SELECT doc_id, chunk_idx, chunk FROM step WHERE chunk_idx >= 0
-       |UNION ALL
-       |SELECT doc_id, CAST(0 AS BIGINT), text FROM documents WHERE length(text) < $l""".stripMargin
+       |),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx, chunk FROM step WHERE chunk_idx >= 0
+       |  UNION ALL
+       |  SELECT doc_id, CAST(0 AS BIGINT), text FROM documents WHERE length(text) < $l)""".stripMargin
 
-  val chunk: QueryDef = QueryDef.sql("q_chunk", chunkOracle(ChunkLen)) { (spark, dir) =>
+  val chunk: QueryDef = QueryDef.sql("q_chunk",
+    s"WITH RECURSIVE ${chunkCte(ChunkLen)}\nSELECT doc_id, chunk_idx, chunk FROM chunks") { (spark, dir) =>
     Chunker.chunk(Tables(spark, dir, "documents").select("doc_id", "text"), "text", ChunkLen)
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
   }
