@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pipelines.{Embedder, HttpEmbedder, IndexBuild, MockEmbedder, Rag}
+import graft.sources.Vdb
+
+/** CLI mirroring the reference's four binaries (`makefile:14-17`):
+  *
+  * {{{
+  * graft.Main build-index <in.parquet|textfile> <out> <chunkLen> [host port]
+  *   ≙ bin/build-vector-db-from-server (argv: build-vector-db-from-server.c:31-39)
+  * graft.Main rag <index> <k> <query...> [host port]
+  *   ≙ bin/rag-with-vdb-cos-client (one turn; REPL loop is stdin-driven)
+  * graft.Main embed <text> [host port]
+  *   ≙ bin/embedding-from-server-cli (prints one vector, %10.8f per line,
+  *     embedding-from-server-cli.c:11-15)
+  * }}}
+  *
+  * Without host/port the deterministic mock embedder runs (CI has no
+  * egress); with them, the llama.cpp HTTP embedder.
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def embedderOf(rest: List[String]): Embedder = rest match {
+    case host :: port :: Nil => new HttpEmbedder(host, port.toInt)
+    case _ => MockEmbedder
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "build-index" :: in :: out :: chunkLen :: rest =>
+      val spark = session()
+      val docs =
+        if (in.endsWith(".parquet")) spark.read.parquet(in).selectExpr("doc_id", "text")
+        else spark.read.format("binaryFile").load(in)
+          .selectExpr("monotonically_increasing_id() AS doc_id",
+            "CAST(content AS STRING) AS text")
+      val idx = IndexBuild.build(docs, "doc_id", "text", chunkLen.toInt, embedderOf(rest))
+      if (out.endsWith(".vdb")) Vdb.writeSingle(idx, "chunk", "embedding", out)
+      else idx.write.mode("overwrite").parquet(out)
+      spark.stop()
+
+    case "rag" :: index :: k :: query :: rest =>
+      val spark = session()
+      val idx =
+        (if (index.endsWith(".vdb") || new java.io.File(index).isDirectory &&
+          new java.io.File(index).list().exists(_.endsWith(".vdb")))
+          Vdb.readDir(spark, index).selectExpr("monotonically_increasing_id() AS chunk_id",
+            "text AS chunk", "embedding")
+        else spark.read.parquet(index)
+          .selectExpr("doc_id * 1000 + chunk_idx AS chunk_id", "chunk", "embedding"))
+          .persist()
+      val prompt = Rag.answer(spark, idx, "chunk_id", "chunk", "embedding",
+        embedderOf(rest), query, "", k.toInt)
+      println(prompt.head().getString(0))
+      spark.stop()
+
+    case "embed" :: text :: rest =>
+      val spark = session()
+      Rag.embedQuery(spark, embedderOf(rest), text)
+        .foreach(x => println(f"$x%10.8f"))
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"""usage: build-index <in> <out> <chunkLen> [host port]
+           |       rag <index> <k> <query> [host port]
+           |       embed <text> [host port]
+           |got: ${other.mkString(" ")}""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.TextStatsQueries.all ++
       graft.queries.DedupQueries.all ++
       graft.queries.AnnQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++
+      graft.queries.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

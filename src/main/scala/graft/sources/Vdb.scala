@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.io.{DataOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `.vdb` codec — byte-compatible with the reference's on-disk format
+  * (`vector-db.c:42-79` write, `:81-146` read; layout in SURVEY §1.3):
+  *
+  * {{{
+  * "VEC\0" (4B, warn-only on read) · type tag (1B: 0=binary, 1=double)
+  * · n_entries (8B LE) · vector_length (8B LE)
+  * · n_entries fixed-width vectors (8*dim bytes for double;
+  *   dim/8+1 bytes bit-packed for binary)
+  * · n_entries × (8B LE length + text bytes, no NUL)
+  * }}}
+  *
+  * ("host-endian" in the reference = little-endian on any machine it
+  * realistically ran on.)
+  *
+  * Scale posture: a `.vdb` file is a single sequential blob with no
+  * footer or row groups — inherently one reader/one writer. The engine
+  * therefore treats it as an interchange codec, not native storage:
+  * `readDir` scans a *directory* of part files in parallel
+  * (`binaryFile` source + flatMap-deserialize per file), `writeDir`
+  * writes one part per partition via `foreachPartition`, and
+  * `writeSingle` produces a reference-compatible single file from the
+  * driver for hand-off to the C tools. Native storage stays parquet.
+  */
+object Vdb {
+
+  val Magic: Array[Byte] = Array('V'.toByte, 'E'.toByte, 'C'.toByte, 0.toByte)
+  val TypeDouble: Byte = 1
+  val TypeBinary: Byte = 0
+
+  // ---- serialization ----------------------------------------------------
+
+  /** Serialize rows (text, vector) into one .vdb byte stream. */
+  def serialize(rows: Iterator[(String, Array[Double])]): Array[Byte] = {
+    val buf = rows.toArray
+    val dim = if (buf.isEmpty) 0 else buf.head._2.length
+    require(buf.forall(_._2.length == dim), "non-uniform vector dimension")
+    val texts = buf.map(_._1.getBytes("UTF-8"))
+    val total = 21 + buf.length * 8 * dim + texts.map(8 + _.length).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(Magic); bb.put(TypeDouble)
+    bb.putLong(buf.length.toLong); bb.putLong(dim.toLong)
+    buf.foreach { case (_, v) => v.foreach(bb.putDouble) }
+    texts.foreach { t => bb.putLong(t.length.toLong); bb.put(t) }
+    bb.array()
+  }
+
+  /** Deserialize one .vdb blob → rows (text, vector). Magic mismatch is
+    * warn-only, matching `vector-db.c:102-105`.
+    */
+  def deserialize(bytes: Array[Byte]): Seq[(String, Array[Double])] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (!magic.sameElements(Magic))
+      System.err.println("[vdb] warning: bad magic, attempting read anyway")
+    val tpe = bb.get()
+    val n = bb.getLong.toInt
+    val dim = bb.getLong.toInt
+    val vecs = Array.fill(n) {
+      if (tpe == TypeDouble) Array.fill(dim)(bb.getDouble)
+      else { // binary: dim/8+1 bytes, unpack to 0/1 doubles
+        val nb = dim / 8 + 1
+        val packed = new Array[Byte](nb); bb.get(packed)
+        Array.tabulate(dim)(i => if ((packed(i / 8) & (1 << (i % 8))) != 0) 1.0 else 0.0)
+      }
+    }
+    val texts = Array.fill(n) {
+      val len = bb.getLong.toInt
+      val t = new Array[Byte](len); bb.get(t)
+      new String(t, "UTF-8")
+    }
+    texts.zip(vecs).toSeq
+  }
+
+  // ---- Spark surface ----------------------------------------------------
+
+  private val schema = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Parallel scan of a directory of .vdb part files. */
+  def readDir(spark: SparkSession, path: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    spark.read.format("binaryFile").load(path)
+      .select(col("content"))
+      .flatMap(r => deserialize(r.getAs[Array[Byte]](0))
+        .map { case (t, v) => Row(t, v.toSeq) })(enc)
+  }
+
+  /** Parallel write: one .vdb part file per partition. */
+  def writeDir(df: DataFrame, textCol: String, embCol: String, dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    val ti = df.schema.fieldIndex(textCol)
+    val ei = df.schema.fieldIndex(embCol)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val data = serialize(rows.map(r =>
+          (r.getString(ti), r.getSeq[Double](ei).toArray)))
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = new FileOutputStream(s"$dir/part-$pid.vdb")
+        try out.write(data) finally out.close()
+      }
+    }
+  }
+
+  /** Reference-compatible single file, streamed through the driver (for
+    * hand-off to the C tools only — not a scale path).
+    */
+  def writeSingle(df: DataFrame, textCol: String, embCol: String, file: String): Unit = {
+    val rows = df.select(col(textCol), col(embCol)).toLocalIterator()
+    val it = new Iterator[(String, Array[Double])] {
+      def hasNext = rows.hasNext
+      def next() = { val r = rows.next(); (r.getString(0), r.getSeq[Double](1).toArray) }
+    }
+    val out = new FileOutputStream(file)
+    try out.write(serialize(it)) finally out.close()
+  }
+}

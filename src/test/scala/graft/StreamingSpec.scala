@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val batchEvents = {
+    // events fixture re-encoded to µs timestamps for the streaming source
+    val dir = Files.createTempDirectory("events-stream").toString
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(dir)
+    (dir, spark.read.parquet(dir).schema)
+  }
+
+  test("streaming hourly counts match the batch aggregation") {
+    val (dir, schema) = batchEvents
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("hourly").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT hour_start, event_type, n FROM hourly")
+      val batch = Tables.events(spark, sf0001)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals accumulate per user") {
+    val (dir, schema) = batchEvents
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .selectExpr("user_id", "event_type", "value").as[EventStreams.UserEvent]
+    val q = EventStreams.runningTotals(stream)
+      .writeStream.outputMode("update").format("memory").queryName("running").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, n_events FROM running")
+        .as[(Long, Long)].collect().toMap
+      val want = Tables.events(spark, sf0001).groupBy("user_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Vdb
+
+class VdbSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("serialize/deserialize round-trip preserves rows and layout") {
+    val rows = Seq(("first chunk", Array(1.0, 2.5, -3.25)), ("second", Array(0.0, -1.0, 4.5)))
+    val bytes = Vdb.serialize(rows.iterator)
+    // header: magic, type=double, n=2, dim=3
+    assert(bytes.slice(0, 4).sameElements(Vdb.Magic))
+    assert(bytes(4) == Vdb.TypeDouble)
+    val back = Vdb.deserialize(bytes)
+    assert(back.map(_._1) == rows.map(_._1))
+    assert(back.map(_._2.toSeq) == rows.map(_._2.toSeq))
+    // total size: 21 + 2*3*8 + (8+11) + (8+6)
+    assert(bytes.length == 21 + 48 + 19 + 14)
+  }
+
+  test("bad magic is warn-only, read proceeds (vector-db.c:102-105)") {
+    val bytes = Vdb.serialize(Seq(("t", Array(1.0))).iterator)
+    bytes(0) = 'X'.toByte
+    assert(Vdb.deserialize(bytes).head._1 == "t")
+  }
+
+  test("writeDir/readDir round-trip through Spark") {
+    val dir = Files.createTempDirectory("vdbspec").toString
+    val df = Seq((0L, "alpha", Seq(0.5, 1.5)), (1L, "beta", Seq(-0.5, 2.0)))
+      .toDF("id", "text", "embedding")
+    Vdb.writeDir(df, "text", "embedding", dir)
+    val back = Vdb.readDir(spark, dir)
+    assert(back.count() == 2)
+    val got = back.orderBy("text").as[(String, Seq[Double])].collect().toSeq
+    assert(got == Seq(("alpha", Seq(0.5, 1.5)), ("beta", Seq(-0.5, 2.0))))
+  }
+
+  test("writeSingle produces a single reference-layout file") {
+    val f = Files.createTempFile("one", ".vdb").toString
+    val df = Seq(("only row", Seq(7.0, 8.0))).toDF("text", "embedding")
+    Vdb.writeSingle(df, "text", "embedding", f)
+    val back = Vdb.deserialize(Files.readAllBytes(java.nio.file.Paths.get(f)))
+    assert(back.size == 1)
+    assert(back.head._1 == "only row")
+    assert(back.head._2.toSeq == Seq(7.0, 8.0))
+  }
+}
