@@ -20,15 +20,26 @@ object VectorFunctions {
   /** Euclidean norm √(Σ aᵢ²). */
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity a·b / (‖a‖·‖b‖). */
+  /** Cosine similarity a·b / (‖a‖·‖b‖) — codegen expression (see
+    * [[CosineDistance]]); bit-identical to [[cosineSimilarityHof]].
+    */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+    CosineDistance.similarity(a, b)
 
   /** Cosine distance 1 − similarity, the reference's pluggable metric
-    * (`vector-db.h:16-18`). Range [0, 2].
+    * (`vector-db.h:16-18`). Range [0, 2]. Codegen expression.
     */
   def cosineDistance(a: Column, b: Column): Column =
-    lit(1.0) - cosineSimilarity(a, b)
+    CosineDistance.distance(a, b)
+
+  /** Higher-order-function formulations (CodegenFallback — slower, kept
+    * as the reference semantics cross-check for the codegen expression).
+    */
+  def cosineSimilarityHof(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  def cosineDistanceHof(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarityHof(a, b)
 
   /** Squared Euclidean distance Σ (aᵢ−bᵢ)². */
   def l2Squared(a: Column, b: Column): Column =
