@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen text-hashing kernels. The HOF formulations in
+  * [[TextFunctions]] (`aggregate(split(s,''))` etc.) are CodegenFallback
+  * — interpreted per row with per-char lambda frames; these expressions
+  * call tight static loops from inside WholeStageCodegen instead.
+  * Identical integer results (same fold, same modulus), so the DuckDB
+  * oracle fragments are unchanged.
+  */
+object HashKernels {
+
+  /** fold(h*31 + codeunit) mod 1e9+7 — same result as
+    * [[TextFunctions.polyHash]] for any BMP text (fixtures are ASCII).
+    */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * 31 + str.charAt(i)) % TextFunctions.HashMod
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct hashes of n-token shingles (tokens joined by ' '), without
+    * materializing the shingle strings: the fold runs across token chars
+    * with a ' ' folded between tokens — identical to
+    * polyHash(tok1 + " " + ... + tokn).
+    */
+  def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val strs = Array.tabulate(m)(i => toks.getUTF8String(i).toString)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var start = 0
+    while (start + n <= m) {
+      var h = 0L
+      var t = 0
+      while (t < n) {
+        if (t > 0) h = (h * 31 + ' ') % TextFunctions.HashMod
+        val s = strs(start + t)
+        var i = 0
+        while (i < s.length) {
+          h = (h * 31 + s.charAt(i)) % TextFunctions.HashMod
+          i += 1
+        }
+        t += 1
+      }
+      seen.add(h)
+      start += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** polyHash(string) as a codegen expression. */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.polyHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.polyHash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Distinct n-gram shingle hashes of a token array, as array<long>. */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.shingleHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HashExpressions {
+  def polyHashFast(c: Column): Column =
+    GraftShim.column(PolyHashExpr(GraftShim.expression(c)))
+  def shingleHashesFast(toks: Column, n: Int): Column =
+    GraftShim.column(ShingleHashesExpr(GraftShim.expression(toks), n))
+}

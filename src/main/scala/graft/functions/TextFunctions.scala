@@ -23,10 +23,17 @@ object TextFunctions {
   val MinhashMod = 2147483647L
 
   /** Polynomial rolling hash of a string: fold(h*31 + ascii(c)) mod M.
-    * The reference's document fingerprint analog. Guards against the
-    * trailing empty element Java's split-on-empty-regex produces.
+    * The reference's document fingerprint analog. Codegen kernel
+    * ([[HashExpressions.polyHashFast]]); [[polyHashHof]] is the
+    * HOF cross-check.
     */
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = HashExpressions.polyHashFast(s)
+
+  /** HOF formulation (CodegenFallback; guards against the trailing empty
+    * element Java's split-on-empty-regex produces). Kept as the
+    * cross-check oracle for the codegen kernel.
+    */
+  def polyHashHof(s: Column): Column =
     aggregate(
       filter(split(s, ""), c => c =!= ""),
       lit(0L),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.HashExpressions.{polyHashFast, shingleHashesFast}
 import graft.functions.VectorFunctions.packSignBits
 
 /** Deduplication operators for the training-data pipeline: exact,
@@ -33,11 +34,17 @@ object Dedup {
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
 
-  /** MinHash signatures over a shingle table: (id, m0..m7). */
-  def minhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
-    val h = polyHash(col("s"))
-    sh.select(col(idCol), h.as("h"))
-      .groupBy(col(idCol))
+  /** Exploded distinct shingle-HASH table: (id, h) — the scale form. All
+    * pair joins and Jaccard counts run in the 61-bit hash space: long
+    * join keys shuffle and compare far cheaper than shingle strings, and
+    * the hashes come from one codegen kernel (no string materialization).
+    */
+  def shingleHashTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shingleHashesFast(tokens(col(textCol)), n)).as("h"))
+
+  /** MinHash signatures over a shingle-hash table (id, h): (id, m0..m7). */
+  def minhashSignatures(hs: DataFrame, idCol: String): DataFrame = {
+    hs.groupBy(col(idCol))
       .agg(MinhashSeeds.head match {
         case (a, b) => min(minhashPerm(col("h"), a, b)).as("m0")
       }, MinhashSeeds.tail.zipWithIndex.map { case ((a, b), j) =>
@@ -60,14 +67,14 @@ object Dedup {
       .select("ida", "idb").distinct()
   }
 
-  /** Verified Jaccard for candidate pairs against the shingle table.
-    * Inner-join semantics: zero-intersection candidates drop out.
+  /** Verified Jaccard for candidate pairs against the shingle-hash
+    * table. Inner-join semantics: zero-intersection candidates drop out.
     */
-  def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    val card = sh.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
-    val sa = sh.select(col(idCol).as("ida"), col("s"))
-    val sb = sh.select(col(idCol).as("idb"), col("s"))
-    val inter = pairs.join(sa, "ida").join(sb, Seq("idb", "s"))
+  def jaccardForPairs(pairs: DataFrame, hs: DataFrame, idCol: String): DataFrame = {
+    val card = hs.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+    val sa = hs.select(col(idCol).as("ida"), col("h"))
+    val sb = hs.select(col(idCol).as("idb"), col("h"))
+    val inter = pairs.join(sa, "ida").join(sb, Seq("idb", "h"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("i"))
     inter
       .join(card.withColumnRenamed(idCol, "ida").withColumnRenamed("c", "ca"), "ida")
@@ -77,14 +84,22 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs at/above a threshold, blocked on shared
-    * shingles (never a cross join).
+    * shingle hashes (never a cross join). The intersection count falls
+    * directly out of the blocking join — one self-join total, no
+    * candidate materialization + re-join round trip.
     */
-  def ngramJaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val sa = sh.select(col(idCol).as("ida"), col("s"))
-    val sb = sh.select(col(idCol).as("idb"), col("s"))
-    val cand = sa.join(sb, "s").filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    jaccardForPairs(cand, sh, idCol).filter(col("jaccard") >= threshold)
+  def ngramJaccardPairs(hs: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val card = hs.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+    val sa = hs.select(col(idCol).as("ida"), col("h"))
+    val sb = hs.select(col(idCol).as("idb"), col("h"))
+    val inter = sa.join(sb, "h").filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("i"))
+    inter
+      .join(card.withColumnRenamed(idCol, "ida").withColumnRenamed("c", "ca"), "ida")
+      .join(card.withColumnRenamed(idCol, "idb").withColumnRenamed("c", "cb"), "idb")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 30-bit SimHash over token hashes (majority vote per bit):
@@ -93,7 +108,7 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bits = 30
     val th = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .select(col(idCol), polyHash(col("tok")).as("h"))
+      .select(col(idCol), polyHashFast(col("tok")).as("h"))
     val sums = (0 until bits).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"c$i"))
     val agg = th.groupBy(col(idCol)).agg(count(lit(1)).as("n"), sums: _*)
@@ -124,20 +139,25 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs via random-hyperplane (sign) LSH: pack 32
-    * sign bits, block on 8 bands of 4 bits, verify cosine similarity.
-    * `simCol` must compute similarity between `va`/`vb` vector columns.
+    * sign bits, block on 8 bands of 4 bits. Candidates travel as bare
+    * (ida, idb) pairs through the band join and distinct — the vectors
+    * rejoin only afterwards (carrying array columns through the pair
+    * shuffle costs ~1 KB/row and dominated runtime before this split;
+    * at scale AQE broadcast-joins the vector side when it fits).
     */
   def embeddingNearDupCandidates(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val packed = df.select(col(idCol), col(vecCol), packSignBits(col(vecCol), 32).as("pack"))
+    val packed = df.select(col(idCol).as("id"), packSignBits(col(vecCol), 32).as("pack"))
     val bands = (0 until 8).map { b =>
-      packed.select(col(idCol).as("id"), col(vecCol).as("v"), lit(b).as("band"),
+      packed.select(col("id"), lit(b).as("band"),
         shiftright(col("pack"), 4 * b).bitwiseAND(lit(15L)).as("key"))
     }.reduce(_ unionAll _)
-    val a = bands.select(col("id").as("ida"), col("v").as("va"), col("band"), col("key"))
-    val bb = bands.select(col("id").as("idb"), col("v").as("vb"), col("band"), col("key"))
-    a.join(bb, Seq("band", "key"))
+    val a = bands.select(col("id").as("ida"), col("band"), col("key"))
+    val bb = bands.select(col("id").as("idb"), col("band"), col("key"))
+    val pairs = a.join(bb, Seq("band", "key"))
       .filter(col("ida") < col("idb"))
-      .select("ida", "idb", "va", "vb")
-      .dropDuplicates("ida", "idb")
+      .select("ida", "idb").distinct()
+    val va = df.select(col(idCol).as("ida"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("idb"), col(vecCol).as("vb"))
+    pairs.join(va, "ida").join(vb, "idb").select("ida", "idb", "va", "vb")
   }
 }

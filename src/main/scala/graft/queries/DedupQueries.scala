@@ -20,8 +20,10 @@ object DedupQueries {
     s"""sh AS (SELECT doc_id, unnest(${shinglesSql("string_split(text, ' ')", 3)}) AS s
        |       FROM documents)""".stripMargin
 
-  /** (doc_id, h): shingle hashes. */
-  private val HsCte = s"hs AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM sh)"
+  /** (doc_id, h): distinct shingle hashes — all pair joins and Jaccard
+    * counts run in hash space (matches `Dedup.shingleHashTable`).
+    */
+  private val HsCte = s"hs AS (SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM sh)"
 
   /** (doc_id, m0..m7): MinHash signatures. */
   private val SigCte = {
@@ -37,14 +39,14 @@ object DedupQueries {
     s"bands AS (${rows.mkString(" UNION ALL ")})"
   }
 
-  private val CardCte = "card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id)"
+  private val CardCte = "card AS (SELECT doc_id, count(*) AS c FROM hs GROUP BY doc_id)"
 
   private def interJaccardSql(candCte: String, threshold: Double): String =
     s"""$candCte,
        |$CardCte,
        |inter AS (SELECT c.ida, c.idb, count(*) AS i
-       |          FROM cand c JOIN sh sa ON sa.doc_id = c.ida
-       |                      JOIN sh sb ON sb.doc_id = c.idb AND sb.s = sa.s
+       |          FROM cand c JOIN hs sa ON sa.doc_id = c.ida
+       |                      JOIN hs sb ON sb.doc_id = c.idb AND sb.h = sa.h
        |          GROUP BY c.ida, c.idb)
        |SELECT i.ida, i.idb,
        |       CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
@@ -67,8 +69,8 @@ object DedupQueries {
        |$HsCte,
        |$SigCte
        |SELECT * FROM sig""".stripMargin) { (spark, dir) =>
-    val sh = Dedup.shingleTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
-    Dedup.minhashSignatures(sh, "doc_id")
+    val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    Dedup.minhashSignatures(hs, "doc_id")
   }
 
   val minhashLshPairs: QueryDef = QueryDef.sql(
@@ -82,10 +84,10 @@ object DedupQueries {
           |         FROM bands a JOIN bands b
           |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
           |              AND a.doc_id < b.doc_id)""".stripMargin, 0.2)}""".stripMargin) { (spark, dir) =>
-    val sh = Dedup.shingleTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
-    val sig = Dedup.minhashSignatures(sh, "doc_id")
+    val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(hs, "doc_id")
     val cand = Dedup.lshCandidates(sig, "doc_id")
-    Dedup.jaccardForPairs(cand, sh, "doc_id")
+    Dedup.jaccardForPairs(cand, hs, "doc_id")
       .filter(col("jaccard") >= 0.2)
       .select(col("ida"), col("idb"), col("jaccard"))
   }
@@ -93,11 +95,12 @@ object DedupQueries {
   val ngramJaccard: QueryDef = QueryDef.sql(
     "q_ngram_jaccard",
     s"""WITH $ShCte,
+       |$HsCte,
        |${interJaccardSql(
         """cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-          |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id)""".stripMargin, 0.5)}""".stripMargin) { (spark, dir) =>
-    val sh = Dedup.shingleTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
-    Dedup.ngramJaccardPairs(sh, "doc_id", 0.5)
+          |         FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin, 0.5)}""".stripMargin) { (spark, dir) =>
+    val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    Dedup.ngramJaccardPairs(hs, "doc_id", 0.5)
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 

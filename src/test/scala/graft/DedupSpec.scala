@@ -13,6 +13,21 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(204910434L, 0L, 97L, 413892703L))
   }
 
+  test("codegen kernels == HOF formulations on fixture documents") {
+    val docs = Tables(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val hashDiff = docs.select(
+      polyHash(col("text")).as("fast"),
+      polyHashHof(col("text")).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+    assert(hashDiff.count() == 0)
+    // shingle hashes: fused kernel == hash of the string shingles
+    val viaStrings = Dedup.shingleTable(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), polyHash(col("s")).as("h")).distinct()
+    val viaKernel = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    assert(viaKernel.count() == viaStrings.count())
+    assert(viaKernel.exceptAll(viaStrings).isEmpty)
+  }
+
   test("shingles: 3-grams of a token array, short arrays empty") {
     val df = Seq("a b c d", "a b").toDF("t")
     val got = df.select(shingles(tokens(col("t")), 3)).as[Seq[String]].collect()
@@ -28,9 +43,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("jaccardForPairs computes |A∩B| / |A∪B|") {
-    val sh = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "b"), (2L, "c"), (2L, "d")).toDF("id", "s")
+    val hs = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 20L), (2L, 30L), (2L, 40L)).toDF("id", "h")
     val pairs = Seq((1L, 2L)).toDF("ida", "idb")
-    val j = Dedup.jaccardForPairs(pairs, sh, "id").select("jaccard").as[Double].head()
+    val j = Dedup.jaccardForPairs(pairs, hs, "id").select("jaccard").as[Double].head()
     assert(math.abs(j - 0.5) < 1e-12)
   }
 
@@ -45,7 +60,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash signature of identical shingle sets is identical") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("id", "t")
-    val sig = Dedup.minhashSignatures(Dedup.shingleTable(df, "id", "t", 3), "id")
+    val sig = Dedup.minhashSignatures(Dedup.shingleHashTable(df, "id", "t", 3), "id")
     val rows = sig.orderBy("id").collect()
     assert(rows(0).toSeq.tail == rows(1).toSeq.tail)
   }
