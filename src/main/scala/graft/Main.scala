@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipelines.{Embedder, HttpEmbedder, IndexBuild, MockEmbedder, Rag}
+import graft.pipelines.{Completion, Embedder, HttpEmbedder, IndexBuild, MockEmbedder, Rag}
 import graft.sources.Vdb
 
 /** CLI mirroring the reference's four binaries (`makefile:14-17`):
@@ -65,6 +65,44 @@ object Main {
       val prompt = Rag.answer(spark, idx, "chunk_id", "chunk", "embedding",
         embedderOf(rest), query, "", k.toInt)
       println(prompt.head().getString(0))
+      spark.stop()
+
+    case "rag-repl" :: index :: k :: rest =>
+      // the reference REPL (multirag.c:394-456): conversation threads
+      // through turns; without an LLM server the assembled prompt is
+      // echoed (and recorded as the "answer") so the loop is testable
+      val spark = session()
+      val idx = spark.read.parquet(index)
+        .selectExpr("doc_id * 1000 + chunk_idx AS chunk_id", "chunk", "embedding")
+        .persist()
+      idx.count() // warm the cache once, like the reference's startup read
+      var conversation = ""
+      val stdin = scala.io.Source.stdin.getLines()
+      print("> "); Console.flush()
+      while (stdin.hasNext) {
+        val line = stdin.next()
+        if (line.nonEmpty) {
+          val prompt = Rag.answer(spark, idx, "chunk_id", "chunk", "embedding",
+            embedderOf(rest), line, conversation, k.toInt).head().getString(0)
+          val answer = rest match {
+            case host :: port :: Nil =>
+              val client = java.net.http.HttpClient.newHttpClient()
+              val req = java.net.http.HttpRequest
+                .newBuilder(java.net.URI.create(s"http://$host:$port/completion"))
+                .header("Content-Type", "application/json")
+                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                  Completion.requestJson(prompt, 400, stream = false))).build()
+              val body = client.send(req,
+                java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+              Completion.extractContent(body).getOrElse("")
+            case _ => prompt
+          }
+          println(answer)
+          conversation = Completion.addLlmResponse(
+            graft.operators.Prompt.conversationWithUserTurn(conversation, line), answer)
+        }
+        print("> "); Console.flush()
+      }
       spark.stop()
 
     case "embed" :: text :: rest =>
