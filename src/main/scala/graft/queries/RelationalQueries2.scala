@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.operators.Salting
+
+/** Second wave of relational coverage: multi-dimensional aggregation
+  * (CUBE), time-bucketed trends, exact distinct counts, full set ops,
+  * and the skew-salting pattern (whose output is proven bit-identical to
+  * the direct aggregation by the plain-GROUP-BY oracle).
+  */
+object RelationalQueries2 {
+
+  private val Dec = "decimal(18,4)"
+  private val DecOut = "decimal(38,4)"
+
+  /** CUBE over returnflag × linestatus; rollup rows identified by the
+    * NULL→'ALL' coalesce (source columns are non-null), which avoids any
+    * cross-engine grouping-id bit-order convention.
+    */
+  val cube: QueryDef = QueryDef.sql(
+    "q_cube",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |       coalesce(l_linestatus, 'ALL') AS lstatus,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(Dec)).cast(DecOut).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"))
+  }
+
+  /** Monthly revenue trend: date_trunc bucketing over two years. */
+  val monthlyTrend: QueryDef = QueryDef.sql(
+    "q_monthly_trend",
+    """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_ts,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Dec)).cast(DecOut).as("revenue"))
+      .select(unix_timestamp(col("m")).as("month_ts"), col("n_orders"), col("revenue"))
+  }
+
+  /** Exact distinct cardinalities (the exact counterpart of the
+    * approx_count_distinct sketch surface, which has no cross-engine
+    * oracle; the sketch variant is exercised in tests with tolerance).
+    */
+  val distinctCounts: QueryDef = QueryDef.sql(
+    "q_distinct_counts",
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+  }
+
+  /** UNION / INTERSECT / EXCEPT composed: customers in two segments,
+    * intersected with open-order holders, minus finished-order holders.
+    */
+  val setOps: QueryDef = QueryDef.sql(
+    "q_setops",
+    """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      | UNION
+      | SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (spark, dir) =>
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+    val seg = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .union(cust.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey")))
+      .distinct()
+    seg.intersect(ord.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("c_custkey")))
+      .except(ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey")))
+  }
+
+  /** Two-stage salted aggregation — bit-identical to the oracle's plain
+    * GROUP BY because the sums are exact decimals (associativity holds).
+    */
+  val saltedAgg: QueryDef = QueryDef.sql(
+    "q_salted_agg",
+    """SELECT l_returnflag,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Salting.saltedSumCount(
+      Tables(spark, dir, "lineitem"),
+      Seq("l_returnflag"),
+      col("l_extendedprice").cast(Dec),
+      col("l_orderkey"), nSalts = 16)
+      .select(col("l_returnflag"), col("sum_value").cast(DecOut).as("sum_value"), col("n"))
+  }
+
+  val all: Seq[QueryDef] = Seq(cube, monthlyTrend, distinctCounts, setOps, saltedAgg)
+}
