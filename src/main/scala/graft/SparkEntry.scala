@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.AnnQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.MultimodalQueries.all ++
-      graft.queries.RelationalQueries2.all
+      graft.queries.RelationalQueries2.all ++
+      graft.queries.WindowQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

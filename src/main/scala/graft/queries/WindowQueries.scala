@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Window-frame coverage: running aggregates over explicit ROW frames
+  * and an exact median via deterministic row selection (no reliance on
+  * either engine's quantile interpolation convention — `percentile` /
+  * `quantile_cont` interpolate with formulas that can differ in the last
+  * ulp; row selection cannot).
+  */
+object WindowQueries {
+
+  /** Per-customer running revenue, frame = unbounded preceding..current. */
+  val runningSum: QueryDef = QueryDef.sql(
+    "q_running_sum",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+      |            OVER (PARTITION BY o_custkey
+      |                  ORDER BY o_orderdate, o_orderkey
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS DECIMAL(38,4)) AS running
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("decimal(38,4)").as("running"))
+  }
+
+  /** Exact lower median per group: the value at row floor((n+1)/2) of the
+    * deterministic (l_quantity, l_orderkey, l_linenumber) sort.
+    */
+  val median: QueryDef = QueryDef.sql(
+    "q_median",
+    """WITH r AS (
+      |  SELECT l_returnflag, l_quantity,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |         count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |       max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS median_qty,
+      |       max(CASE WHEN rn = (n * 95 + 99) // 100 THEN l_quantity END) AS p95_qty,
+      |       max(n) AS n
+      |FROM r GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val wn = Window.partitionBy(col("l_returnflag"))
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      .groupBy("l_returnflag")
+      .agg(
+        max(when(col("rn") === ((col("n") + 1) / lit(2)).cast("long"), col("l_quantity"))).as("median_qty"),
+        max(when(col("rn") === ((col("n") * 95 + 99) / lit(100)).cast("long"), col("l_quantity"))).as("p95_qty"),
+        max(col("n")).as("n"))
+  }
+
+  val all: Seq[QueryDef] = Seq(runningSum, median)
+}

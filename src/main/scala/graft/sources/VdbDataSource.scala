@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for the reference's `.vdb` format (layout: SURVEY §1.3,
+  * `vector-db.c:42-146`): `spark.read.format("graft.sources.VdbDataSource")
+  * .load(pathOrDir)`.
+  *
+  * One input partition per part file — a `.vdb` file has no internal
+  * row-group structure (header then two sequential column blocks), so a
+  * file is the natural split unit; parallelism comes from writing many
+  * part files (`Vdb.writeDir`). Column pruning falls out of Catalyst's
+  * projection over the returned rows; the format has no statistics to
+  * push filters into (the reference reads the whole table too,
+  * `vector-db.c:119-144`).
+  */
+class VdbDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VdbDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new VdbTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object VdbDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** List .vdb part files under a path (or the path itself if a file). */
+  def listFiles(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".vdb"))
+        .map(_.getPath.toString).sorted
+    else Seq(path)
+  }
+
+  def readFile(path: String): Array[Byte] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+}
+
+class VdbTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"vdb:$path"
+  override def schema(): StructType = VdbDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VdbScanBuilder(path)
+}
+
+class VdbScanBuilder(path: String) extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = VdbDataSource.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    VdbDataSource.listFiles(path).map(f => VdbInputPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = new VdbReaderFactory
+}
+
+case class VdbInputPartition(file: String) extends InputPartition
+
+class VdbReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[VdbInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val rows = Vdb.deserialize(VdbDataSource.readFile(file)).iterator
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!rows.hasNext) return false
+        val (text, vec) = rows.next()
+        current = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(text), new GenericArrayData(vec)))
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -37,6 +37,20 @@ class VdbSpec extends SparkSpec {
     assert(got == Seq(("alpha", Seq(0.5, 1.5)), ("beta", Seq(-0.5, 2.0))))
   }
 
+  test("DataSource V2: spark.read.format over a .vdb directory") {
+    val dir = java.nio.file.Files.createTempDirectory("vdbdsv2").toString
+    val df = Seq((0L, "dsv2 row a", Seq(1.0, 2.0)), (1L, "dsv2 row b", Seq(3.0, 4.0)))
+      .toDF("id", "text", "embedding")
+    Vdb.writeDir(df, "text", "embedding", dir)
+    val back = spark.read.format("graft.sources.VdbDataSource").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("text", "embedding"))
+    val got = back.orderBy("text").as[(String, Seq[Double])].collect().toSeq
+    assert(got == Seq(("dsv2 row a", Seq(1.0, 2.0)), ("dsv2 row b", Seq(3.0, 4.0))))
+    // projection prunes to one column without error
+    assert(back.select("text").as[String].collect().sorted.toSeq ==
+      Seq("dsv2 row a", "dsv2 row b"))
+  }
+
   test("writeSingle produces a single reference-layout file") {
     val f = Files.createTempFile("one", ".vdb").toString
     val df = Seq(("only row", Seq(7.0, 8.0))).toDF("text", "embedding")
