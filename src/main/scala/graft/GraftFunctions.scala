@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.{CosineDistance, PolyHashExpr, ShingleHashesExpr}
+
+/** SQL-surface registration: exposes the engine's codegen kernels to
+  * `spark.sql(...)` users.
+  *
+  * {{{
+  * graft.GraftFunctions.register(spark)
+  * spark.sql("SELECT graft_cosine_distance(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * Also usable cluster-wide via `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "graft_cosine_distance" -> (es => CosineDistance(es(0), es(1))),
+    "graft_cosine_similarity" -> (es => CosineDistance(es(0), es(1), asDistance = false)),
+    "graft_polyhash" -> (es => PolyHashExpr(es(0))),
+    "graft_shingle_hashes" -> (es => ShingleHashesExpr(es(0), 3)))
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** Session-extensions entry point (`spark.sql.extensions=graft.GraftExtensions`):
+  * injects the same functions at session build time, the deployment-wide
+  * path that needs no per-session register() call.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("graft_cosine_distance"),
+      new ExpressionInfo(classOf[CosineDistance].getName, "graft_cosine_distance"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => CosineDistance(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => PolyHashExpr(es(0))))
+  }
+}

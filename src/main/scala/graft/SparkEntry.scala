@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.all ++
       graft.queries.MultimodalQueries.all ++
       graft.queries.RelationalQueries2.all ++
-      graft.queries.WindowQueries.all
+      graft.queries.WindowQueries.all ++
+      graft.queries.AsOfQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

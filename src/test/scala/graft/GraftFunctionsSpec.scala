@@ -1,0 +1,28 @@
+package graft
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("registered kernels are callable from SQL") {
+    GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_cosine_distance(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS d").head().getDouble(0)
+    assert(math.abs(d - 1.0) < 1e-12)
+    val h = spark.sql("SELECT graft_polyhash('hello world') AS h").head().getLong(0)
+    assert(h == 204910434L)
+    val sh = spark.sql(
+      "SELECT graft_shingle_hashes(split('a b c d', ' ')) AS s").head().getSeq[Long](0)
+    assert(sh.size == 2)
+  }
+
+  test("extensions class registers functions at session build time") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .appName("ext-test")
+      .getOrCreate()
+    // note: getOrCreate may return the shared session; register covers both
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT graft_polyhash('a')").head().getLong(0) == 97L)
+  }
+}
