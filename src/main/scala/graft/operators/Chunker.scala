@@ -48,8 +48,20 @@ object Chunker {
 
   /** DataFrame form: explode `textCol` into (chunk_idx, chunk) rows,
     * keeping all other columns. 1 row → N rows in document order.
+    * Uses the native [[ChunkGenerator]] (rows emitted directly, no UDF
+    * boxing / posexplode round trip).
     */
-  def chunk(df: DataFrame, textCol: String, requestedLength: Int): DataFrame = {
+  def chunk(df: DataFrame, textCol: String, requestedLength: Int): DataFrame =
+    df.select(col("*"),
+      org.apache.spark.sql.GraftShim.column(
+        ChunkGenerator(org.apache.spark.sql.GraftShim.expression(col(textCol)), requestedLength))
+        .as(Seq("chunk_idx", "chunk")))
+      .drop(textCol)
+
+  /** UDF + posexplode formulation, kept as the cross-check for the
+    * native generator.
+    */
+  def chunkViaUdf(df: DataFrame, textCol: String, requestedLength: Int): DataFrame = {
     val chunkUdf = udf((t: String) => chunkText(t, requestedLength))
     df.select(col("*"), posexplode(chunkUdf(col(textCol))).as(Seq("chunk_idx", "chunk")))
       .drop(textCol)

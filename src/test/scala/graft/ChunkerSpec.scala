@@ -43,6 +43,17 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("native Generator == UDF+posexplode on fixture documents") {
+    val spark = SparkSpec.spark
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val viaGen = graft.operators.Chunker.chunk(docs, "text", L)
+    val viaUdf = graft.operators.Chunker.chunkViaUdf(docs, "text", L)
+    assert(viaGen.count() == viaUdf.count())
+    assert(viaGen.exceptAll(viaUdf).isEmpty && viaUdf.exceptAll(viaGen).isEmpty)
+  }
+
   test("property: every chunk at most L chars, incl. hard-cut corpora") {
     val rnd = new scala.util.Random(7)
     (1 to 200).foreach { _ =>

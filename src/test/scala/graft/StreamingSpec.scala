@@ -31,6 +31,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops duplicate event_ids") {
+    val (dir, schema) = batchEvents
+    // duplicate the source: every event appears twice across two files
+    val dupdir = java.nio.file.Files.createTempDirectory("events-dup").toString
+    spark.read.parquet(dir).write.mode("overwrite").parquet(dupdir)
+    spark.read.parquet(dir).write.mode("append").parquet(dupdir)
+    val stream = spark.readStream.schema(schema).parquet(dupdir)
+    val q = EventStreams.dedupedEvents(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup").head()
+      assert(n.getLong(0) == n.getLong(1), "dedup output contains duplicates")
+      assert(n.getLong(1) == Tables.events(spark, sf0001).count())
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     val (dir, schema) = batchEvents
     val stream = spark.readStream.schema(schema).parquet(dir)
