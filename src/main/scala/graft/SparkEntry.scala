@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.all ++
       graft.queries.RelationalQueries2.all ++
       graft.queries.WindowQueries.all ++
-      graft.queries.AsOfQueries.all
+      graft.queries.AsOfQueries.all ++
+      graft.queries.SubqueryQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
