@@ -20,6 +20,19 @@ class VdbSpec extends SparkSpec {
     assert(bytes.length == 21 + 48 + 19 + 14)
   }
 
+  test("binary-vector type tag unpacks bit-packed rows (vector-db.c:58-60/111-113)") {
+    // hand-craft a BINARY_VECTOR file: dim=10 -> 2 bytes/row, 1 row
+    val bb = java.nio.ByteBuffer.allocate(21 + 2 + 8 + 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(Vdb.Magic); bb.put(Vdb.TypeBinary)
+    bb.putLong(1L); bb.putLong(10L)
+    bb.put(Array[Byte](0x05, 0x02)) // bits 0,2 set; bit 9 set
+    bb.putLong(3L); bb.put("abc".getBytes)
+    val rows = Vdb.deserialize(bb.array())
+    assert(rows.head._1 == "abc")
+    assert(rows.head._2.toSeq == Seq(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0))
+  }
+
   test("bad magic is warn-only, read proceeds (vector-db.c:102-105)") {
     val bytes = Vdb.serialize(Seq(("t", Array(1.0))).iterator)
     bytes(0) = 'X'.toByte
