@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.RelationalQueries2.all ++
       graft.queries.WindowQueries.all ++
       graft.queries.AsOfQueries.all ++
-      graft.queries.SubqueryQueries.all
+      graft.queries.SubqueryQueries.all ++
+      graft.queries.PivotQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

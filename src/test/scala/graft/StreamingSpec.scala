@@ -48,6 +48,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val (dir, schema) = batchEvents
+    def side(df: org.apache.spark.sql.DataFrame, t: String, tsName: String, idName: String) =
+      df.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts").as(tsName), col("event_id").as(idName))
+    val cs = side(spark.readStream.schema(schema).parquet(dir), "click", "cts", "click_id")
+      .withWatermark("cts", "2 hours")
+    val ps = side(spark.readStream.schema(schema).parquet(dir), "purchase", "pts", "purchase_id")
+      .withWatermark("pts", "2 hours")
+    val cond = expr("pts BETWEEN cts - INTERVAL 30 MINUTES AND cts")
+    val joined = cs.join(ps.withColumnRenamed("user_id", "p_user"),
+      col("user_id") === col("p_user") && cond)
+      .select("user_id", "click_id", "purchase_id")
+    val sq = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin").start()
+    try {
+      sq.processAllAvailable()
+      val streamed = spark.sql("SELECT user_id, click_id, purchase_id FROM ssjoin")
+      val ev = Tables.events(spark, sf0001)
+      val bc = side(ev, "click", "cts", "click_id")
+      val bp = side(ev, "purchase", "pts", "purchase_id").withColumnRenamed("user_id", "p_user")
+      val batch = bc.join(bp, col("user_id") === col("p_user") && cond)
+        .select("user_id", "click_id", "purchase_id")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally sq.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     val (dir, schema) = batchEvents
     val stream = spark.readStream.schema(schema).parquet(dir)
