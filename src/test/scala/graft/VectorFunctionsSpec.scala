@@ -33,6 +33,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(distOf(a.map(_ * 7), b) - distOf(a, b)) < 1e-12)
   }
 
+  test("TopK.nearest: n < k returns n rows; exact ties break on id") {
+    import graft.operators.TopK
+    val db = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("id", "embedding")
+    // k > n: 3 rows back, no hard exit (documented deviation from
+    // vector-db.c:160-163)
+    val got = TopK.nearest(db, "embedding", "id", Seq(1.0, 0.0), 10)
+    assert(got.count() == 3)
+    // ids 1 and 2 tie at dist 0 -> deterministic id order
+    assert(got.select("id").as[Long].collect().toSeq.take(2) == Seq(1L, 2L))
+  }
+
   test("packSignBits packs bit i iff v[i] > 0, hamming counts differing bits") {
     val df = Seq((Seq(1.0, -1.0, 0.5, 0.0), Seq(1.0, 1.0, -0.5, 2.0))).toDF("a", "b")
     val row = df.select(
