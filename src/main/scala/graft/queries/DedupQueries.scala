@@ -169,7 +169,26 @@ object DedupQueries {
       .select(col("ida"), col("idb"), col("sim"))
   }
 
+  /** Canonicalization dedup: case-fold, strip non-alphanumerics, collapse
+    * whitespace, then group — catches formatting-variant duplicates that
+    * exact dedup misses. Regex classes kept to constructs with identical
+    * Java-regex / RE2 semantics.
+    */
+  val dedupCanonical: QueryDef = QueryDef.sql(
+    "q_dedup_canonical",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM (SELECT doc_id,
+      |             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon
+      |      FROM documents)
+      |GROUP BY canon""".stripMargin) { (spark, dir) =>
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Dedup.exactGroups(
+      Tables(spark, dir, "documents").select(col("doc_id"), canon.as("canon")),
+      "canon", "doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    dedupExact, minhashSig, minhashLshPairs, ngramJaccard,
+    dedupExact, dedupCanonical, minhashSig, minhashLshPairs, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup)
 }
