@@ -96,9 +96,17 @@ object DedupQueries {
     "q_ngram_jaccard",
     s"""WITH $ShCte,
        |$HsCte,
-       |${interJaccardSql(
-        """cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-          |         FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin, 0.5)}""".stripMargin) { (spark, dir) =>
+       |kept AS (SELECT h FROM hs GROUP BY h HAVING count(*) <= 64),
+       |hsk AS (SELECT hs.doc_id, hs.h FROM hs JOIN kept ON kept.h = hs.h),
+       |cardk AS (SELECT doc_id, count(*) AS c FROM hsk GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+       |          FROM hsk a JOIN hsk b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id)
+       |SELECT i.ida, i.idb,
+       |       CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
+       |FROM inter i JOIN cardk ca ON ca.doc_id = i.ida
+       |             JOIN cardk cb ON cb.doc_id = i.idb
+       |WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= 0.5""".stripMargin) { (spark, dir) =>
     val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
     Dedup.ngramJaccardPairs(hs, "doc_id", 0.5)
       .select(col("ida"), col("idb"), col("jaccard"))

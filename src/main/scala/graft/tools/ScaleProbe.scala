@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope probe: replicates the sf0.1 fixtures Nx into /tmp (ids
+  * remapped so keys stay unique; embeddings deterministically perturbed
+  * so LSH structure isn't artificially degenerate) and times the heavy
+  * operators at 1x vs Nx. A ~linear slope is the evidence that the plans
+  * survive scale-up; anything super-linear is a red flag to fix.
+  *
+  * Probe data lives in /tmp only — fixture dirs are never written.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft_scale_x$factor"
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(name: String, idCols: Seq[String], perturb: DataFrame => DataFrame = identity): Unit = {
+      // events carries TIMESTAMP(NANOS): route through Tables.events so the
+      // replica gets a µs timestamp Spark can read directly
+      val base = if (name == "events") graft.Tables.events(spark, src)
+        else spark.read.parquet(s"$src/$name.parquet")
+      val copies = (0 until factor).map { i =>
+        idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+          .withColumn("_copy", lit(i))
+      }.reduce(_ unionByName _)
+      perturb(copies).drop("_copy")
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+
+    val only = args.drop(1).toSet
+    new java.io.File(dst).mkdirs()
+    if (!new java.io.File(s"$dst/documents.parquet").exists()) {
+    replicate("documents", Seq("doc_id"))
+    replicate("embeddings", Seq("vec_id"), df =>
+      // deterministic per-copy perturbation so replicas aren't identical
+      df.withColumn("embedding",
+        transform(col("embedding"),
+          x => (x + col("_copy").cast("float") * lit(1e-4f) ).cast("float"))))
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("customer", Seq("c_custkey"))
+    replicate("events", Seq("event_id", "user_id"))
+    // small dims copied as-is
+    Seq("supplier", "part", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    }
+
+    val probes = Seq("q1_pricing", "q_chunk", "q_token_stats", "q_minhash_sig",
+      "q_simhash", "q_ngram_jaccard", "q_embed_neardup", "q_topk_cosine",
+      "q_window_rank", "q_sessionize")
+
+    // scaled-LSH variant: band width grown with the corpus per the
+    // sizing rule (8-bit bands at 10x), which the fixture query can't
+    // show because its oracle pins 4-bit bands
+    def nearDupScaled(dir: String, bits: Int): Long = {
+      import graft.functions.VectorFunctions.cosineSimilarity
+      val emb = graft.Tables.embeddings(spark, dir)
+      graft.operators.Dedup
+        .embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 32 / bits)
+        .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
+        .filter(col("sim") >= 0.4).count()
+    }
+    println(f"${"query"}%-20s ${"1x_s"}%8s ${s"${factor}x_s"}%8s ${"slope"}%7s")
+    probes.filter(n => only.isEmpty || only(n)).foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      fn(spark, src).count() // warm
+      def time(dir: String): Double = {
+        val t0 = System.nanoTime(); fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = time(src)
+      val tn = time(dst)
+      println(f"$name%-20s $t1%8.2f $tn%8.2f ${tn / t1 / factor}%7.2f")
+    }
+    if (only.isEmpty || only("neardup_scaled_lsh")) {
+      nearDupScaled(src, 4) // warm
+      val s1 = { val t0 = System.nanoTime(); nearDupScaled(src, 4); (System.nanoTime() - t0) / 1e9 }
+      val sn = { val t0 = System.nanoTime(); nearDupScaled(dst, 8); (System.nanoTime() - t0) / 1e9 }
+      println(f"${"neardup_scaled_lsh"}%-20s $s1%8.2f $sn%8.2f ${sn / s1 / factor}%7.2f")
+    }
+    spark.stop()
+  }
+}
