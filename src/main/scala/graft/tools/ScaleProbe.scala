@@ -72,7 +72,9 @@ object ScaleProbe {
         .filter(col("sim") >= 0.4).count()
     }
     println(f"${"query"}%-20s ${"1x_s"}%8s ${s"${factor}x_s"}%8s ${"slope"}%7s")
-    probes.filter(n => only.isEmpty || only(n)).foreach { name =>
+    val toProbe = if (only.isEmpty) probes
+      else only.toSeq.sorted.filter(graft.SparkEntry.queries.contains)
+    toProbe.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       fn(spark, src).count() // warm
       def time(dir: String): Double = {
