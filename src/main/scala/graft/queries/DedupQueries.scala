@@ -196,7 +196,37 @@ object DedupQueries {
       "canon", "doc_id")
   }
 
+  /** Near-dup pairs → dedup groups: connected components over the
+    * jaccard>=0.5 pair graph; component id = min doc_id = the keeper.
+    * Oracle: recursive transitive closure over the identical pair set.
+    */
+  val dedupGroups: QueryDef = QueryDef.sql(
+    "q_dedup_groups",
+    s"""WITH RECURSIVE $ShCte,
+       |$HsCte,
+       |kept AS (SELECT h FROM hs GROUP BY h HAVING count(*) <= 64),
+       |hsk AS (SELECT hs.doc_id, hs.h FROM hs JOIN kept ON kept.h = hs.h),
+       |cardk AS (SELECT doc_id, count(*) AS c FROM hsk GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+       |          FROM hsk a JOIN hsk b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (SELECT i.ida, i.idb
+       |          FROM inter i JOIN cardk ca ON ca.doc_id = i.ida
+       |                       JOIN cardk cb ON cb.doc_id = i.idb
+       |          WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= 0.5),
+       |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+       |          UNION SELECT idb, ida FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+       |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin) { (spark, dir) =>
+    val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    val pairs = Dedup.ngramJaccardPairs(hs, "doc_id", 0.5).select("ida", "idb")
+    graft.operators.ConnectedComponents.components(pairs, "ida", "idb")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, ngramJaccard,
-    simhashSig, simhashPairs, embedNearDup)
+    simhashSig, simhashPairs, embedNearDup, dedupGroups)
 }
