@@ -29,8 +29,14 @@ object ConnectedComponents {
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
+    // localCheckpoint (not persist!) each round: an iterative join loop
+    // grows the LOGICAL plan exponentially (each round references the
+    // previous frame several times), and plan-string construction alone
+    // OOMs after ~8 rounds; checkpointing truncates lineage to a leaf.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum("component")).head().getLong(0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -40,6 +46,7 @@ object ConnectedComponents {
         .select(col("src").as("id"), col("component"))
       val propagated = labels.unionAll(neighborLabels)
         .groupBy("id").agg(min(col("component")).as("component"))
+        .persist() // read twice below (main side + parents side)
       // pointer jumping: adopt the label OF the label node — doubles the
       // propagation distance per round, so convergence is O(log diameter)
       // instead of O(diameter) (a plain neighbor walk stalls on chains)
@@ -47,13 +54,14 @@ object ConnectedComponents {
         .select(col("id").as("component"), col("component").as("parent"))
       val next = propagated.join(parents, "component")
         .select(col("id"), least(col("component"), col("parent")).as("component"))
-        .persist()
-      next.count() // materialize before comparing
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
+        .localCheckpoint(true) // materializes + truncates lineage
+      // labels only decrease, so an equal checksum is a join-free
+      // convergence signal
+      val nextSum = next.agg(sum("component")).head().getLong(0)
+      propagated.unpersist()
       labels = next
-      converged = changed == 0
+      converged = prevSum == nextSum
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
