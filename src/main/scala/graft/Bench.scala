@@ -10,13 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // full-evaluation sink: count() lets Catalyst prune projections, so
+    // map-only queries would time the bare scan instead of their compute;
+    // the noop write evaluates every output column without adding an
+    // aggregation shuffle of its own
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     // untimed warmup: absorbs one-time JVM/codegen/classloader costs (a
     // cold first query otherwise books ~5 s that no steady-state run pays)
-    try SparkEntry.queries("q_topk_cosine")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    try run("q_topk_cosine") catch { case _: Throwable => () }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   * so a handful. This is the standard scalable CC for exactly this shape
   * (billions of nodes, small components); a giant-diameter graph would
   * want the large-star/small-star variant instead.
+  *
+  * Partition sizing: the pair graph is TINY relative to the corpus (only
+  * near-dup docs appear), but an iterative loop pays per-partition fixed
+  * costs ~6 shuffle stages × rounds times. With the session default
+  * (= core count; AQE's parallelism-first coalescing keeps it there) the
+  * loop was driver-overhead-bound — 47 s at local[32] vs 11 s at
+  * local[4] on the same data. The loop therefore sizes its shuffles to
+  * the measured edge count (~10k edges/partition, capped at the session
+  * default), which is also the right rule on a 1000-executor cluster: a
+  * billion-edge pair graph gets ~100k partitions' worth of real work,
+  * a million-edge one doesn't get 100k near-empty tasks.
   */
 object ConnectedComponents {
 
@@ -24,47 +35,59 @@ object ConnectedComponents {
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIter: Int = 20): DataFrame = {
-    // symmetric edge list + self-loops
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val spark = pairs.sparkSession
+    // symmetric edge list + self-loops; localCheckpoint (eager) both
+    // materializes the upstream pair pipeline once AND truncates lineage
+    val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist()
-    // localCheckpoint (not persist!) each round: an iterative join loop
-    // grows the LOGICAL plan exponentially (each round references the
-    // previous frame several times), and plan-string construction alone
-    // OOMs after ~8 rounds; checkpointing truncates lineage to a leaf.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum("component")).head().getLong(0)
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      // each node's new label: min over own label and neighbors' labels
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("component"))
-      val propagated = labels.unionAll(neighborLabels)
-        .groupBy("id").agg(min(col("component")).as("component"))
-        .persist() // read twice below (main side + parents side)
-      // pointer jumping: adopt the label OF the label node — doubles the
-      // propagation distance per round, so convergence is O(log diameter)
-      // instead of O(diameter) (a plain neighbor walk stalls on chains)
-      val parents = propagated
-        .select(col("id").as("component"), col("component").as("parent"))
-      val next = propagated.join(parents, "component")
-        .select(col("id"), least(col("component"), col("parent")).as("component"))
-        .localCheckpoint(true) // materializes + truncates lineage
-      // labels only decrease, so an equal checksum is a join-free
-      // convergence signal
-      val nextSum = next.agg(sum("component")).head().getLong(0)
-      propagated.unpersist()
-      labels = next
-      converged = prevSum == nextSum
-      prevSum = nextSum
-      iter += 1
-    }
-    edges.unpersist()
-    labels
+    val nEdges = edges0.count() // cheap: counts the checkpointed partitions
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 10000L + 1L)).toInt
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      // re-materialize the edge list at `parts` partitions, co-located on
+      // the join key, so every stage in the loop is graph-sized
+      val edges = edges0.repartition(parts, col("dst")).localCheckpoint(true)
+      // localCheckpoint (not persist!) each round: an iterative join loop
+      // grows the LOGICAL plan exponentially (each round references the
+      // previous frame several times), and plan-string construction alone
+      // OOMs after ~8 rounds; checkpointing truncates lineage to a leaf.
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .localCheckpoint(true)
+      // labels only decrease, so an unchanged checksum is a join-free
+      // convergence signal; the agg runs over `parts` checkpointed
+      // partitions — microseconds next to the iteration's shuffles
+      var prevSum = labels.agg(sum("component")).head().getLong(0)
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        // each node's new label: min over own label and neighbors' labels
+        val neighborLabels = edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src").as("id"), col("component"))
+        val propagated = labels.unionAll(neighborLabels)
+          .groupBy("id").agg(min(col("component")).as("component"))
+          .persist() // read twice below (main side + parents side)
+        // pointer jumping: adopt the label OF the label node — doubles the
+        // propagation distance per round, so convergence is O(log diameter)
+        // instead of O(diameter) (a plain neighbor walk stalls on chains)
+        val parents = propagated
+          .select(col("id").as("component"), col("component").as("parent"))
+        val next = propagated.join(parents, "component")
+          .select(col("id"), least(col("component"), col("parent")).as("component"))
+          .localCheckpoint(true) // materializes + truncates lineage
+        val nextSum = next.agg(sum("component")).head().getLong(0)
+        propagated.unpersist()
+        labels = next
+        converged = prevSum == nextSum
+        prevSum = nextSum
+        iter += 1
+      }
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

@@ -151,20 +151,20 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs via random-hyperplane (sign) LSH: pack 32
-    * sign bits, block on 8 bands of 4 bits. Candidates travel as bare
+    * sign bits, block on 4 bands of 8 bits. Candidates travel as bare
     * (ida, idb) pairs through the band join and distinct — the vectors
     * rejoin only afterwards (carrying array columns through the pair
     * shuffle costs ~1 KB/row and dominated runtime before this split;
     * at scale AQE broadcast-joins the vector side when it fits).
     */
   def embeddingNearDupCandidates(df: DataFrame, idCol: String, vecCol: String,
-                                 bitsPerBand: Int = 4, nBands: Int = 8): DataFrame = {
+                                 bitsPerBand: Int = 8, nBands: Int = 4): DataFrame = {
     // Sizing rule: expected bucket pairs grow as N²/2^bitsPerBand per
     // band, so bitsPerBand must scale ~log2(N/targetBucket) — measured
-    // slope 12 on a 10x replica with the fixture's 4-bit bands, ~linear
-    // again with 8-bit bands. Wider bands trade recall at moderate
-    // similarity (fine for near-dup thresholds >= 0.9, the production
-    // use); the fixture query keeps 4x8 for its 0.4 threshold.
+    // slope 12 on a 10x replica with 4-bit bands, ~linear (0.30) with
+    // the 8-bit bands used here. Narrower bands buy recall at moderate
+    // similarity but grow bucket pairs ~quadratically — the 4-bit
+    // config is a scale-killer and is deliberately NOT the default.
     require(bitsPerBand * nBands <= 32, "pack holds 32 sign bits")
     val mask = (1L << bitsPerBand) - 1
     val packed = df.select(col(idCol).as("id"), packSignBits(col(vecCol), 32).as("pack"))

@@ -96,12 +96,16 @@ object AnnQueries {
       .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
       .select(col("label"), col("vec_id"), (col("i0") + 1).cast("long").as("i"), col("x"),
         floor(col("x") * S52d).cast("long").as("ix"))
+    // centroid side renames BOTH key columns: the join below then needs no
+    // dataset-id disambiguation (cent derives from ed, so `cent("i") ===
+    // ed("i")` is one refactor away from a trivially-true predicate)
     val cent = ed.groupBy("label", "i")
       .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
-    ed.join(cent.withColumnRenamed("label", "clabel"),
-        col("clabel") === ed("label") && cent("i") === ed("i"))
-      .select(ed("label"), ed("vec_id"),
-        floor((ed("x") - col("c")) * (ed("x") - col("c")) * S45d).cast("long").as("t"))
+      .withColumnRenamed("label", "clabel")
+      .withColumnRenamed("i", "ci")
+    ed.join(cent, col("clabel") === col("label") && col("ci") === col("i"))
+      .select(col("label"), col("vec_id"),
+        floor((col("x") - col("c")) * (col("x") - col("c")) * S45d).cast("long").as("t"))
       .groupBy("label")
       .agg(countDistinct(col("vec_id")).as("n_vecs"),
         (sum(col("t")).cast("double") / S45d / countDistinct(col("vec_id"))).as("avg_dist2"))

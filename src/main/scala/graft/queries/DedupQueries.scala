@@ -156,10 +156,12 @@ object DedupQueries {
 
   val embedNearDup: QueryDef = QueryDef.sql(
     "q_embed_neardup",
+    // 4 bands × 8 bits — the scale-safe sizing (Dedup.embeddingNearDupCandidates
+    // defaults; measured ~linear slope, vs slope 12 for the 4-bit config)
     s"""WITH packed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $PackSql AS pack
        |               FROM embeddings),
-       |bands AS (${(0 until 8).map(b =>
-        s"SELECT vec_id, v, $b AS band, (pack >> ${4 * b}) & 15 AS key FROM packed")
+       |bands AS (${(0 until 4).map(b =>
+        s"SELECT vec_id, v, $b AS band, (pack >> ${8 * b}) & 255 AS key FROM packed")
         .mkString(" UNION ALL ")}),
        |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
        |         FROM bands a JOIN bands b

@@ -18,13 +18,15 @@ object EventQueries {
     "q_events_hourly",
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
       |       event_type, count(*) AS n,
-      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+        // exact decimal sum internally; DOUBLE in the output schema (the
+        // driver's hash is representation-sensitive to DECIMAL)
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("hour_ts"), col("event_type"), col("n"), col("sum_value"))
   }
 
@@ -32,7 +34,7 @@ object EventQueries {
   val jsonExtract: QueryDef = QueryDef.sql(
     "q_events_json",
     """SELECT event_type,
-      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       |       count(*) AS n

@@ -20,16 +20,25 @@ import graft.{QueryDef, Tables}
 object RelationalQueries {
 
   private val Dec = "decimal(18,4)"
-  private val DecOut = "decimal(38,4)"
 
-  /** TPC-H Q1-style pricing summary: scan-heavy groupBy with partial aggs. */
+  /** TPC-H Q1-style pricing summary: scan-heavy groupBy with partial aggs.
+    *
+    * Output-type discipline (round-1 driver finding): sums are exact
+    * DECIMAL internally (order-independent across partition-parallel
+    * partial aggregation), but the OUTPUT columns are CAST to DOUBLE on
+    * both sides — the driver's hash is representation-sensitive and
+    * DECIMAL output encodings differ across engines even when values are
+    * identical. Decimal→double conversion is deterministic (unscaled
+    * values stay far below 2^53 at gate scale, so both engines produce
+    * the same correctly-rounded double).
+    */
   val q1Pricing: QueryDef = QueryDef.sql(
     "q1_pricing",
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc,
-      |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
       |       count(*) AS n
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -38,11 +47,11 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(Dec)).cast(DecOut).as("sum_qty"),
-        sum(col("l_extendedprice").cast(Dec)).cast(DecOut).as("sum_base"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).cast(DecOut).as("sum_disc"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(Dec)).cast("double").as("sum_base"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).cast("double").as("sum_disc"),
         count(lit(1)).as("n"))
-      .withColumn("avg_qty", col("sum_qty").cast("double") / col("n"))
+      .withColumn("avg_qty", col("sum_qty") / col("n"))
       .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base", "sum_disc", "avg_qty", "n")
   }
 
@@ -51,17 +60,18 @@ object RelationalQueries {
     */
   val q3TopOrders: QueryDef = QueryDef.sql(
     "q3_top_orders",
-    """SELECT o.o_orderkey,
-      |       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
-      |       CAST(epoch(o.o_orderdate) AS BIGINT) AS odate
-      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-      |               JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      |WHERE c.c_mktsegment = 'BUILDING'
-      |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
-      |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
-      |GROUP BY o.o_orderkey, o.o_orderdate
-      |ORDER BY revenue DESC, o.o_orderkey
-      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    """SELECT o_orderkey, CAST(revenue AS DOUBLE) AS revenue, odate FROM (
+      |  SELECT o.o_orderkey,
+      |         sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue,
+      |         CAST(epoch(o.o_orderdate) AS BIGINT) AS odate
+      |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |                 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  WHERE c.c_mktsegment = 'BUILDING'
+      |    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      |    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+      |  GROUP BY o.o_orderkey, o.o_orderdate
+      |  ORDER BY revenue DESC, o.o_orderkey
+      |  LIMIT 10) t""".stripMargin) { (spark, dir) =>
     val cust = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
     val ord = Tables(spark, dir, "orders")
@@ -73,11 +83,14 @@ object RelationalQueries {
     li.join(ord.join(broadcast(cust), col("c_custkey") === col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey", "o_orderdate")
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).cast(DecOut).as("revenue"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).as("revenue"))
       .select(col("o_orderkey"), col("revenue"),
         unix_timestamp(col("o_orderdate")).as("odate"))
+      // top-10 selection orders on the EXACT decimal; only the surviving
+      // rows cast to double (output-type discipline, header comment)
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
+      .select(col("o_orderkey"), col("revenue").cast("double").as("revenue"), col("odate"))
   }
 
   /** TPC-H Q5-style: star join through supplier→nation→region (all
@@ -86,7 +99,7 @@ object RelationalQueries {
   val q5RegionRevenue: QueryDef = QueryDef.sql(
     "q5_region_revenue",
     """SELECT n.n_name,
-      |       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+      |       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem l
       |JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -110,7 +123,7 @@ object RelationalQueries {
       .join(broadcast(nat), col("n_nationkey") === col("s_nationkey"))
       .join(broadcast(reg), col("r_regionkey") === col("n_regionkey"))
       .groupBy("n_name")
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).cast(DecOut).as("revenue"),
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -128,7 +141,8 @@ object RelationalQueries {
     Tables(spark, dir, "orders")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select("o_custkey", "o_orderkey", "rn")
+      // BIGINT like DuckDB's row_number (Spark's is INT)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
   }
 
   /** Semi + anti join: customers with an open order and no finished order. */

@@ -11,8 +11,10 @@ import graft.operators.Salting
   */
 object RelationalQueries2 {
 
+  // Sums stay exact DECIMAL internally; OUTPUT columns cast to DOUBLE on
+  // both sides (the driver's hash is representation-sensitive to DECIMAL
+  // encodings — see RelationalQueries' header note).
   private val Dec = "decimal(18,4)"
-  private val DecOut = "decimal(38,4)"
 
   /** CUBE over returnflag × linestatus; rollup rows identified by the
     * NULL→'ALL' coalesce (source columns are non-null), which avoids any
@@ -23,13 +25,13 @@ object RelationalQueries2 {
     """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
       |       coalesce(l_linestatus, 'ALL') AS lstatus,
       |       count(*) AS n,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
     Tables(spark, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(Dec)).cast(DecOut).as("sum_qty"))
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
         col("n"), col("sum_qty"))
@@ -40,7 +42,7 @@ object RelationalQueries2 {
     "q_monthly_trend",
     """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_ts,
       |       count(*) AS n_orders,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM orders
       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
@@ -50,7 +52,7 @@ object RelationalQueries2 {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(Dec)).cast(DecOut).as("revenue"))
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("revenue"))
       .select(unix_timestamp(col("m")).as("month_ts"), col("n_orders"), col("revenue"))
   }
 
@@ -99,7 +101,7 @@ object RelationalQueries2 {
   val saltedAgg: QueryDef = QueryDef.sql(
     "q_salted_agg",
     """SELECT l_returnflag,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
       |       count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
     Salting.saltedSumCount(
@@ -107,7 +109,7 @@ object RelationalQueries2 {
       Seq("l_returnflag"),
       col("l_extendedprice").cast(Dec),
       col("l_orderkey"), nSalts = 16)
-      .select(col("l_returnflag"), col("sum_value").cast(DecOut).as("sum_value"), col("n"))
+      .select(col("l_returnflag"), col("sum_value").cast("double").as("sum_value"), col("n"))
   }
 
   val all: Seq[QueryDef] = Seq(cube, monthlyTrend, distinctCounts, setOps, saltedAgg)

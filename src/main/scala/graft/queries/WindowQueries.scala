@@ -20,15 +20,16 @@ object WindowQueries {
       |            OVER (PARTITION BY o_custkey
       |                  ORDER BY o_orderdate, o_orderkey
       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |            AS DECIMAL(38,4)) AS running
+      |            AS DOUBLE) AS running
       |FROM orders""".stripMargin) { (spark, dir) =>
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
+        // exact decimal running sum; DOUBLE output (driver-hash discipline)
         sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
-          .cast("decimal(38,4)").as("running"))
+          .cast("double").as("running"))
   }
 
   /** Exact lower median per group: the value at row floor((n+1)/2) of the
