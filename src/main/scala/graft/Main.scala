@@ -11,6 +11,8 @@ import graft.sources.Vdb
   *   ≙ bin/build-vector-db-from-server (argv: build-vector-db-from-server.c:31-39)
   * graft.Main rag <index> <k> <query...> [host port]
   *   ≙ bin/rag-with-vdb-cos-client (one turn; REPL loop is stdin-driven)
+  * graft.Main conversation [host port]
+  *   ≙ bin/rag-conversation (REPL, no retrieval; makefile:42-47)
   * graft.Main embed <text> [host port]
   *   ≙ bin/embedding-from-server-cli (prints one vector, %10.8f per line,
   *     embedding-from-server-cli.c:11-15)
@@ -37,6 +39,28 @@ object Main {
   private def embedderOf(rest: List[String]): Embedder = rest match {
     case host :: port :: Nil => new HttpEmbedder(host, port.toInt)
     case _ => MockEmbedder
+  }
+
+  /** Streamed `/completion` call: tee each token to stdout as it arrives
+    * (the reference's `write_function_callback_stream_llm` tee,
+    * `curl_helpers.c:28-67`) and return the accumulated answer for the
+    * conversation thread (A2).
+    */
+  private def streamedCompletion(host: String, port: Int, prompt: String,
+                                 nPredict: Int): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(s"http://$host:$port/completion"))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        Completion.requestJson(prompt, nPredict, stream = true))).build()
+    import scala.jdk.CollectionConverters._
+    val lines = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofLines()).body()
+    val answer = Completion.accumulateStream(lines.iterator().asScala,
+      t => { print(t); Console.flush() })
+    println()
+    answer
   }
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -86,24 +110,40 @@ object Main {
             embedderOf(rest), line, conversation, k.toInt).head().getString(0)
           val answer = rest match {
             case host :: port :: Nil =>
-              val client = java.net.http.HttpClient.newHttpClient()
-              val req = java.net.http.HttpRequest
-                .newBuilder(java.net.URI.create(s"http://$host:$port/completion"))
-                .header("Content-Type", "application/json")
-                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
-                  Completion.requestJson(prompt, 400, stream = false))).build()
-              val body = client.send(req,
-                java.net.http.HttpResponse.BodyHandlers.ofString()).body()
-              Completion.extractContent(body).getOrElse("")
-            case _ => prompt
+              // streamed, token-by-token to stdout (S2 tee parity)
+              streamedCompletion(host, port.toInt, prompt, 400)
+            case _ => println(prompt); prompt
           }
-          println(answer)
           conversation = Completion.addLlmResponse(
             graft.operators.Prompt.conversationWithUserTurn(conversation, line), answer)
         }
         print("> "); Console.flush()
       }
       spark.stop()
+
+    case "conversation" :: rest =>
+      // ≙ bin/rag-conversation (makefile:42-47): the REPL with NO
+      // retrieval — multirag.c compiled without _RAG_WITH_COS_SERVER.
+      // The prompt grows by machine response + user turn each round
+      // (update_conversation_only_prompt, multirag.c:191-233). No index,
+      // no Spark session. Without host/port the assembled prompt is
+      // echoed (and recorded as the answer) so the loop is testable.
+      var prompt = ""
+      var response: Option[String] = None
+      val stdin = scala.io.Source.stdin.getLines()
+      print("> "); Console.flush()
+      while (stdin.hasNext) {
+        val line = stdin.next()
+        if (line.nonEmpty) {
+          prompt = graft.operators.Prompt.updateConversationOnlyPrompt(line, response, prompt)
+          val answer = rest match {
+            case host :: port :: Nil => streamedCompletion(host, port.toInt, prompt, 400)
+            case _ => println(prompt); prompt
+          }
+          response = Some(answer)
+        }
+        print("> "); Console.flush()
+      }
 
     case "embed" :: text :: rest =>
       val spark = session()
@@ -115,6 +155,8 @@ object Main {
       System.err.println(
         s"""usage: build-index <in> <out> <chunkLen> [host port]
            |       rag <index> <k> <query> [host port]
+           |       rag-repl <index> <k> [host port]
+           |       conversation [host port]
            |       embed <text> [host port]
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)

@@ -94,4 +94,14 @@ object VectorFunctions {
   /** Cosine distance with the exact op order of [[cosineDistance]]. */
   def cosDistSql(a: String, b: String): String =
     s"(1 - ${cosSimSql(a, b)})"
+
+  /** DuckDB fragment mirroring [[packSignBits]] over a float/double list
+    * expression (`x > 0` on the raw float matches the double cast's sign
+    * exactly).
+    */
+  def packSignBitsSql(v: String, bits: Int = 32): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_reverse($v[1:$bits]), " +
+      "x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+      "(acc, b) -> acc * 2 + b)"
 }

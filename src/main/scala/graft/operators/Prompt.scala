@@ -38,6 +38,45 @@ object Prompt {
   def conversationWithUserTurn(conversation: String, userInput: String): String =
     conversation + UserMsgStart + userInput + AssistantMsgStart
 
+  // ---- conversation-only prompts (bin/rag-conversation path) -----------
+  // The reference spells "assistant" correctly in THIS path
+  // (`multirag.c:196-206`, `:233-234`), unlike the RAG path's
+  // "assistent" — both spellings preserved byte-for-byte.
+
+  /** `generate_single_instruct_prompt`'s system+user prefix
+    * (`multirag.c:224-232`).
+    */
+  val SingleSystemMsg: String =
+    "<|start_header_id|>system<|end_header_id|>\n\n" +
+      "You are a helpful AI assistant answering prompt " +
+      "to the best of your knowledge\n" +
+      "<|eot_id|><|start_header_id|>user<|end_header_id|>\n\n"
+
+  val ConvUserTag: String =
+    "<|eot_id|><|start_header_id|>user<|end_header_id|>\n\n"
+
+  val ConvTerminator: String =
+    "\n<|eot_id|>\n<|start_header_id|>assistant<|end_header_id|>\n\n"
+
+  /** First conversation-only turn (`generate_single_instruct_prompt`,
+    * `multirag.c:224-246`).
+    */
+  def singleInstructPrompt(userInput: String): String =
+    SingleSystemMsg + userInput + ConvTerminator
+
+  /** Grow the conversation-only prompt by the machine response and the
+    * next user turn (`update_conversation_only_prompt`,
+    * `multirag.c:191-233`); first turn falls back to the single prompt
+    * (the `machine_response == NULL` branch).
+    */
+  def updateConversationOnlyPrompt(userInput: String,
+                                   machineResponse: Option[String],
+                                   prompt: String): String =
+    machineResponse match {
+      case None => singleInstructPrompt(userInput)
+      case Some(resp) => prompt + resp + ConvUserTag + userInput + ConvTerminator
+    }
+
   /** Fold a (rank, text) relation into the single-row instruct prompt.
     * `rank` is 1-based ascending-distance rank.
     */

@@ -62,4 +62,19 @@ object Completion {
     */
   def addLlmResponse(conversation: String, answer: String): String =
     conversation + answer
+
+  /** S2 tee: fold a stream of chunks into the full answer, emitting each
+    * decoded token through `onToken` AS IT ARRIVES — the reference's
+    * `write_function_callback_stream_llm` (`curl_helpers.c:28-67`): print
+    * to stdout at `:54-55`, accumulate into the response buffer at
+    * `:56-62`. Keep-alives / malformed chunks contribute nothing (the
+    * `content == NULL` branch).
+    */
+  def accumulateStream(chunks: Iterator[String], onToken: String => Unit): String = {
+    val sb = new StringBuilder
+    chunks.foreach { c =>
+      if (c.nonEmpty) streamToken(c).foreach { t => onToken(t); sb ++= t }
+    }
+    sb.toString
+  }
 }

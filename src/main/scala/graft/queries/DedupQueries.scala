@@ -145,14 +145,9 @@ object DedupQueries {
     Dedup.simhashPairs(sig, "doc_id", 1)
   }
 
-  /** Sign-LSH pack fragment over the raw float list (float > 0 matches the
-    * double cast's sign exactly).
-    */
+  /** Sign-LSH pack fragment over the raw float list. */
   private val PackSql =
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(list_reverse(embedding[1:32]), " +
-      "x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
-      "(acc, b) -> acc * 2 + b)"
+    graft.functions.VectorFunctions.packSignBitsSql("embedding", 32)
 
   val embedNearDup: QueryDef = QueryDef.sql(
     "q_embed_neardup",

@@ -34,5 +34,32 @@ object VectorQueries {
       .select(col("vec_id"), col("dist"))
   }
 
-  val all: Seq[QueryDef] = Seq(topkCosine)
+  /** Hamming top-k over bit-packed sign vectors — the retrieval the
+    * reference's BINARY_VECTOR type was built for but never implemented
+    * (`vector-db.h:1` type tag; no binary distance kernel exists in the
+    * C). Pure integer algebra end to end: pack (sign-LSH bits), xor,
+    * popcount — hash-identical across engines by construction. Pairs with
+    * the binary `.vdb` write path in [[graft.sources.Vdb.serialize]].
+    */
+  val hammingTopk: QueryDef = QueryDef.sql(
+    "q_hamming_topk",
+    s"""WITH packed AS (SELECT vec_id, ${packSignBitsSql("embedding", 32)} AS pack
+       |               FROM embeddings),
+       |q AS (SELECT pack AS qpack FROM packed WHERE vec_id = 0)
+       |SELECT vec_id AS nid, CAST(bit_count(xor(pack, qpack)) AS BIGINT) AS hamming
+       |FROM packed, q
+       |WHERE vec_id <> 0
+       |ORDER BY hamming, nid
+       |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val packed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), packSignBits(col("embedding"), 32).as("pack"))
+    val q = packed.filter(col("vec_id") === 0).select(col("pack").as("qpack"))
+    packed.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("nid"), hammingBits(col("pack"), col("qpack")).as("hamming"))
+      .orderBy(col("hamming").asc, col("nid").asc)
+      .limit(10)
+  }
+
+  val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk)
 }

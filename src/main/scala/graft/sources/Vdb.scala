@@ -37,17 +37,36 @@ object Vdb {
 
   // ---- serialization ----------------------------------------------------
 
-  /** Serialize rows (text, vector) into one .vdb byte stream. */
-  def serialize(rows: Iterator[(String, Array[Double])]): Array[Byte] = {
+  /** Serialize rows (text, vector) into one .vdb byte stream. Both type
+    * tags are written (`vector-db.c:55-60`): double vectors verbatim;
+    * binary vectors bit-packed at dim/8+1 bytes per row, bit i set iff
+    * v(i) > 0 — the same sign convention as
+    * [[graft.functions.VectorFunctions.packSignBits]], and the exact
+    * inverse of the 0/1-double unpack in [[deserialize]].
+    */
+  def serialize(rows: Iterator[(String, Array[Double])],
+                tpe: Byte = TypeDouble): Array[Byte] = {
     val buf = rows.toArray
     val dim = if (buf.isEmpty) 0 else buf.head._2.length
     require(buf.forall(_._2.length == dim), "non-uniform vector dimension")
     val texts = buf.map(_._1.getBytes("UTF-8"))
-    val total = 21 + buf.length * 8 * dim + texts.map(8 + _.length).sum
+    val vecBytes = if (tpe == TypeDouble) 8 * dim else dim / 8 + 1
+    val total = 21 + buf.length * vecBytes + texts.map(8 + _.length).sum
     val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
-    bb.put(Magic); bb.put(TypeDouble)
+    bb.put(Magic); bb.put(tpe)
     bb.putLong(buf.length.toLong); bb.putLong(dim.toLong)
-    buf.foreach { case (_, v) => v.foreach(bb.putDouble) }
+    buf.foreach { case (_, v) =>
+      if (tpe == TypeDouble) v.foreach(bb.putDouble)
+      else {
+        val packed = new Array[Byte](dim / 8 + 1)
+        var i = 0
+        while (i < dim) {
+          if (v(i) > 0.0) packed(i / 8) = (packed(i / 8) | (1 << (i % 8))).toByte
+          i += 1
+        }
+        bb.put(packed)
+      }
+    }
     texts.foreach { t => bb.putLong(t.length.toLong); bb.put(t) }
     bb.array()
   }
@@ -95,14 +114,15 @@ object Vdb {
   }
 
   /** Parallel write: one .vdb part file per partition. */
-  def writeDir(df: DataFrame, textCol: String, embCol: String, dir: String): Unit = {
+  def writeDir(df: DataFrame, textCol: String, embCol: String, dir: String,
+               tpe: Byte = TypeDouble): Unit = {
     new java.io.File(dir).mkdirs()
     val ti = df.schema.fieldIndex(textCol)
     val ei = df.schema.fieldIndex(embCol)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val data = serialize(rows.map(r =>
-          (r.getString(ti), r.getSeq[Double](ei).toArray)))
+          (r.getString(ti), r.getSeq[Double](ei).toArray)), tpe)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val out = new FileOutputStream(s"$dir/part-$pid.vdb")
         try out.write(data) finally out.close()
@@ -113,13 +133,14 @@ object Vdb {
   /** Reference-compatible single file, streamed through the driver (for
     * hand-off to the C tools only — not a scale path).
     */
-  def writeSingle(df: DataFrame, textCol: String, embCol: String, file: String): Unit = {
+  def writeSingle(df: DataFrame, textCol: String, embCol: String, file: String,
+                  tpe: Byte = TypeDouble): Unit = {
     val rows = df.select(col(textCol), col(embCol)).toLocalIterator()
     val it = new Iterator[(String, Array[Double])] {
       def hasNext = rows.hasNext
       def next() = { val r = rows.next(); (r.getString(0), r.getSeq[Double](1).toArray) }
     }
     val out = new FileOutputStream(file)
-    try out.write(serialize(it)) finally out.close()
+    try out.write(serialize(it, tpe)) finally out.close()
   }
 }

@@ -26,6 +26,31 @@ class CompletionSpec extends AnyFunSuite {
     assert(Completion.streamToken("") == None)
   }
 
+  test("S2 tee: accumulateStream folds chunks and tees tokens in order " +
+    "(curl_helpers.c:44-62)") {
+    val chunks = Iterator(
+      """data: {"content": "Hel"}""",
+      "",                              // empty chunk: skipped
+      """data: {"content": "lo"}""",
+      ": keep-alive",                  // non-token chunk: no content
+      """{"content": ", world"}""")    // raw-JSON fallback
+    val teed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val full = Completion.accumulateStream(chunks, teed += _)
+    assert(full == "Hello, world")
+    assert(teed.toSeq == Seq("Hel", "lo", ", world"))
+  }
+
+  test("conversation-only prompt: first turn + growth " +
+    "(update_conversation_only_prompt, multirag.c:191-246)") {
+    val p1 = Prompt.updateConversationOnlyPrompt("first q", None, "")
+    assert(p1 == Prompt.SingleSystemMsg + "first q" + Prompt.ConvTerminator)
+    val p2 = Prompt.updateConversationOnlyPrompt("second q", Some("answer one"), p1)
+    assert(p2 == p1 + "answer one" + Prompt.ConvUserTag + "second q" + Prompt.ConvTerminator)
+    // this path spells "assistant" correctly, unlike the RAG path
+    assert(Prompt.ConvTerminator.contains("assistant"))
+    assert(Prompt.AssistantMsgStart.contains("assistent"))
+  }
+
   test("A2: conversation accumulation across turns (multirag.c:155-234)") {
     val c1 = Prompt.conversationWithUserTurn("", "first q")
     val c2 = Completion.addLlmResponse(c1, "answer one")

@@ -33,6 +33,32 @@ class VdbSpec extends SparkSpec {
     assert(rows.head._2.toSeq == Seq(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0))
   }
 
+  test("binary-vector write round-trips (vector-db.c:55-60)") {
+    // dim=10 -> 2 packed bytes/row; values are 0/1 doubles as produced by
+    // the deserializer, sign convention v(i) > 0
+    val rows = Seq(
+      ("bin a", Array(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)),
+      ("bin b", Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)))
+    val bytes = Vdb.serialize(rows.iterator, Vdb.TypeBinary)
+    assert(bytes(4) == Vdb.TypeBinary)
+    assert(bytes.length == 21 + 2 * 2 + (8 + 5) + (8 + 5))
+    // row 0 packs to exactly the hand-crafted layout of the read test
+    assert(bytes.slice(21, 23).sameElements(Array[Byte](0x05, 0x02)))
+    val back = Vdb.deserialize(bytes)
+    assert(back.map(_._1) == rows.map(_._1))
+    assert(back.map(_._2.toSeq) == rows.map(_._2.toSeq))
+  }
+
+  test("binary writeDir/readDir round-trip through Spark") {
+    val dir = Files.createTempDirectory("vdbbin").toString
+    val df = Seq((0L, "pk a", Seq(1.0, 0.0, 1.0, 1.0)), (1L, "pk b", Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("id", "text", "embedding")
+    Vdb.writeDir(df, "text", "embedding", dir, Vdb.TypeBinary)
+    val got = Vdb.readDir(spark, dir).orderBy("text")
+      .as[(String, Seq[Double])].collect().toSeq
+    assert(got == Seq(("pk a", Seq(1.0, 0.0, 1.0, 1.0)), ("pk b", Seq(0.0, 1.0, 0.0, 0.0))))
+  }
+
   test("bad magic is warn-only, read proceeds (vector-db.c:102-105)") {
     val bytes = Vdb.serialize(Seq(("t", Array(1.0))).iterator)
     bytes(0) = 'X'.toByte
