@@ -161,13 +161,17 @@ object Dedup {
                                  bitsPerBand: Int = 8, nBands: Int = 4): DataFrame = {
     // Sizing rule: expected bucket pairs grow as N²/2^bitsPerBand per
     // band, so bitsPerBand must scale ~log2(N/targetBucket) — measured
-    // slope 12 on a 10x replica with 4-bit bands, ~linear (0.30) with
-    // the 8-bit bands used here. Narrower bands buy recall at moderate
-    // similarity but grow bucket pairs ~quadratically — the 4-bit
-    // config is a scale-killer and is deliberately NOT the default.
-    require(bitsPerBand * nBands <= 32, "pack holds 32 sign bits")
+    // slope 12 on a 10x replica with 4-bit bands, ~linear (1.0) with
+    // the 8-bit bands used here, sublinear again when bands grow with
+    // the corpus (ScaleProbe's neardup_scaled_lsh row). Narrower bands
+    // buy recall at moderate similarity but grow bucket pairs
+    // ~quadratically — the 4-bit config is a scale-killer and is
+    // deliberately NOT the default. The pack is exactly
+    // bitsPerBand*nBands sign bits (≤ 62: BIGINT fold, see packSignBits).
+    require(bitsPerBand * nBands <= 62, "pack holds at most 62 sign bits")
     val mask = (1L << bitsPerBand) - 1
-    val packed = df.select(col(idCol).as("id"), packSignBits(col(vecCol), 32).as("pack"))
+    val packed = df.select(col(idCol).as("id"),
+      packSignBits(col(vecCol), bitsPerBand * nBands).as("pack"))
     val bands = (0 until nBands).map { b =>
       packed.select(col("id"), lit(b).as("band"),
         shiftright(col("pack"), bitsPerBand * b).bitwiseAND(lit(mask)).as("key"))

@@ -61,13 +61,14 @@ object ScaleProbe {
       "q_window_rank", "q_sessionize")
 
     // scaled-LSH variant: band width grown with the corpus per the
-    // sizing rule (8-bit bands at 10x), which the fixture query can't
-    // show because its oracle pins 4-bit bands
+    // sizing rule (8-bit bands at 1x → 12-bit at 10x, 4 bands either
+    // way), which the fixture query can't show because its oracle pins
+    // the 1x sizing
     def nearDupScaled(dir: String, bits: Int): Long = {
       import graft.functions.VectorFunctions.cosineSimilarity
       val emb = graft.Tables.embeddings(spark, dir)
       graft.operators.Dedup
-        .embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 32 / bits)
+        .embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 4)
         .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
         .filter(col("sim") >= 0.4).count()
     }
@@ -85,9 +86,9 @@ object ScaleProbe {
       println(f"$name%-20s $t1%8.2f $tn%8.2f ${tn / t1 / factor}%7.2f")
     }
     if (only.isEmpty || only("neardup_scaled_lsh")) {
-      nearDupScaled(src, 4) // warm
-      val s1 = { val t0 = System.nanoTime(); nearDupScaled(src, 4); (System.nanoTime() - t0) / 1e9 }
-      val sn = { val t0 = System.nanoTime(); nearDupScaled(dst, 8); (System.nanoTime() - t0) / 1e9 }
+      nearDupScaled(src, 8) // warm
+      val s1 = { val t0 = System.nanoTime(); nearDupScaled(src, 8); (System.nanoTime() - t0) / 1e9 }
+      val sn = { val t0 = System.nanoTime(); nearDupScaled(dst, 12); (System.nanoTime() - t0) / 1e9 }
       println(f"${"neardup_scaled_lsh"}%-20s $s1%8.2f $sn%8.2f ${sn / s1 / factor}%7.2f")
     }
     spark.stop()
