@@ -67,8 +67,17 @@ object VectorFunctions {
     * integer-exact representation both Spark and the DuckDB oracle agree on.
     * `bits` must be ≤ 62: the fold computes acc*2+bit and DuckDB's BIGINT
     * arithmetic is overflow-checked, so the sign bit must stay clear.
+    * Codegen expression ([[PackSignBitsExpr]]); bit-identical to
+    * [[packSignBitsHof]].
     */
   def packSignBits(v: Column, bits: Int = 32): Column =
+    PackSignBitsExpr.column(v, bits)
+
+  /** Higher-order-function formulation (CodegenFallback — kept as the
+    * semantics cross-check for the codegen expression, like
+    * [[cosineSimilarityHof]]).
+    */
+  def packSignBitsHof(v: Column, bits: Int = 32): Column =
     aggregate(reverse(slice(v, 1, bits)), lit(0L),
       (acc, x) => acc * 2 + when(x > 0.0d, lit(1L)).otherwise(lit(0L)))
 

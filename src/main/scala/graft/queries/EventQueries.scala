@@ -67,5 +67,32 @@ object EventQueries {
       .select("user_id", "n_events", "n_sessions")
   }
 
-  val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize)
+  /** Map-function surface (the one §2.2 category with no fixture-backed
+    * query until now): per-user event-type counts built into a MAP
+    * (`map_from_entries(collect_list(struct))`), thresholded with
+    * `map_filter`, sized with `map_keys`, then exploded back to rows —
+    * so the output stays hash-comparable (MAP output encodings are not
+    * cross-engine stable, the same representation rule as DECIMAL).
+    */
+  val mapFuncs: QueryDef = QueryDef.sql(
+    "q_map_funcs",
+    """WITH c AS (SELECT user_id, event_type, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |f AS (SELECT * FROM c WHERE n >= 20)
+      |SELECT user_id,
+      |       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_types,
+      |       event_type, n
+      |FROM f""".stripMargin) { (spark, dir) =>
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    counts
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+      .select(col("user_id"), map_filter(col("m"), (_, v) => v >= 20).as("mf"))
+      .filter(size(map_keys(col("mf"))) > 0)
+      .select(col("user_id"), size(map_keys(col("mf"))).cast("long").as("n_types"),
+        explode(col("mf")).as(Seq("event_type", "n")))
+  }
+
+  val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs)
 }

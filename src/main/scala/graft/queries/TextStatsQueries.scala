@@ -106,5 +106,29 @@ object TextStatsQueries {
         .otherwise("es").as("pred_lang"))
   }
 
-  val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId)
+  /** Deterministic content-hash train/val/test split — the standard
+    * pipeline op for reproducible dataset partitioning at any scale:
+    * the assignment depends only on document CONTENT (stable under
+    * re-sharding, re-ids, and incremental reruns; duplicate texts land
+    * in the same split, so no train/test leakage through near-copies of
+    * exact dups). Pure integer algebra (polyhash mod 100), replayed
+    * identically by the oracle. Map-side only: no shuffle at all.
+    */
+  val sampleSplit: QueryDef = QueryDef.sql(
+    "q_sample_split",
+    s"""WITH h AS (SELECT doc_id, ${polyHashSql("text")} % 100 AS bucket FROM documents)
+       |SELECT doc_id, bucket,
+       |       CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM h""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
+  val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit)
 }

@@ -55,4 +55,21 @@ class VectorFunctionsSpec extends SparkSpec {
     val h = df.select(hammingBits(packSignBits(col("a"), 4), packSignBits(col("b"), 4))).head().getLong(0)
     assert(h == 3L)
   }
+
+  test("packSignBits codegen expression is bit-identical to the HOF fold") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(50)(Seq.fill(64)(rnd.nextDouble() - 0.5))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    for (bits <- Seq(4, 32, 62)) {
+      val rows = df.select(
+        packSignBits(col("v"), bits).as("fast"),
+        packSignBitsHof(col("v"), bits).as("hof")).collect()
+      assert(rows.forall(r => r.getLong(0) == r.getLong(1)), s"bits=$bits")
+    }
+    // short arrays: only the available elements fold (HOF slice semantics)
+    val short = Seq(Tuple1(Seq(1.0, -1.0, 1.0))).toDF("v")
+    val r = short.select(packSignBits(col("v"), 8).as("fast"),
+      packSignBitsHof(col("v"), 8).as("hof")).head()
+    assert(r.getLong(0) == r.getLong(1) && r.getLong(0) == 5L)
+  }
 }
