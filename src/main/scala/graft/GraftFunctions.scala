@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{CosineDistance, PolyHashExpr, ShingleHashesExpr}
+import graft.functions.{CosineDistance, PackSignBitsExpr, PolyHashExpr, ShingleHashesExpr}
 
 /** SQL-surface registration: exposes the engine's codegen kernels to
   * `spark.sql(...)` users.
@@ -20,7 +20,10 @@ object GraftFunctions {
     "graft_cosine_distance" -> (es => CosineDistance(es(0), es(1))),
     "graft_cosine_similarity" -> (es => CosineDistance(es(0), es(1), asDistance = false)),
     "graft_polyhash" -> (es => PolyHashExpr(es(0))),
-    "graft_shingle_hashes" -> (es => ShingleHashesExpr(es(0), 3)))
+    "graft_shingle_hashes" -> (es => ShingleHashesExpr(es(0), 3)),
+    // bits from an optional constant 2nd arg (default 32)
+    "graft_pack_sign_bits" -> (es => PackSignBitsExpr(es(0),
+      if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue() else 32)))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

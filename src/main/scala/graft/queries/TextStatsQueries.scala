@@ -130,5 +130,51 @@ object TextStatsQueries {
           .otherwise("test").as("split"))
   }
 
-  val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit)
+  /** Vocabulary building: token document frequency, top-50. The df>IDF
+    * step of TF-IDF kept integer-only (cross-engine ln() can differ in
+    * the last ulp; consumers derive idf from df and the corpus size).
+    * Distinct-then-count is two keyed shuffles with map-side combine —
+    * the standard shape at any scale.
+    */
+  val docFreq: QueryDef = QueryDef.sql(
+    "q_doc_freq",
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |d AS (SELECT DISTINCT doc_id, tok FROM tk)
+      |SELECT tok, count(*) AS df FROM d GROUP BY tok
+      |ORDER BY df DESC, tok LIMIT 50""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc)
+      .limit(50)
+  }
+
+  /** Sequence packing (concat-and-chunk): documents are laid out as a
+    * contiguous token stream per shard (= lang here) in deterministic
+    * doc_id order; bin = the 512-token block where each document STARTS.
+    * This is the pretraining packing op; the per-shard window keeps it
+    * scalable (shards pack independently — no global order, no single
+    * partition), exactly how a 1000-executor run would shard it.
+    */
+  val seqPack: QueryDef = QueryDef.sql(
+    "q_seq_pack",
+    """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+      |c AS (SELECT lang, doc_id, n_tok,
+      |             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM t)
+      |SELECT lang, doc_id, n_tok, (cum - n_tok) // 512 AS bin FROM c""".stripMargin) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("lang"), col("doc_id"), col("n_tok"),
+        expr("(cum - n_tok) div 512").as("bin"))
+  }
+
+  val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit, docFreq, seqPack)
 }
