@@ -5,24 +5,31 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 for the reference's `.vdb` format (layout: SURVEY §1.3,
-  * `vector-db.c:42-146`): `spark.read.format("graft.sources.VdbDataSource")
-  * .load(pathOrDir)`.
+  * `vector-db.c:42-146`):
+  *
+  * {{{
+  * spark.read.format("graft.sources.VdbDataSource").load(pathOrDir)
+  * df.write.format("graft.sources.VdbDataSource")
+  *   .option("vdbtype", "binary" /* or "double" (default) */)
+  *   .mode("overwrite").save(dir)
+  * }}}
   *
   * One input partition per part file — a `.vdb` file has no internal
   * row-group structure (header then two sequential column blocks), so a
   * file is the natural split unit; parallelism comes from writing many
-  * part files (`Vdb.writeDir`). Column pruning falls out of Catalyst's
-  * projection over the returned rows; the format has no statistics to
-  * push filters into (the reference reads the whole table too,
-  * `vector-db.c:119-144`).
+  * part files (one per task on write, mirroring `Vdb.writeDir`). Column
+  * pruning falls out of Catalyst's projection over the returned rows;
+  * the format has no statistics to push filters into (the reference
+  * reads the whole table too, `vector-db.c:119-144`).
   */
 class VdbDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -64,14 +71,88 @@ object VdbDataSource {
   }
 }
 
-class VdbTable(path: String) extends Table with SupportsRead {
+class VdbTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"vdb:$path"
   override def schema(): StructType = VdbDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VdbScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new VdbWriteBuilder(path, info)
 }
+
+/** Write side: one `.vdb` part file per task (the parallel layout
+  * `readDir`/the DSv2 scan expect); `mode("overwrite")` truncates the
+  * target directory's part files first. `option("vdbtype", "binary")`
+  * selects the bit-packed type tag.
+  */
+class VdbWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val schema = info.schema()
+      val ti = schema.fieldIndex("text")
+      val ei = schema.fieldIndex("embedding")
+      val embOk = schema(ei).dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+      require(schema(ti).dataType == StringType && embOk,
+        s"vdb write needs (text string, embedding array<double>), got ${schema.simpleString}")
+      val tpe = info.options().getOrDefault("vdbtype", "double") match {
+        case "binary" => Vdb.TypeBinary
+        case _ => Vdb.TypeDouble
+      }
+      new VdbBatchWrite(path, ti, ei, tpe, doTruncate)
+    }
+  }
+}
+
+class VdbBatchWrite(path: String, ti: Int, ei: Int, tpe: Byte, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, before any task runs: prepare (and truncate) the dir
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (truncate && fs.exists(p))
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".vdb"))
+        .foreach(s => fs.delete(s.getPath, false))
+    fs.mkdirs(p)
+    VdbWriterFactory(path, ti, ei, tpe)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class VdbWriterFactory(path: String, ti: Int, ei: Int, tpe: Byte)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      // a .vdb file is header-then-two-blocks: rows must be buffered per
+      // task (same constraint Vdb.serialize documents — interchange
+      // codec, not native storage)
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Double])]
+      override def write(r: InternalRow): Unit =
+        buf += ((r.getUTF8String(ti).toString, r.getArray(ei).toDoubleArray))
+      override def commit(): WriterCommitMessage = {
+        if (buf.nonEmpty) {
+          val f = new Path(path, s"part-$partitionId.vdb")
+          val fs = f.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(f, true)
+          try out.write(Vdb.serialize(buf.iterator, tpe)) finally out.close()
+        }
+        VdbCommitMessage(partitionId, buf.size)
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+case class VdbCommitMessage(partitionId: Int, rows: Int) extends WriterCommitMessage
 
 class VdbScanBuilder(path: String) extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this

@@ -12,6 +12,12 @@ class GraftFunctionsSpec extends SparkSpec {
     val sh = spark.sql(
       "SELECT graft_shingle_hashes(split('a b c d', ' ')) AS s").head().getSeq[Long](0)
     assert(sh.size == 2)
+    val p = spark.sql(
+      "SELECT graft_pack_sign_bits(array(1.0d, -1.0d, 0.5d), 4) AS p").head().getLong(0)
+    assert(p == 5L) // bits 0 and 2
+    val p32 = spark.sql(
+      "SELECT graft_pack_sign_bits(array(1.0d)) AS p").head().getLong(0)
+    assert(p32 == 1L) // default 32-bit width, short array
   }
 
   test("extensions class registers functions at session build time") {

@@ -90,6 +90,24 @@ class VdbSpec extends SparkSpec {
       Seq("dsv2 row a", "dsv2 row b"))
   }
 
+  test("DataSource V2 write: save/overwrite round-trips, binary option") {
+    val dir = Files.createTempDirectory("vdbdsv2w").toString
+    val df = Seq(("w a", Seq(1.0, -2.0)), ("w b", Seq(-3.0, 4.0))).toDF("text", "embedding")
+    df.write.format("graft.sources.VdbDataSource").mode("append").save(dir)
+    // overwrite replaces, not appends
+    df.write.format("graft.sources.VdbDataSource").mode("overwrite").save(dir)
+    val back = spark.read.format("graft.sources.VdbDataSource").load(dir)
+      .orderBy("text").as[(String, Seq[Double])].collect().toSeq
+    assert(back == Seq(("w a", Seq(1.0, -2.0)), ("w b", Seq(-3.0, 4.0))))
+    // binary type tag: signs survive as 0/1
+    val bdir = Files.createTempDirectory("vdbdsv2b").toString
+    df.write.format("graft.sources.VdbDataSource").option("vdbtype", "binary")
+      .mode("overwrite").save(bdir)
+    val bin = spark.read.format("graft.sources.VdbDataSource").load(bdir)
+      .orderBy("text").as[(String, Seq[Double])].collect().toSeq
+    assert(bin == Seq(("w a", Seq(1.0, 0.0)), ("w b", Seq(0.0, 1.0))))
+  }
+
   test("writeSingle produces a single reference-layout file") {
     val f = Files.createTempFile("one", ".vdb").toString
     val df = Seq(("only row", Seq(7.0, 8.0))).toDF("text", "embedding")
