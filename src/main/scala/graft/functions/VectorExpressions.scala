@@ -59,3 +59,61 @@ object PackSignBitsExpr {
   def column(v: Column, bits: Int): Column =
     GraftShim.column(PackSignBitsExpr(GraftShim.expression(v), bits))
 }
+
+/** Exact-integer quantized squared L2 distance:
+  * Σᵢ floor((aᵢ−bᵢ)² · 2^scaleBits) as BIGINT — the summation is exact
+  * integer arithmetic, so it is order-independent and replayable
+  * bit-for-bit by a DuckDB `sum()` (the AnnQueries 2^45 discipline that
+  * makes every float-heavy query here hash-match). Codegen loop like
+  * [[CosineDistance]]; the k-means assignment kernel.
+  */
+case class QuantizedL2Expr(left: org.apache.spark.sql.catalyst.expressions.Expression,
+                           right: org.apache.spark.sql.catalyst.expressions.Expression,
+                           scaleBits: Int = 45)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(scaleBits > 0 && scaleBits < 62)
+  private val scale: Double = java.lang.Math.scalb(1.0, scaleBits)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += java.lang.Math.floor(d * d * scale).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += (long) java.lang.Math.floor($d * $d * ${scale}D);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedL2Expr {
+  def column(a: Column, b: Column, scaleBits: Int = 45): Column =
+    GraftShim.column(QuantizedL2Expr(
+      GraftShim.expression(a), GraftShim.expression(b), scaleBits))
+}

@@ -156,5 +156,67 @@ object AnnQueries {
       .select(col("probe_label"), col("vec_id").as("nid"), col("dist"))
   }
 
-  val all: Seq[QueryDef] = Seq(annTopk, centroids, centroidSpread, ivfTopk)
+  /** k-means (Lloyd), 2 iterations, k=8, deterministic seeds (vec_id
+    * 0..7) — the clustering step of corpus curation (topic balancing,
+    * IVF codebook training). Exact cross-engine by construction:
+    * distances are Σ floor((x−c)²·2^45) BIGINTs ([[graft.functions.QuantizedL2Expr]],
+    * order-independent integer sums), centroid means use the 2^52
+    * quantization of [[centroids]], and argmin ties break on cluster id.
+    *
+    * Scale shape: assignment is a BROADCAST of the k×dim centroid matrix
+    * against the vector table (no explode of the data side, distance in
+    * one codegen loop per row×cluster); only the centroid UPDATE explodes
+    * to (cluster, dim) — the same shuffle as [[centroids]]. Clusters that
+    * lose all members drop out (standard Lloyd; deterministic here).
+    */
+  val kmeans: QueryDef = QueryDef.sql(
+    "q_kmeans",
+    s"""WITH ed AS (SELECT vec_id, i, embedding[i] AS x,
+       |                  CAST(floor(embedding[i] * $S52) AS BIGINT) AS ix
+       |           FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)),
+       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < 8),
+       |a1 AS (SELECT ed.vec_id, c0.cluster,
+       |              sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * $S45) AS BIGINT)) AS d2
+       |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
+       |s1 AS (SELECT vec_id, cluster FROM (
+       |         SELECT vec_id, cluster,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |         FROM a1) WHERE rn = 1),
+       |c1 AS (SELECT s1.cluster, ed.i, CAST(sum(ed.ix) AS DOUBLE) / $S52 / count(*) AS c
+       |       FROM ed JOIN s1 ON s1.vec_id = ed.vec_id GROUP BY 1, 2),
+       |a2 AS (SELECT ed.vec_id, c1.cluster,
+       |              sum(CAST(floor((ed.x - c1.c) * (ed.x - c1.c) * $S45) AS BIGINT)) AS d2
+       |       FROM ed JOIN c1 ON c1.i = ed.i GROUP BY 1, 2)
+       |SELECT vec_id, cluster, d2 FROM (
+       |  SELECT vec_id, cluster, d2,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |  FROM a2) WHERE rn = 1""".stripMargin) { (spark, dir) =>
+    import graft.functions.QuantizedL2Expr
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def assign(cents: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster").asc)
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cluster"),
+          QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("d2"))
+    }
+    val cent0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    val asg1 = assign(cent0).drop("d2")
+    // exact per-dim means of each cluster's members (2^52 quantization),
+    // re-assembled into dim-ordered centroid arrays
+    val cent1 = asg1.join(emb, "vec_id")
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("cluster"), col("i0"), floor(col("x") * S52d).cast("long").as("ix"))
+      .groupBy("cluster", "i0")
+      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("i0"), col("c")))),
+        e => e.getField("c")).as("cv"))
+    assign(cent1)
+  }
+
+  val all: Seq[QueryDef] = Seq(annTopk, centroids, centroidSpread, ivfTopk, kmeans)
 }

@@ -56,6 +56,14 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(h == 3L)
   }
 
+  test("QuantizedL2Expr: exact integer-scaled squared L2") {
+    import graft.functions.QuantizedL2Expr
+    val df = Seq((Seq(1.5, -2.0), Seq(0.5, 1.0))).toDF("a", "b")
+    val d2 = df.select(QuantizedL2Expr.column(col("a"), col("b"), 45)).head().getLong(0)
+    // (1.0)^2 + (-3.0)^2 = 10, exactly representable -> 10 * 2^45
+    assert(d2 == 10L * (1L << 45))
+  }
+
   test("packSignBits codegen expression is bit-identical to the HOF fold") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.fill(50)(Seq.fill(64)(rnd.nextDouble() - 0.5))
