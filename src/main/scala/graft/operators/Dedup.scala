@@ -67,6 +67,24 @@ object Dedup {
       .select("ida", "idb").distinct()
   }
 
+  /** LSH candidate pairs between a NEW batch and an existing corpus —
+    * incremental dedup (dedup a fresh crawl against the standing
+    * dataset). Same banded equi-join as [[lshCandidates]], but the two
+    * sides are different tables, so the corpus side can be a
+    * pre-materialized signature index that each new batch joins against
+    * — the batch side is small, the corpus signatures shuffle once when
+    * built, not per batch.
+    */
+  def lshCandidatesAcross(sigNew: DataFrame, sigCorpus: DataFrame,
+                          idCol: String): DataFrame = {
+    def bands(df: DataFrame, as: String) = (0 until 4).map { b =>
+      df.select(col(idCol).as(as), lit(b).as("band"),
+        col(s"m${2 * b}").as("x"), col(s"m${2 * b + 1}").as("y"))
+    }.reduce(_ unionAll _)
+    bands(sigNew, "ida").join(bands(sigCorpus, "idb"), Seq("band", "x", "y"))
+      .select("ida", "idb").distinct()
+  }
+
   /** Verified Jaccard for candidate pairs against the shingle-hash
     * table. Inner-join semantics: zero-intersection candidates drop out.
     */

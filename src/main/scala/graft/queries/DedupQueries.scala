@@ -223,7 +223,76 @@ object DedupQueries {
     graft.operators.ConnectedComponents.components(pairs, "ida", "idb")
   }
 
+  /** Incremental dedup: a NEW batch (doc_id % 5 = 0, ~20%) deduped
+    * against the standing corpus (the rest) — band-collide then verify
+    * Jaccard, never comparing batch docs to each other. The production
+    * shape for "dedup this crawl against the dataset".
+    */
+  val dedupIncremental: QueryDef = QueryDef.sql(
+    "q_dedup_incremental",
+    s"""WITH $ShCte,
+       |$HsCte,
+       |$SigCte,
+       |$BandsCte,
+       |${interJaccardSql(
+        """cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          |         FROM bands a JOIN bands b
+          |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
+          |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)""".stripMargin, 0.2)}""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(hs, "doc_id")
+    val cand = Dedup.lshCandidatesAcross(
+      sig.filter(col("doc_id") % 5 === 0), sig.filter(col("doc_id") % 5 =!= 0), "doc_id")
+    Dedup.jaccardForPairs(cand, hs, "doc_id")
+      .filter(col("jaccard") >= 0.2)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** The curation funnel end-to-end: keep a document iff it is its
+    * exact-dup group's keeper (min doc_id over identical text) AND it
+    * clears the token-count floor AND the deterministic quality score —
+    * the composed form of q_dedup_exact + q_token_stats, the final
+    * "kept corpus" a training run reads. All math is the proven
+    * hash-exact integer/double algebra of those queries.
+    */
+  val corpusFilter: QueryDef = QueryDef.sql(
+    "q_corpus_filter",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                  min(doc_id) OVER (PARTITION BY text) AS keeper
+      |           FROM documents),
+      |s AS (SELECT doc_id, keeper,
+      |             CAST(len(toks) AS BIGINT) AS n_tokens,
+      |             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |             CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'key', 'value', 'table'], x))) AS BIGINT) AS n_stop
+      |      FROM t),
+      |q AS (SELECT doc_id, keeper, n_tokens,
+      |             (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+      |                   * (0.5 + 0.5 * CAST(n_distinct AS DOUBLE) / n_tokens)
+      |                   - 0.1 * CAST(n_stop AS DOUBLE) / n_tokens AS quality
+      |      FROM s)
+      |SELECT doc_id, n_tokens, quality FROM q
+      |WHERE doc_id = keeper AND n_tokens >= 5 AND quality >= 0.3""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a", "key", "value", "table")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"),
+        min(col("doc_id")).over(Window.partitionBy(col("text"))).as("keeper"))
+      .select(col("doc_id"), col("keeper"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(filter(col("toks"), x => x.isin(stop: _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("keeper"), col("n_tokens"),
+        ((least(col("n_tokens"), lit(100)).cast("double") / 100.0)
+          * (lit(0.5) + lit(0.5) * col("n_distinct").cast("double") / col("n_tokens"))
+          - lit(0.1) * col("n_stop").cast("double") / col("n_tokens")).as("quality"))
+      .filter(col("doc_id") === col("keeper") && col("n_tokens") >= 5 && col("quality") >= 0.3)
+      .select("doc_id", "n_tokens", "quality")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, ngramJaccard,
-    simhashSig, simhashPairs, embedNearDup, dedupGroups)
+    simhashSig, simhashPairs, embedNearDup, dedupGroups, dedupIncremental,
+    corpusFilter)
 }
