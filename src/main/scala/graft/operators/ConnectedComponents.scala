@@ -36,21 +36,23 @@ object ConnectedComponents {
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    // symmetric edge list + self-loops; localCheckpoint (eager) both
-    // materializes the upstream pair pipeline once AND truncates lineage
-    val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
+    // materialize the (expensive) upstream pair pipeline exactly once, at
+    // the session's normal parallelism; everything after is graph-sized
+    val pairsCp = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .localCheckpoint(true)
-    val nEdges = edges0.count() // cheap: counts the checkpointed partitions
+    val nPairs = pairsCp.count() // cheap: counts the checkpointed partitions
     val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, nEdges / 10000L + 1L)).toInt
+      spark.sparkContext.defaultParallelism.toLong, nPairs / 5000L + 1L)).toInt
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
-      // re-materialize the edge list at `parts` partitions, co-located on
-      // the join key, so every stage in the loop is graph-sized
-      val edges = edges0.repartition(parts, col("dst")).localCheckpoint(true)
+      // symmetric edge list, built under the graph-sized conf and
+      // co-located on the join key
+      val edges = pairsCp.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairsCp.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+        .repartition(parts, col("dst"))
+        .localCheckpoint(true)
       // localCheckpoint (not persist!) each round: an iterative join loop
       // grows the LOGICAL plan exponentially (each round references the
       // previous frame several times), and plan-string construction alone
