@@ -77,18 +77,33 @@ object Prompt {
       case Some(resp) => prompt + resp + ConvUserTag + userInput + ConvTerminator
     }
 
-  /** Fold a (rank, text) relation into the single-row instruct prompt.
-    * `rank` is 1-based ascending-distance rank.
+  /** Fold rows into the single-row instruct prompt, ordered by
+    * `orderCols`; context labels are the 1-based POSITIONS in that order
+    * (= the reference's ascending-distance rank). Shuffle-safe by the
+    * `array_sort(collect_list(struct(...)))` idiom, and label assignment
+    * uses the index-aware `transform` lambda — no rank window (which
+    * would be an unpartitioned window over the corpus-reduced k-row
+    * frame) anywhere in the plan.
     */
-  def assemble(topk: DataFrame, rankCol: String, textCol: String,
-               conversation: String, userInput: String): DataFrame = {
-    val ctx = transform(
-      array_sort(collect_list(struct(col(rankCol).cast("long").as("rank"), col(textCol).as("text")))),
-      x => concat(lit("Context "), x.getField("rank").cast("string"), lit(":\n"),
+  def assembleByOrder(topk: DataFrame, orderCols: Seq[Column], textCol: String,
+                      conversation: String, userInput: String): DataFrame = {
+    val sorted = array_sort(collect_list(struct(
+      orderCols :+ col(textCol).as("text"): _*)))
+    val ctx = transform(sorted, (x, i) =>
+      concat(lit("Context "), (i + 1).cast("string"), lit(":\n"),
         x.getField("text"), lit(ContextSep)))
     topk
       .agg(array_join(ctx, "").as("ctxs"))
       .select(concat(lit(SystemMsgStart), col("ctxs"),
         lit(conversationWithUserTurn(conversation, userInput))).as("prompt"))
   }
+
+  /** Fold a (rank, text) relation into the single-row instruct prompt.
+    * `rank` is 1-based ascending-distance rank (labels = positions in
+    * rank order, identical for any gap-free 1-based ranking).
+    */
+  def assemble(topk: DataFrame, rankCol: String, textCol: String,
+               conversation: String, userInput: String): DataFrame =
+    assembleByOrder(topk, Seq(col(rankCol).cast("long").as("rank")), textCol,
+      conversation, userInput)
 }

@@ -29,9 +29,10 @@ object Rag {
              embCol: String, embedder: Embedder, userInput: String,
              conversation: String, k: Int): DataFrame = {
     val qv = embedQuery(spark, embedder, userInput)
+    // ranks are positions in (dist, id) order, assigned inside the
+    // assembly fold — no window over the k-row top-k frame
     val topk = TopK.nearest(index, embCol, idCol, qv, k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("dist").asc, col(idCol).asc)))
-    Prompt.assemble(topk, "rank", textCol, conversation, userInput)
+    Prompt.assembleByOrder(topk, Seq(col("dist"), col(idCol)), textCol,
+      conversation, userInput)
   }
 }

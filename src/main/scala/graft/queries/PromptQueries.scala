@@ -36,14 +36,14 @@ object PromptQueries {
        |FROM ctx""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    // ranks become positions in (dist, vec_id) order inside the assembly
+    // fold — no window over the 3-row top-k frame
     val topk = TopK.nearest(emb, "embedding", "vec_id", q, 3)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("dist").asc, col("vec_id").asc)))
-      .select("vec_id", "rank")
+      .select("vec_id", "dist")
     // gather text for the k winners: broadcast the tiny top-k side
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val ctx = docs.join(broadcast(topk), topk("vec_id") === docs("doc_id"))
-    Prompt.assemble(ctx, "rank", "text", "", UserInput)
+    Prompt.assembleByOrder(ctx, Seq(col("dist"), col("vec_id")), "text", "", UserInput)
   }
 
   val all: Seq[QueryDef] = Seq(ragPrompt)
