@@ -44,6 +44,7 @@ object AnnQueries {
        |             row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
        |      FROM d)
        |SELECT qid, rank, nid, dist FROM r WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+    // rank emitted as BIGINT like DuckDB's row_number (Spark's is INT)
     val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -53,7 +54,8 @@ object AnnQueries {
       .withColumn("dist", cosineDistance(col("embedding"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("qid"), col("rank"), col("vec_id").as("nid"), col("dist"))
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("nid"), col("dist"))
   }
 
   /** (label, dim 1-based, centroid) — exact decimal mean per dimension. */
@@ -176,7 +178,7 @@ object AnnQueries {
        |           FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)),
        |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < 8),
        |a1 AS (SELECT ed.vec_id, c0.cluster,
-       |              sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * $S45) AS BIGINT)) AS d2
+       |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
        |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
        |s1 AS (SELECT vec_id, cluster FROM (
        |         SELECT vec_id, cluster,
@@ -185,7 +187,7 @@ object AnnQueries {
        |c1 AS (SELECT s1.cluster, ed.i, CAST(sum(ed.ix) AS DOUBLE) / $S52 / count(*) AS c
        |       FROM ed JOIN s1 ON s1.vec_id = ed.vec_id GROUP BY 1, 2),
        |a2 AS (SELECT ed.vec_id, c1.cluster,
-       |              sum(CAST(floor((ed.x - c1.c) * (ed.x - c1.c) * $S45) AS BIGINT)) AS d2
+       |              CAST(sum(CAST(floor((ed.x - c1.c) * (ed.x - c1.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
        |       FROM ed JOIN c1 ON c1.i = ed.i GROUP BY 1, 2)
        |SELECT vec_id, cluster, d2 FROM (
        |  SELECT vec_id, cluster, d2,

@@ -164,7 +164,7 @@ object TextStatsQueries {
       |             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |      FROM t)
-      |SELECT lang, doc_id, n_tok, (cum - n_tok) // 512 AS bin FROM c""".stripMargin) { (spark, dir) =>
+      |SELECT lang, doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS bin FROM c""".stripMargin) { (spark, dir) =>
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -50,6 +50,22 @@ def main():
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
+        # declared-type alignment: the driver's hash is representation-
+        # sensitive (round-1 lesson: DECIMAL output columns and DuckDB's
+        # sum(BIGINT)->HUGEINT promotion fail it even when values match),
+        # so a type mismatch is a hard local failure
+        try:
+            ot = {d[0]: d[1] for d in con.execute(f"DESCRIBE {sql}").fetchall()}
+            st = {d[0]: d[1] for d in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()}
+            tdiff = {k: (ot.get(k), st.get(k)) for k in set(ot) | set(st)
+                     if ot.get(k) != st.get(k)}
+        except Exception:
+            tdiff = {}
+        if tdiff:
+            print(f"FAIL {name}: declared-type mismatch {tdiff}")
+            n_fail += 1
+            continue
         oc, orr = canon(orows, ocols)
         sc, srr = canon(srows, scols)
         if oc != sc:
