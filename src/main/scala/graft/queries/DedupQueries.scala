@@ -149,11 +149,10 @@ object DedupQueries {
   private val PackSql =
     graft.functions.VectorFunctions.packSignBitsSql("embedding", 32)
 
-  val embedNearDup: QueryDef = QueryDef.sql(
-    "q_embed_neardup",
-    // 4 bands × 8 bits — the scale-safe sizing (Dedup.embeddingNearDupCandidates
-    // defaults; measured ~linear slope, vs slope 12 for the 4-bit config)
-    s"""WITH packed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $PackSql AS pack
+  // 4 bands × 8 bits — the scale-safe sizing (Dedup.embeddingNearDupCandidates
+  // defaults; measured ~linear slope, vs slope 12 for the 4-bit config)
+  private val EmbCandCtes =
+    s"""packed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $PackSql AS pack
        |               FROM embeddings),
        |bands AS (${(0 until 4).map(b =>
         s"SELECT vec_id, v, $b AS band, (pack >> ${8 * b}) & 255 AS key FROM packed")
@@ -161,17 +160,47 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
-       |pv AS (SELECT vec_id, v FROM packed)
+       |pv AS (SELECT vec_id, v FROM packed)""".stripMargin
+
+  /** Spark side of the shared embed near-dup pair pipeline. */
+  private def embedPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = Tables.embeddings(spark, dir)
+    Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding")
+      .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
+      .filter(col("sim") >= 0.4)
+  }
+
+  val embedNearDup: QueryDef = QueryDef.sql(
+    "q_embed_neardup",
+    s"""WITH $EmbCandCtes
        |SELECT c.ida, c.idb,
        |       ${cosSimSql("pa.v", "pb.v")} AS sim
        |FROM cand c JOIN pv pa ON pa.vec_id = c.ida
        |            JOIN pv pb ON pb.vec_id = c.idb
        |WHERE ${cosSimSql("pa.v", "pb.v")} >= 0.4""".stripMargin) { (spark, dir) =>
-    val emb = Tables.embeddings(spark, dir)
-    Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding")
-      .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
-      .filter(col("sim") >= 0.4)
-      .select(col("ida"), col("idb"), col("sim"))
+    embedPairs(spark, dir).select(col("ida"), col("idb"), col("sim"))
+  }
+
+  /** Embedding near-dup pairs carried through to dedup GROUPS — the
+    * same pairs→components step as [[dedupGroups]], on the sign-LSH
+    * pair graph.
+    */
+  val embedGroups: QueryDef = QueryDef.sql(
+    "q_embed_groups",
+    s"""WITH RECURSIVE $EmbCandCtes,
+       |prs AS (SELECT c.ida, c.idb
+       |        FROM cand c JOIN pv pa ON pa.vec_id = c.ida
+       |                    JOIN pv pb ON pb.vec_id = c.idb
+       |        WHERE ${cosSimSql("pa.v", "pb.v")} >= 0.4),
+       |edges AS (SELECT ida AS src, idb AS dst FROM prs
+       |          UNION SELECT idb, ida FROM prs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+       |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin) { (spark, dir) =>
+    graft.operators.ConnectedComponents.components(
+      embedPairs(spark, dir).select("ida", "idb"), "ida", "idb")
   }
 
   /** Canonicalization dedup: case-fold, strip non-alphanumerics, collapse
@@ -293,6 +322,6 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, ngramJaccard,
-    simhashSig, simhashPairs, embedNearDup, dedupGroups, dedupIncremental,
-    corpusFilter)
+    simhashSig, simhashPairs, embedNearDup, embedGroups, dedupGroups,
+    dedupIncremental, corpusFilter)
 }

@@ -21,4 +21,33 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 1L))
   }
+
+  test("property: random graphs match a union-find oracle") {
+    // local weighted union-find as the independent oracle
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id representative per component
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val reps = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      nodes.map(n => n -> reps(find(n))).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 30
+      val edges = Seq.fill(n)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2)
+      val got = ConnectedComponents
+        .components(edges.toDF("ida", "idb"), "ida", "idb")
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(edges), s"trial $trial")
+    }
+  }
 }
