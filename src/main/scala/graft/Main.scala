@@ -37,7 +37,7 @@ object Main {
   }
 
   private def embedderOf(rest: List[String]): Embedder = rest match {
-    case host :: port :: Nil => new HttpEmbedder(host, port.toInt)
+    case host :: port :: _ => new HttpEmbedder(host, port.toInt)
     case _ => MockEmbedder
   }
 
@@ -109,9 +109,12 @@ object Main {
           val prompt = Rag.answer(spark, idx, "chunk_id", "chunk", "embedding",
             embedderOf(rest), line, conversation, k.toInt).head().getString(0)
           val answer = rest match {
+            // streamed, token-by-token to stdout (S2 tee parity);
+            // optional trailing n_tokens like the reference argv
+            case host :: port :: n :: Nil =>
+              streamedCompletion(host, port.toInt, prompt, n.toInt)
             case host :: port :: Nil =>
-              // streamed, token-by-token to stdout (S2 tee parity)
-              streamedCompletion(host, port.toInt, prompt, 400)
+              streamedCompletion(host, port.toInt, prompt, -1)
             case _ => println(prompt); prompt
           }
           conversation = Completion.addLlmResponse(
@@ -126,7 +129,9 @@ object Main {
       // retrieval — multirag.c compiled without _RAG_WITH_COS_SERVER.
       // The prompt grows by machine response + user turn each round
       // (update_conversation_only_prompt, multirag.c:191-233). No index,
-      // no Spark session. Without host/port the assembled prompt is
+      // no Spark session. argv mirrors the reference's `host port
+      // n_tokens` (README: `rag-conversation 127.0.0.1 8080 -1`,
+      // -1 = unlimited). Without host/port the assembled prompt is
       // echoed (and recorded as the answer) so the loop is testable.
       var prompt = ""
       var response: Option[String] = None
@@ -137,7 +142,8 @@ object Main {
         if (line.nonEmpty) {
           prompt = graft.operators.Prompt.updateConversationOnlyPrompt(line, response, prompt)
           val answer = rest match {
-            case host :: port :: Nil => streamedCompletion(host, port.toInt, prompt, 400)
+            case host :: port :: n :: Nil => streamedCompletion(host, port.toInt, prompt, n.toInt)
+            case host :: port :: Nil => streamedCompletion(host, port.toInt, prompt, -1)
             case _ => println(prompt); prompt
           }
           response = Some(answer)
@@ -155,8 +161,8 @@ object Main {
       System.err.println(
         s"""usage: build-index <in> <out> <chunkLen> [host port]
            |       rag <index> <k> <query> [host port]
-           |       rag-repl <index> <k> [host port]
-           |       conversation [host port]
+           |       rag-repl <index> <k> [host port [nPredict]]
+           |       conversation [host port [nPredict]]
            |       embed <text> [host port]
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)
