@@ -37,6 +37,26 @@ object RelationalQueries2 {
         col("n"), col("sum_qty"))
   }
 
+  /** ROLLUP counterpart of [[cube]] — hierarchical subtotals only
+    * (flag, flag×status, grand total), same NULL→'ALL' discipline.
+    */
+  val rollup: QueryDef = QueryDef.sql(
+    "q_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |       coalesce(l_linestatus, 'ALL') AS lstatus,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"))
+  }
+
   /** Monthly revenue trend: date_trunc bucketing over two years. */
   val monthlyTrend: QueryDef = QueryDef.sql(
     "q_monthly_trend",
@@ -112,5 +132,5 @@ object RelationalQueries2 {
       .select(col("l_returnflag"), col("sum_value").cast("double").as("sum_value"), col("n"))
   }
 
-  val all: Seq[QueryDef] = Seq(cube, monthlyTrend, distinctCounts, setOps, saltedAgg)
+  val all: Seq[QueryDef] = Seq(cube, rollup, monthlyTrend, distinctCounts, setOps, saltedAgg)
 }
