@@ -16,8 +16,9 @@ import graft.functions.VectorFunctions.packSignBits
   *    within buckets);
   *  - SimHash pairs block on 6-bit bands of the 30-bit signature — by
   *    pigeonhole any pair within hamming distance 4 shares a band;
-  *  - embedding near-dup blocks on 4-bit sign-LSH bands of the packed
-  *    sign bits — random-hyperplane LSH with 8 OR-ed tables;
+  *  - embedding near-dup blocks on sign-LSH bands of the packed sign
+  *    bits — random-hyperplane LSH with OR-ed band tables, band width
+  *    growing ~log2(N) per the sizing rule (defaults: 4 bands × 8 bits);
   *  - the exact n-gram join blocks on shared shingles (equi-join), the
   *    only exact method that avoids a cross join; at extreme scale
   *    prefer the LSH path and stop-shingle filtering.
