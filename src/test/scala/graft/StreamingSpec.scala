@@ -92,6 +92,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: restart resumes from the offset log, no reprocessing") {
+    // production posture at scale: a stream MUST survive restarts via the
+    // checkpoint's offset/commit log — restart picks up only new files
+    val srcDir = Files.createTempDirectory("ckpt-src").toString
+    val ckptDir = Files.createTempDirectory("ckpt-log").toString
+    val outDir = Files.createTempDirectory("ckpt-out").toString
+    val e = Tables.events(spark, sf0001).select("event_id", "user_id")
+    e.limit(100).write.mode("overwrite").parquet(s"$srcDir/batch1")
+    val schema = spark.read.parquet(s"$srcDir/batch1").schema
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(s"$srcDir/*")
+      .writeStream.option("checkpointLocation", ckptDir)
+      .format("parquet").option("path", outDir)
+      .outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst == 100)
+    // new data lands while the stream is DOWN; restart from the same
+    // checkpoint must emit only the new batch (offset log, not rescan)
+    e.limit(150).write.mode("overwrite").parquet(s"$srcDir/batch2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(outDir).count() == afterFirst + 150)
+  }
+
   test("streaming index maintenance: docs stream -> chunk+embed -> .vdb parts") {
     // the reference's build pipeline (R1->R2->R3->R4) as a stream: each
     // micro-batch of documents is chunked, mock-embedded, and APPENDED to
