@@ -28,4 +28,16 @@ class TypedOpsSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(math.abs(approx - exact).toDouble / exact < 0.10, s"approx=$approx exact=$exact")
   }
+
+  test("approx_percentile brackets the exact row-selected median (sketch surface)") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val approx = li.agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)))
+      .head().getDouble(0)
+    // exact lower/upper medians by deterministic row selection
+    val n = li.count()
+    val sorted = li.select(col("l_quantity")).orderBy("l_quantity")
+    val lo = sorted.limit(((n + 1) / 2).toInt).orderBy(col("l_quantity").desc).head().getDouble(0)
+    val hi = sorted.limit((n / 2 + 1).toInt).orderBy(col("l_quantity").desc).head().getDouble(0)
+    assert(approx >= lo - 1e-9 && approx <= hi + 1e-9, s"approx=$approx lo=$lo hi=$hi")
+  }
 }
