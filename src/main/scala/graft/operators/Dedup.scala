@@ -176,13 +176,27 @@ object Dedup {
     * shuffle costs ~1 KB/row and dominated runtime before this split;
     * at scale AQE broadcast-joins the vector side when it fits).
     */
+  /** The sizing rule itself, as pure integer arithmetic both engines can
+    * replay exactly: the smallest band width `b` whose expected bucket
+    * size N/2^b is at most `targetBucket`, i.e. min b with
+    * 2^b * targetBucket >= n. Expected verified candidates then grow as
+    * N * targetBucket * nBands / 2 — linear in the corpus — while any
+    * FIXED width goes quadratic once N²/2^bits passes corpus size
+    * (measured: slope 16.6 at 30x for pinned 8-bit bands, 0.41 when the
+    * width follows this rule). Capped at 62/nBands so the band pack
+    * stays inside a BIGINT ([[embeddingNearDupCandidates]]'s require).
+    */
+  def scaledBitsPerBand(n: Long, targetBucket: Long = 32, nBands: Int = 4): Int =
+    (1 to 62 / nBands).find(b => (1L << b) * targetBucket >= n)
+      .getOrElse(62 / nBands)
+
   def embeddingNearDupCandidates(df: DataFrame, idCol: String, vecCol: String,
                                  bitsPerBand: Int = 8, nBands: Int = 4): DataFrame = {
     // Sizing rule: expected bucket pairs grow as N²/2^bitsPerBand per
     // band, so bitsPerBand must scale ~log2(N/targetBucket) — measured
     // slope 12 on a 10x replica with 4-bit bands, ~linear (1.0) with
     // the 8-bit bands used here, sublinear again when bands grow with
-    // the corpus (ScaleProbe's neardup_scaled_lsh row). Narrower bands
+    // the corpus (q_embed_neardup_scaled + [[scaledBitsPerBand]]). Narrower bands
     // buy recall at moderate similarity but grow bucket pairs
     // ~quadratically — the 4-bit config is a scale-killer and is
     // deliberately NOT the default. The pack is exactly

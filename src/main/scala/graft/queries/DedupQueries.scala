@@ -181,6 +181,52 @@ object DedupQueries {
     embedPairs(spark, dir).select(col("ida"), col("idb"), col("sim"))
   }
 
+  /** The SCALE-SAFE configuration of the same operator: band width
+    * derived from the corpus count by the sizing rule
+    * ([[Dedup.scaledBitsPerBand]]: min b with 2^b·32 ≥ N), computed with
+    * the identical integer arithmetic in BOTH engines — Spark from
+    * `df.count()`, DuckDB from `COUNT(*)` in the `cfg` CTE. This is the
+    * config a production run uses (a fixture-pinned width goes quadratic
+    * once N²/2^bits passes corpus size — ScaleProbe measures slope 16.6
+    * at 30x for the pinned form vs ~0.4 for this one), so it gets its own
+    * oracle-checked entry rather than only a bench probe.
+    */
+  val embedNearDupScaled: QueryDef = QueryDef.sql(
+    "q_embed_neardup_scaled",
+    s"""WITH cfg AS (SELECT min(b) AS bits
+       |             FROM (SELECT unnest(range(1, 16)) AS b),
+       |                  (SELECT count(*) AS n FROM embeddings)
+       |             WHERE (CAST(1 AS BIGINT) << b) * 32 >= n),
+       |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, cfg.bits AS bits
+       |         FROM embeddings, cfg),
+       |packed AS (SELECT vec_id, v, bits,
+       |                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                    list_transform(list_reverse(v[1:(bits*4)]),
+       |                      x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |                    (acc, bt) -> acc * 2 + bt) AS pack
+       |           FROM base),
+       |bands AS (SELECT vec_id, bd AS band,
+       |                 (pack >> (bits * bd)) & ((CAST(1 AS BIGINT) << bits) - 1) AS key
+       |          FROM packed, (SELECT unnest(range(0, 4)) AS bd)),
+       |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |pv AS (SELECT vec_id, v FROM packed)
+       |SELECT c.ida, c.idb, ${cosSimSql("pa.v", "pb.v")} AS sim
+       |FROM cand c JOIN pv pa ON pa.vec_id = c.ida
+       |            JOIN pv pb ON pb.vec_id = c.idb
+       |WHERE ${cosSimSql("pa.v", "pb.v")} >= 0.4""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    // one scalar count through the driver — the same arithmetic the
+    // oracle's cfg CTE runs; at production scale this is a cached table
+    // statistic, not an extra scan
+    val bits = Dedup.scaledBitsPerBand(emb.count())
+    Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 4)
+      .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
+      .filter(col("sim") >= 0.4)
+      .select(col("ida"), col("idb"), col("sim"))
+  }
+
   /** Embedding near-dup pairs carried through to dedup GROUPS — the
     * same pairs→components step as [[dedupGroups]], on the sign-LSH
     * pair graph.
@@ -322,6 +368,6 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, ngramJaccard,
-    simhashSig, simhashPairs, embedNearDup, embedGroups, dedupGroups,
-    dedupIncremental, corpusFilter)
+    simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups,
+    dedupGroups, dedupIncremental, corpusFilter)
 }

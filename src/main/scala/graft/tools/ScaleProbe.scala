@@ -56,22 +56,13 @@ object ScaleProbe {
     }
     }
 
+    // q_embed_neardup_scaled probes UNEDITED: the query itself derives
+    // its band width from the corpus count (Dedup.scaledBitsPerBand), so
+    // the same registry entry that the oracle checks is what scales here
     val probes = Seq("q1_pricing", "q_chunk", "q_token_stats", "q_minhash_sig",
-      "q_simhash", "q_ngram_jaccard", "q_embed_neardup", "q_topk_cosine",
-      "q_window_rank", "q_sessionize")
+      "q_simhash", "q_ngram_jaccard", "q_embed_neardup", "q_embed_neardup_scaled",
+      "q_topk_cosine", "q_window_rank", "q_sessionize")
 
-    // scaled-LSH variant: band width grown with the corpus per the
-    // sizing rule (8-bit bands at 1x → 12-bit at 10x, 4 bands either
-    // way), which the fixture query can't show because its oracle pins
-    // the 1x sizing
-    def nearDupScaled(dir: String, bits: Int): Long = {
-      import graft.functions.VectorFunctions.cosineSimilarity
-      val emb = graft.Tables.embeddings(spark, dir)
-      graft.operators.Dedup
-        .embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 4)
-        .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
-        .filter(col("sim") >= 0.4).count()
-    }
     println(f"${"query"}%-20s ${"1x_s"}%8s ${s"${factor}x_s"}%8s ${"slope"}%7s")
     val toProbe = if (only.isEmpty) probes
       else only.toSeq.sorted.filter(graft.SparkEntry.queries.contains)
@@ -84,12 +75,6 @@ object ScaleProbe {
       val t1 = time(src)
       val tn = time(dst)
       println(f"$name%-20s $t1%8.2f $tn%8.2f ${tn / t1 / factor}%7.2f")
-    }
-    if (only.isEmpty || only("neardup_scaled_lsh")) {
-      nearDupScaled(src, 8) // warm
-      val s1 = { val t0 = System.nanoTime(); nearDupScaled(src, 8); (System.nanoTime() - t0) / 1e9 }
-      val sn = { val t0 = System.nanoTime(); nearDupScaled(dst, 12); (System.nanoTime() - t0) / 1e9 }
-      println(f"${"neardup_scaled_lsh"}%-20s $s1%8.2f $sn%8.2f ${sn / s1 / factor}%7.2f")
     }
     spark.stop()
   }

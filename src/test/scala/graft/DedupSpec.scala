@@ -58,6 +58,18 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(s(0)._2 ^ s(2)._2) > 0)
   }
 
+  test("scaledBitsPerBand: smallest b with 2^b * bucket >= n, BIGINT-capped") {
+    assert(Dedup.scaledBitsPerBand(1L) == 1)     // floor: never 0 bits
+    assert(Dedup.scaledBitsPerBand(500L) == 4)   // sf0.01 fixture: 16*32=512
+    assert(Dedup.scaledBitsPerBand(513L) == 5)
+    assert(Dedup.scaledBitsPerBand(5000L) == 8)  // sf0.1: matches the pinned default
+    assert(Dedup.scaledBitsPerBand(150000L) == 13) // 30x probe replica
+    assert(Dedup.scaledBitsPerBand(Long.MaxValue) == 15) // 62/nBands cap holds the pack in a BIGINT
+    // monotone in n: buckets never grow past ~2*target
+    val widths = (1 to 30).map(e => Dedup.scaledBitsPerBand(1L << e))
+    assert(widths == widths.sorted)
+  }
+
   test("minhash signature of identical shingle sets is identical") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("id", "t")
     val sig = Dedup.minhashSignatures(Dedup.shingleHashTable(df, "id", "t", 3), "id")
