@@ -21,9 +21,17 @@ object GraftFunctions {
     "graft_cosine_similarity" -> (es => CosineDistance(es(0), es(1), asDistance = false)),
     "graft_polyhash" -> (es => PolyHashExpr(es(0))),
     "graft_shingle_hashes" -> (es => ShingleHashesExpr(es(0), 3)),
-    // bits from an optional constant 2nd arg (default 32)
-    "graft_pack_sign_bits" -> (es => PackSignBitsExpr(es(0),
-      if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue() else 32)))
+    // bits from an optional constant 2nd arg (default 32); a non-foldable
+    // or NULL second argument is a clear plan-time error, not an NPE
+    "graft_pack_sign_bits" -> (es => PackSignBitsExpr(es(0), {
+      if (es.length <= 1) 32
+      else if (!es(1).foldable || es(1).eval() == null)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            "graft_pack_sign_bits: the bits argument must be a non-null integer literal"))
+      else es(1).eval().asInstanceOf[Number].intValue()
+    })))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

@@ -105,7 +105,9 @@ object Main {
       print("> "); Console.flush()
       while (stdin.hasNext) {
         val line = stdin.next()
-        if (line.nonEmpty) {
+        // one transient embed/completion failure must not kill the REPL or
+        // lose the accumulated conversation: report, keep state, next turn
+        if (line.nonEmpty) try {
           val prompt = Rag.answer(spark, idx, "chunk_id", "chunk", "embedding",
             embedderOf(rest), line, conversation, k.toInt).head().getString(0)
           val answer = rest match {
@@ -119,6 +121,9 @@ object Main {
           }
           conversation = Completion.addLlmResponse(
             graft.operators.Prompt.conversationWithUserTurn(conversation, line), answer)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Console.err.println(s"[graft] turn failed: ${e.getMessage}; conversation unchanged")
         }
         print("> "); Console.flush()
       }
@@ -139,14 +144,20 @@ object Main {
       print("> "); Console.flush()
       while (stdin.hasNext) {
         val line = stdin.next()
-        if (line.nonEmpty) {
-          prompt = graft.operators.Prompt.updateConversationOnlyPrompt(line, response, prompt)
+        // state (prompt, response) commits only after a successful turn —
+        // a transient HTTP failure leaves the conversation unchanged
+        if (line.nonEmpty) try {
+          val newPrompt = graft.operators.Prompt.updateConversationOnlyPrompt(line, response, prompt)
           val answer = rest match {
-            case host :: port :: n :: Nil => streamedCompletion(host, port.toInt, prompt, n.toInt)
-            case host :: port :: Nil => streamedCompletion(host, port.toInt, prompt, -1)
-            case _ => println(prompt); prompt
+            case host :: port :: n :: Nil => streamedCompletion(host, port.toInt, newPrompt, n.toInt)
+            case host :: port :: Nil => streamedCompletion(host, port.toInt, newPrompt, -1)
+            case _ => println(newPrompt); newPrompt
           }
+          prompt = newPrompt
           response = Some(answer)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Console.err.println(s"[graft] turn failed: ${e.getMessage}; conversation unchanged")
         }
         print("> "); Console.flush()
       }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftShim, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — turns near-dup
@@ -26,7 +26,15 @@ import org.apache.spark.sql.functions._
   * the measured edge count (~10k edges/partition, capped at the session
   * default), which is also the right rule on a 1000-executor cluster: a
   * billion-edge pair graph gets ~100k partitions' worth of real work,
-  * a million-edge one doesn't get 100k near-empty tasks.
+  * a million-edge one doesn't get 100k near-empty tasks. The sized conf
+  * lives in an isolated `newSession()` (same SparkContext), so
+  * concurrent queries on the caller's session — streaming micro-batches,
+  * parallel gate threads — never see the graph-sized setting.
+  *
+  * Driver round-trips: each iteration is ONE job — the convergence
+  * checksum rides the checkpoint materialization as an `observe()`
+  * metric instead of a second `agg().head()` action. On a large cluster
+  * every extra action is a scheduler round-trip × O(log d) iterations.
   */
 object ConnectedComponents {
 
@@ -38,58 +46,66 @@ object ConnectedComponents {
     val spark = pairs.sparkSession
     // materialize the (expensive) upstream pair pipeline exactly once, at
     // the session's normal parallelism; everything after is graph-sized
-    val pairsCp = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val pairsCp0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .localCheckpoint(true)
-    val nPairs = pairsCp.count() // cheap: counts the checkpointed partitions
+    val nPairs = pairsCp0.count() // cheap: counts the checkpointed partitions
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nPairs / 5000L + 1L)).toInt
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
-      // symmetric edge list, built under the graph-sized conf and
-      // co-located on the join key
-      val edges = pairsCp.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(pairsCp.select(col("b").as("src"), col("a").as("dst")))
-        .distinct()
-        .repartition(parts, col("dst"))
-        .localCheckpoint(true)
-      // localCheckpoint (not persist!) each round: an iterative join loop
-      // grows the LOGICAL plan exponentially (each round references the
-      // previous frame several times), and plan-string construction alone
-      // OOMs after ~8 rounds; checkpointing truncates lineage to a leaf.
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id"))
-        .localCheckpoint(true)
-      // labels only decrease, so an unchanged checksum is a join-free
-      // convergence signal; the agg runs over `parts` checkpointed
-      // partitions — microseconds next to the iteration's shuffles
-      var prevSum = labels.agg(sum("component")).head().getLong(0)
-      var iter = 0
-      var converged = false
-      while (iter < maxIter && !converged) {
-        // each node's new label: min over own label and neighbors' labels
-        val neighborLabels = edges
-          .join(labels.withColumnRenamed("id", "dst"), "dst")
-          .select(col("src").as("id"), col("component"))
-        val propagated = labels.unionAll(neighborLabels)
-          .groupBy("id").agg(min(col("component")).as("component"))
-          .persist() // read twice below (main side + parents side)
-        // pointer jumping: adopt the label OF the label node — doubles the
-        // propagation distance per round, so convergence is O(log diameter)
-        // instead of O(diameter) (a plain neighbor walk stalls on chains)
-        val parents = propagated
-          .select(col("id").as("component"), col("component").as("parent"))
-        val next = propagated.join(parents, "component")
-          .select(col("id"), least(col("component"), col("parent")).as("component"))
-          .localCheckpoint(true) // materializes + truncates lineage
-        val nextSum = next.agg(sum("component")).head().getLong(0)
-        propagated.unpersist()
-        labels = next
-        converged = prevSum == nextSum
-        prevSum = nextSum
-        iter += 1
-      }
-      labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // graph-sized shuffles, isolated from the caller's session: the loop
+    // runs on a twin session holding the sized conf; the checkpointed
+    // pair leaf transplants across sessions safely
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    val pairsCp = GraftShim.rebind(loopSession, pairsCp0)
+    // symmetric edge list, co-located on the join key
+    val edges = pairsCp.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairsCp.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .repartition(parts, col("dst"))
+      .localCheckpoint(true)
+    // localCheckpoint (not persist!) each round: an iterative join loop
+    // grows the LOGICAL plan exponentially (each round references the
+    // previous frame several times), and plan-string construction alone
+    // OOMs after ~8 rounds; checkpointing truncates lineage to a leaf.
+    // labels only decrease, so an unchanged checksum is a join-free
+    // convergence signal; it is observed DURING the checkpoint job.
+    val obs0 = new Observation("cc_init")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .observe(obs0, sum(col("component")).as("s"))
+      .localCheckpoint(true)
+    def observedSum(o: Observation): Long =
+      Option(o.get.getOrElse("s", null)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = observedSum(obs0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node's new label: min over own label and neighbors' labels
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("component"))
+      val propagated = labels.unionAll(neighborLabels)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .persist() // read twice below (main side + parents side)
+      // pointer jumping: adopt the label OF the label node — doubles the
+      // propagation distance per round, so convergence is O(log diameter)
+      // instead of O(diameter) (a plain neighbor walk stalls on chains)
+      val parents = propagated
+        .select(col("id").as("component"), col("component").as("parent"))
+      val obs = new Observation(s"cc_iter_$iter")
+      val next = propagated.join(parents, "component")
+        .select(col("id"), least(col("component"), col("parent")).as("component"))
+        .observe(obs, sum(col("component")).as("s"))
+        .localCheckpoint(true) // materializes + truncates lineage (one job)
+      val nextSum = observedSum(obs)
+      propagated.unpersist()
+      labels = next
+      converged = prevSum == nextSum
+      prevSum = nextSum
+      iter += 1
+    }
+    // hand the (checkpointed, leaf-plan) result back on the caller's
+    // session so downstream ops run under the caller's conf
+    GraftShim.rebind(spark, labels)
   }
 }

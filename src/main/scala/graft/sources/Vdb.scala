@@ -130,17 +130,58 @@ object Vdb {
     }
   }
 
-  /** Reference-compatible single file, streamed through the driver (for
-    * hand-off to the C tools only — not a scale path).
+  /** Reference-compatible single file (for hand-off to the C tools only
+    * — a `.vdb` file is inherently single-writer interchange, not a scale
+    * path). Rows STREAM through the driver: the format is header (which
+    * needs the row count) then a vector block then a text block, so the
+    * two blocks spool to temp files during the single pass and are
+    * concatenated at the end — no whole-dataset buffer, no 2 GiB
+    * `Array[Byte]` cap, O(1) driver memory.
     */
   def writeSingle(df: DataFrame, textCol: String, embCol: String, file: String,
                   tpe: Byte = TypeDouble): Unit = {
     val rows = df.select(col(textCol), col(embCol)).toLocalIterator()
-    val it = new Iterator[(String, Array[Double])] {
-      def hasNext = rows.hasNext
-      def next() = { val r = rows.next(); (r.getString(0), r.getSeq[Double](1).toArray) }
+    val tmpV = java.io.File.createTempFile("graft-vdb-", ".vec")
+    val tmpT = java.io.File.createTempFile("graft-vdb-", ".txt")
+    val scratch = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    def putLong(out: java.io.OutputStream, v: Long): Unit = {
+      scratch.clear(); scratch.putLong(v); out.write(scratch.array(), 0, 8)
     }
-    val out = new FileOutputStream(file)
-    try out.write(serialize(it, tpe)) finally out.close()
+    var n = 0L
+    var dim = -1
+    try {
+      val vOut = new java.io.BufferedOutputStream(new FileOutputStream(tmpV))
+      val tOut = new java.io.BufferedOutputStream(new FileOutputStream(tmpT))
+      try {
+        while (rows.hasNext) {
+          val r = rows.next()
+          val v = r.getSeq[Double](1)
+          if (dim < 0) dim = v.length
+          require(v.length == dim, "non-uniform vector dimension")
+          if (tpe == TypeDouble) v.foreach { x =>
+            scratch.clear(); scratch.putDouble(x); vOut.write(scratch.array(), 0, 8)
+          } else {
+            val packed = new Array[Byte](dim / 8 + 1)
+            var i = 0
+            while (i < dim) {
+              if (v(i) > 0.0) packed(i / 8) = (packed(i / 8) | (1 << (i % 8))).toByte
+              i += 1
+            }
+            vOut.write(packed)
+          }
+          val t = r.getString(0).getBytes("UTF-8")
+          putLong(tOut, t.length.toLong)
+          tOut.write(t)
+          n += 1
+        }
+      } finally { vOut.close(); tOut.close() }
+      val out = new java.io.BufferedOutputStream(new FileOutputStream(file))
+      try {
+        out.write(Magic); out.write(tpe)
+        putLong(out, n); putLong(out, math.max(dim, 0).toLong)
+        java.nio.file.Files.copy(tmpV.toPath, out)
+        java.nio.file.Files.copy(tmpT.toPath, out)
+      } finally out.close()
+    } finally { tmpV.delete(); tmpT.delete() }
   }
 }

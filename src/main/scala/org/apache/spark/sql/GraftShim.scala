@@ -10,4 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-bind a DataFrame's logical plan to another session (sharing the
+    * same SparkContext). Safe for leaf plans (checkpointed LogicalRDD,
+    * LogicalRelation); used to run iterative loops in an isolated
+    * `newSession()` whose conf (e.g. shuffle partitions) is sized to the
+    * loop's data without mutating the caller's session.
+    */
+  def rebind(session: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
+      df.queryExecution.logical)
 }

@@ -20,6 +20,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(p32 == 1L) // default 32-bit width, short array
   }
 
+  test("pack_sign_bits with a non-literal bits argument is a clear plan-time error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_pack_sign_bits(array(1.0d), cast(id AS INT)) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+    val eNull = intercept[Exception] {
+      spark.sql("SELECT graft_pack_sign_bits(array(1.0d), CAST(NULL AS INT))").collect()
+    }
+    assert(eNull.getMessage.contains("integer literal"))
+  }
+
   test("extensions class registers functions at session build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]")

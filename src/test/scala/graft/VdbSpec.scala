@@ -117,4 +117,18 @@ class VdbSpec extends SparkSpec {
     assert(back.head._1 == "only row")
     assert(back.head._2.toSeq == Seq(7.0, 8.0))
   }
+
+  test("DataSource V2 append adds to existing data instead of clobbering") {
+    val dir = Files.createTempDirectory("vdbdsv2a").toString
+    Seq(("job1 row", Seq(1.0, 2.0))).toDF("text", "embedding")
+      .write.format("graft.sources.VdbDataSource").mode("append").save(dir)
+    Seq(("job2 row", Seq(3.0, 4.0))).toDF("text", "embedding")
+      .write.format("graft.sources.VdbDataSource").mode("append").save(dir)
+    val back = spark.read.format("graft.sources.VdbDataSource").load(dir)
+      .orderBy("text").as[(String, Seq[Double])].collect().toSeq
+    assert(back == Seq(("job1 row", Seq(1.0, 2.0)), ("job2 row", Seq(3.0, 4.0))))
+    // no write spool left behind
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("_temp"))
+    assert(leftovers.isEmpty)
+  }
 }
