@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode/feature-extract runs in
   * batched per-partition workers.
   *
-  * The actual media decoders are NOT available in this environment, so
-  * the decode step is a clearly-marked deterministic STUB
-  * ([[StubDecoder]]); everything around it — schema, partitioning, batch
-  * shape, the worker loop — is real and tested. To productionize, swap
-  * [[Decoder]] for one backed by an image/audio library; nothing else
-  * changes.
+  * IMAGE decode/resize is REAL — [[ImageIODecoder]] and [[resizePng]]
+  * run on `javax.imageio` (PNG/JPEG/GIF/BMP readers ship with the JDK,
+  * no external dependency). Audio/video decoders genuinely aren't in
+  * this environment, so those stay behind the clearly-marked
+  * deterministic [[StubDecoder]]; the surrounding contract — schema,
+  * partitioning, batch shape, the worker loop — is identical for both,
+  * so productionizing audio means swapping the [[Decoder]] only.
   *
   * Scale notes: media bytes never pass through a shuffle (featurize is a
   * mapPartitions in the scan stage); at 100 TB keep media in its own
@@ -38,9 +39,79 @@ object Multimodal {
     def decode(mediaType: String, bytes: Array[Byte]): Array[Float]
   }
 
+  /** REAL image decoder, JDK-only (`javax.imageio`; PNG/JPEG/GIF/BMP).
+    * Features: `[width, height, n_channels, has_alpha,` then 12
+    * block-mean luminances over a 4×3 grid`]` — the classic tiny
+    * thumbnail fingerprint, enough for near-dup blocking / quality
+    * filters on images. Deterministic for a given payload. Undecodable
+    * bytes raise (route non-image media to another [[Decoder]]).
+    */
+  object ImageIODecoder extends Decoder {
+    private val GridX = 4
+    private val GridY = 3
+
+    def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"ImageIO cannot decode this payload (media_type=$mediaType)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val cm = img.getColorModel
+      val sums = new Array[Double](GridX * GridY)
+      val counts = new Array[Long](GridX * GridY)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(GridY - 1, y * GridY / h)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(GridX - 1, x * GridX / w)
+          val rgb = img.getRGB(x, y) // sRGB regardless of the raster's model
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          sums(cy * GridX + cx) += lum
+          counts(cy * GridX + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val grid = Array.tabulate(GridX * GridY) { i =>
+        if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat
+      }
+      Array(w.toFloat, h.toFloat, cm.getNumComponents.toFloat,
+        if (cm.hasAlpha) 1f else 0f) ++ grid
+    }
+  }
+
+  /** Re-encode an image as a `w`×`h` PNG thumbnail (bilinear scale) —
+    * the resize step of an image-curation pipeline, also JDK-only.
+    */
+  def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO cannot decode this payload")
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Thumbnail a media frame's `bytes` column in place (per-partition
+    * worker, same no-shuffle shape as [[featurize]]).
+    */
+  def thumbnails(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val resize = udf((bytes: Array[Byte]) => resizePng(bytes, w, h))
+    media.withColumn("bytes", resize(col("bytes")))
+  }
+
   /** STUB: deterministic fake features from a rolling byte hash — stands
-    * in for a real image/audio decoder (none available in this
-    * container). Real Spark-side contract; fake math inside.
+    * in for the audio/video decoders (genuinely not in this container)
+    * and decodes the text-as-bytes fixtures. Real Spark-side contract;
+    * fake math inside.
     */
   object StubDecoder extends Decoder {
     def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {

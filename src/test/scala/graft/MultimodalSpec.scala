@@ -27,6 +27,54 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getSeq[Float](3)).toSeq == again.map(_.getSeq[Float](3)).toSeq)
   }
 
+  private def testPng(w: Int, h: Int): Array[Byte] = {
+    // left half black, right half white
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIODecoder decodes a real PNG: dims, channels, grid luminance") {
+    val f = Multimodal.ImageIODecoder.decode("image/png", testPng(8, 6))
+    assert(f.length == Multimodal.FeatureDim)
+    assert(f(0) == 8f && f(1) == 6f)       // width, height
+    assert(f(2) == 3f && f(3) == 0f)       // RGB, no alpha
+    // 4x3 grid: columns 0-1 black (lum 0), columns 2-3 white (lum 1)
+    val grid = f.drop(4)
+    for (cy <- 0 until 3; cx <- 0 until 4) {
+      val v = grid(cy * 4 + cx)
+      if (cx < 2) assert(v < 0.01f) else assert(v > 0.99f)
+    }
+  }
+
+  test("featurize with ImageIODecoder over a media frame of real PNGs") {
+    val png = testPng(8, 6)
+    val mediaDf = Seq((10L, "image/png", png), (11L, "image/png", testPng(4, 4)))
+      .toDF("media_id", "media_type", "bytes")
+    val rows = Multimodal.featurize(mediaDf, Multimodal.ImageIODecoder)
+      .orderBy("media_id").collect()
+    assert(rows(0).getSeq[Float](3).take(2) == Seq(8f, 6f))
+    assert(rows(1).getSeq[Float](3).take(2) == Seq(4f, 4f))
+    // undecodable bytes fail loudly, not silently
+    val bad = Seq((12L, "image/png", Array[Byte](1, 2, 3))).toDF("media_id", "media_type", "bytes")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.featurize(bad, Multimodal.ImageIODecoder).collect()
+    }
+  }
+
+  test("thumbnails resizes through real PNG re-encode") {
+    val mediaDf = Seq((20L, "image/png", testPng(16, 8))).toDF("media_id", "media_type", "bytes")
+    val small = Multimodal.thumbnails(mediaDf, 4, 2).collect()(0).getAs[Array[Byte]]("bytes")
+    val back = Multimodal.ImageIODecoder.decode("image/png", small)
+    assert(back(0) == 4f && back(1) == 2f)
+    // halves survive the bilinear resize
+    assert(back(4) < 0.2f && back(7) > 0.8f)
+  }
+
   test("sampleFrames explodes 1KiB blocks at the stride") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 2), 2)
     val idx = frames.select("frame_idx").as[Int].collect().sorted.toSeq
