@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.QuantizedL2Expr
+
+/** IVF index as PHYSICAL LAYOUT: the vector table is written to parquet
+  * `PARTITIONED BY (cluster)` — the nearest-centroid assignment — so an
+  * IVF probe prunes at the FILE level (`PartitionFilters` in the scan,
+  * zero bytes read outside the probed cluster). This is the engine's
+  * headroom claim over the reference, which scans the whole table for
+  * every query (`vector-db.c:165-168`): at 100 TB a probe touches
+  * 1/nlist of the files, and nprobe>1 just widens the `IN` filter.
+  *
+  * Assignment math is the integer-quantized L2 of
+  * [[graft.functions.QuantizedL2Expr]] (exact cross-engine, argmin ties
+  * to the lower cluster id) — the same discipline that makes `q_kmeans`
+  * hash-green. Assignment is a broadcast of the k×dim seed matrix
+  * against the scan (the data side never shuffles); the write's only
+  * movement is the partitioned sink.
+  */
+object IvfIndex {
+
+  /** Nearest-seed assignment for every vector: (vec_id, cluster). */
+  def assign(emb: DataFrame, seeds: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster").asc)
+    emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cluster"),
+        QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  /** Build the physical index: vectors + assignment, partitioned by
+    * cluster. One broadcast assignment + one partitioned write.
+    */
+  def build(emb: DataFrame, seeds: DataFrame, indexDir: String): Unit =
+    emb.join(assign(emb, seeds), "vec_id")
+      .write.mode("overwrite").partitionBy("cluster").parquet(indexDir)
+
+  /** The cluster a query vector probes: argmin quantized-L2 over the
+    * (tiny, broadcast-sized) seed table, ties to the lower id.
+    */
+  def nearestCluster(seeds: DataFrame, qvec: Seq[Double]): Long = {
+    val qlit = array(qvec.map(lit): _*)
+    seeds.select(col("cluster"),
+        QuantizedL2Expr.column(col("cv"), qlit, 45).as("d2"))
+      .orderBy(col("d2").asc, col("cluster").asc)
+      .limit(1).head().getLong(0)
+  }
+
+  /** Probe scan: ONLY the probed clusters' files are read — the literal
+    * `IN` on the partition column prunes at planning time
+    * (`PartitionFilters` in the scan node, see PLANS.md).
+    */
+  def probe(spark: SparkSession, indexDir: String, clusters: Seq[Long]): DataFrame =
+    spark.read.parquet(indexDir)
+      .filter(col("cluster").isin(clusters: _*))
+}
