@@ -57,6 +57,65 @@ object RelationalQueries2 {
         col("n"), col("sum_qty"))
   }
 
+  /** Explicit GROUPING SETS (the generalization CUBE/ROLLUP compile to)
+    * with `grouping_id()`: detail, per-flag subtotal, and grand total in
+    * one pass. The gid is emitted as explicit `grouping()` bit arithmetic
+    * in the oracle so no cross-engine bit-order convention is assumed —
+    * Spark's no-arg `grouping_id()` uses the same first-column-is-MSB
+    * order over the grouping columns.
+    */
+  val groupingSets: QueryDef = QueryDef.sql(
+    "q_grouping_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |       coalesce(l_linestatus, 'ALL') AS lstatus,
+      |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("n"), col("sum_qty"))
+  }
+
+  /** Approximate distinct counts with the error bound ENCODED IN THE
+    * QUERY: the output carries `ok` booleans asserting the HLL++ sketch
+    * landed within its documented relative standard deviation (rsd 0.05,
+    * checked at 3σ) of the exact count — the oracle asserts the same
+    * booleans as literal TRUE, so a sketch drifting out of tolerance
+    * fails the hash gate. At 100 TB the approx form is the default (no
+    * per-group distinct shuffle, mergeable sketches); the exact twin for
+    * reference is [[distinctCounts]] on the same columns.
+    */
+  val approxDistinct: QueryDef = QueryDef.sql(
+    "q_approx_distinct",
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_parts_exact,
+      |       count(DISTINCT l_suppkey) AS n_supps_exact,
+      |       TRUE AS parts_ok,
+      |       TRUE AS supps_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val rsd = 0.05
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts_exact"),
+        countDistinct(col("l_suppkey")).as("n_supps_exact"),
+        approx_count_distinct(col("l_partkey"), rsd).as("ap"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("as_"))
+      .select(col("l_returnflag"), col("n_parts_exact"), col("n_supps_exact"),
+        (abs(col("ap") - col("n_parts_exact")).cast("double")
+          <= col("n_parts_exact") * (3 * rsd)).as("parts_ok"),
+        (abs(col("as_") - col("n_supps_exact")).cast("double")
+          <= col("n_supps_exact") * (3 * rsd)).as("supps_ok"))
+  }
+
   /** Monthly revenue trend: date_trunc bucketing over two years. */
   val monthlyTrend: QueryDef = QueryDef.sql(
     "q_monthly_trend",
@@ -132,5 +191,6 @@ object RelationalQueries2 {
       .select(col("l_returnflag"), col("sum_value").cast("double").as("sum_value"), col("n"))
   }
 
-  val all: Seq[QueryDef] = Seq(cube, rollup, monthlyTrend, distinctCounts, setOps, saltedAgg)
+  val all: Seq[QueryDef] = Seq(cube, rollup, groupingSets, approxDistinct,
+    monthlyTrend, distinctCounts, setOps, saltedAgg)
 }
