@@ -40,16 +40,19 @@ object IvfIndex {
     emb.join(assign(emb, seeds), "vec_id")
       .write.mode("overwrite").partitionBy("cluster").parquet(indexDir)
 
-  /** The cluster a query vector probes: argmin quantized-L2 over the
-    * (tiny, broadcast-sized) seed table, ties to the lower id.
+  /** The `nprobe` clusters a query vector probes: ascending quantized-L2
+    * over the (tiny, broadcast-sized) seed table, ties to the lower id.
     */
-  def nearestCluster(seeds: DataFrame, qvec: Seq[Double]): Long = {
+  def nearestClusters(seeds: DataFrame, qvec: Seq[Double], nprobe: Int): Seq[Long] = {
     val qlit = array(qvec.map(lit): _*)
     seeds.select(col("cluster"),
         QuantizedL2Expr.column(col("cv"), qlit, 45).as("d2"))
       .orderBy(col("d2").asc, col("cluster").asc)
-      .limit(1).head().getLong(0)
+      .limit(nprobe).collect().map(_.getLong(0)).toSeq
   }
+
+  def nearestCluster(seeds: DataFrame, qvec: Seq[Double]): Long =
+    nearestClusters(seeds, qvec, 1).head
 
   /** Probe scan: ONLY the probed clusters' files are read — the literal
     * `IN` on the partition column prunes at planning time

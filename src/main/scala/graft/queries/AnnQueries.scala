@@ -215,6 +215,56 @@ object AnnQueries {
         col("vec_id").as("nid"), col("dist"))
   }
 
+  /** nprobe=2 variant of [[ivfPruned]]: the probe widens to the two
+    * nearest clusters and the partition filter becomes a literal `IN` —
+    * still file-pruned (recall/latency knob with the same plan shape).
+    */
+  val ivfNprobe: QueryDef = QueryDef.sql(
+    "q_ivf_nprobe",
+    s"""WITH ed AS (SELECT vec_id, i, embedding[i] AS x
+       |           FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)),
+       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < 8),
+       |a1 AS (SELECT ed.vec_id, c0.cluster,
+       |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
+       |s1 AS (SELECT vec_id, cluster FROM (
+       |         SELECT vec_id, cluster,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |         FROM a1) WHERE rn = 1),
+       |qd AS (SELECT i, embedding[i] AS qx
+       |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i) WHERE vec_id = 0),
+       |cd AS (SELECT c0.cluster,
+       |              CAST(sum(CAST(floor((qd.qx - c0.c) * (qd.qx - c0.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM c0 JOIN qd ON qd.i = c0.i GROUP BY 1),
+       |best AS (SELECT cluster FROM cd ORDER BY d2, cluster LIMIT 2),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT CAST(s1.cluster AS BIGINT) AS probe_cluster, e.vec_id AS nid,
+       |       ${cosDistSql("e.v", "q.qv")} AS dist
+       |FROM e JOIN s1 ON s1.vec_id = e.vec_id
+       |       JOIN best ON s1.cluster = best.cluster, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY dist, e.vec_id
+       |LIMIT 5""".stripMargin) { (spark, dir) =>
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    // own index dir: gate queries run concurrently, never share a sink
+    val indexDir = s"/tmp/graft_ivf_np/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    IvfIndex.build(emb, seeds, indexDir)
+    val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val probed = IvfIndex.nearestClusters(seeds, qvec, 2)
+    val qlit = array(qvec.map(lit): _*)
+    IvfIndex.probe(spark, indexDir, probed)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("dist", cosineDistance(col("embedding"), qlit))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(5)
+      .select(col("cluster").cast("long").as("probe_cluster"),
+        col("vec_id").as("nid"), col("dist"))
+  }
+
   /** k-means (Lloyd), 2 iterations, k=8, deterministic seeds (vec_id
     * 0..7) — the clustering step of corpus curation (topic balancing,
     * IVF codebook training). Exact cross-engine by construction:
@@ -277,5 +327,6 @@ object AnnQueries {
     assign(cent1)
   }
 
-  val all: Seq[QueryDef] = Seq(annTopk, centroids, centroidSpread, ivfTopk, ivfPruned, kmeans)
+  val all: Seq[QueryDef] = Seq(annTopk, centroids, centroidSpread, ivfTopk,
+    ivfPruned, ivfNprobe, kmeans)
 }

@@ -116,6 +116,32 @@ object RelationalQueries2 {
           <= col("n_supps_exact") * (3 * rsd)).as("supps_ok"))
   }
 
+  /** Approximate percentile with the rank-error bound ENCODED IN THE
+    * QUERY, like [[approxDistinct]]: `percentile_approx` (accuracy
+    * 10000 → rank error ≤ N/10000) must land between the exact p±5%
+    * quantiles computed by the SAME engine — each engine checks its own
+    * bounds, the oracle asserts literal TRUE, and a sketch outside the
+    * envelope fails the hash gate. The exact element-based median twin
+    * is `q_median` (window formulation).
+    */
+  val approxQuantile: QueryDef = QueryDef.sql(
+    "q_approx_quantile",
+    """SELECT l_returnflag, count(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("a90"),
+        expr("percentile(l_extendedprice, 0.45)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.85)").as("lo90"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi90"))
+      .select(col("l_returnflag"), col("n"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_ok"),
+        (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_ok"))
+  }
+
   /** Monthly revenue trend: date_trunc bucketing over two years. */
   val monthlyTrend: QueryDef = QueryDef.sql(
     "q_monthly_trend",
@@ -192,5 +218,5 @@ object RelationalQueries2 {
   }
 
   val all: Seq[QueryDef] = Seq(cube, rollup, groupingSets, approxDistinct,
-    monthlyTrend, distinctCounts, setOps, saltedAgg)
+    approxQuantile, monthlyTrend, distinctCounts, setOps, saltedAgg)
 }
