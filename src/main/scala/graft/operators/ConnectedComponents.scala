@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, GraftShim, Observation}
+import org.apache.spark.sql.{DataFrame, GraftShim, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Connected components over an undirected edge list — turns near-dup
   * PAIRS into dedup GROUPS (component id = min doc id in the group, i.e.
@@ -38,17 +39,37 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge count at or below which the graph is solved on the driver
+    * instead of iterating cluster jobs — the broadcast-join analogy:
+    * Spark ships ≤10 MB tables to the driver for broadcast; 100k edges
+    * is 1.6 MB of id pairs, and union-find resolves them in
+    * milliseconds where the distributed loop pays O(log d) scheduler
+    * round-trips. Near-dup pair graphs at petabyte corpus scale exceed
+    * this immediately (the 10× fixture replica's ngram pair graph is
+    * already 248k edges — see PLANS.md §round-3), so the loop stays the
+    * production path; the gate only short-circuits genuinely tiny
+    * graphs (the sf0.1 fixtures: 256 and 92 edges).
+    */
+  val DriverMaxEdges = 100000L
+
   /** pairs(aCol, bCol) → (id, component) for every endpoint, where
     * component = min id reachable. Deterministic.
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 maxIter: Int = 20): DataFrame = {
+                 maxIter: Int = 20,
+                 driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     // materialize the (expensive) upstream pair pipeline exactly once, at
     // the session's normal parallelism; everything after is graph-sized
     val pairsCp0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .localCheckpoint(true)
     val nPairs = pairsCp0.count() // cheap: counts the checkpointed partitions
+    val longIds = pairsCp0.schema.fields.forall(_.dataType == LongType)
+    if (longIds && nPairs <= driverMaxEdges) {
+      System.err.println(s"[graft.cc] $nPairs edges <= $driverMaxEdges: driver union-find")
+      return driverComponents(spark, pairsCp0)
+    }
+    System.err.println(s"[graft.cc] $nPairs edges: distributed hash-to-min loop")
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nPairs / 5000L + 1L)).toInt
     // graph-sized shuffles, isolated from the caller's session: the loop
@@ -107,5 +128,29 @@ object ConnectedComponents {
     // hand the (checkpointed, leaf-plan) result back on the caller's
     // session so downstream ops run under the caller's conf
     GraftShim.rebind(spark, labels)
+  }
+
+  /** Driver-side union-find for graphs under [[DriverMaxEdges]].
+    * Union-by-min keeps each set's root equal to its minimum id (a
+    * union links the larger root under the smaller), so after path
+    * compression `find(x)` IS the component label — identical output
+    * to the distributed loop, including on an empty edge set.
+    */
+  private def driverComponents(spark: SparkSession, pairsCp: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    pairsCp.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    spark.createDataFrame(out).toDF("id", "component")
   }
 }
