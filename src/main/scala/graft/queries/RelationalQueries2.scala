@@ -128,18 +128,18 @@ object RelationalQueries2 {
     "q_approx_quantile",
     """SELECT l_returnflag, count(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    // array-percentage forms: ONE exact accumulation and ONE sketch per
+    // group (four separate percentile() exprs each build their own
+    // value map — 4x the agg state for the same answer)
     Tables(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("a90"),
-        expr("percentile(l_extendedprice, 0.45)").as("lo50"),
-        expr("percentile(l_extendedprice, 0.55)").as("hi50"),
-        expr("percentile(l_extendedprice, 0.85)").as("lo90"),
-        expr("percentile(l_extendedprice, 0.95)").as("hi90"))
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("a"),
+        expr("percentile(l_extendedprice, array(0.45, 0.55, 0.85, 0.95))").as("p"))
       .select(col("l_returnflag"), col("n"),
-        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_ok"),
-        (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_ok"))
+        (col("a")(0) >= col("p")(0) && col("a")(0) <= col("p")(1)).as("p50_ok"),
+        (col("a")(1) >= col("p")(2) && col("a")(1) <= col("p")(3)).as("p90_ok"))
   }
 
   /** Monthly revenue trend: date_trunc bucketing over two years. */

@@ -61,5 +61,39 @@ object VectorQueries {
       .limit(10)
   }
 
-  val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk)
+  /** The SQL TEXT surface end-to-end: temp views + the registered
+    * `graft_*` functions ([[graft.GraftFunctions.register]]) through
+    * `spark.sql(...)` — parser → analyzer (function resolution) →
+    * the same codegen kernels. This is the deployment story
+    * (`spark.sql.extensions=graft.GraftExtensions`) exercised as a
+    * gate query, not just a unit test: a SQL-only user retrieves
+    * neighbors and fingerprints with no DataFrame code at all.
+    */
+  val sqlSurface: QueryDef = QueryDef.sql(
+    "q_sql_surface",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |d AS (SELECT doc_id, ${graft.functions.TextFunctions.polyHashSql("text")} AS fp
+       |      FROM documents)
+       |SELECT e.vec_id AS nid, ${cosDistSql("e.v", "q.qv")} AS dist, d.fp AS fp
+       |FROM e JOIN d ON d.doc_id = e.vec_id, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY dist, nid
+       |LIMIT 10""".stripMargin) { (spark, dir) =>
+    graft.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("g_embeddings")
+    Tables(spark, dir, "documents").createOrReplaceTempView("g_documents")
+    spark.sql(
+      """SELECT e.vec_id AS nid,
+        |       graft_cosine_distance(e.embedding, q.qv) AS dist,
+        |       graft_polyhash(d.text) AS fp
+        |FROM g_embeddings e
+        |JOIN g_documents d ON d.doc_id = e.vec_id,
+        |     (SELECT embedding AS qv FROM g_embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY dist, nid
+        |LIMIT 10""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk, sqlSurface)
 }
