@@ -176,5 +176,39 @@ object TextStatsQueries {
         expr("(cum - n_tok) div 512").as("bin"))
   }
 
-  val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit, docFreq, seqPack)
+  /** BPE-ish pre-tokenizer regex (GPT-2 shape: contractions, then
+    * space-prefixed letter runs, digit runs, punctuation runs, residual
+    * whitespace). Restricted to ASCII classes and no lookaheads so Java
+    * regex (Spark) and RE2 (DuckDB) match identically — both engines
+    * use leftmost-first alternation.
+    */
+  private val BpePat =
+    "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+  private val BpeSqlPat = BpePat.replace("'", "''") // SQL-literal quoting
+
+  /** Token counting the way a training pipeline budgets documents:
+    * whitespace tokens (the cheap estimate) beside a BPE-style
+    * pre-tokenizer count, plus chars-per-token — the compression-ratio
+    * proxy used for quality filtering. Map-only; both counts are pure
+    * regex algebra the oracle replays exactly.
+    */
+  val bpeTokens: QueryDef = QueryDef.sql(
+    "q_bpe_tokens",
+    s"""SELECT doc_id,
+       |       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+       |       CAST(len(regexp_extract_all(text, '$BpeSqlPat')) AS BIGINT) AS n_bpe,
+       |       CAST(length(text) AS DOUBLE)
+       |         / greatest(len(regexp_extract_all(text, '$BpeSqlPat')), 1) AS chars_per_tok
+       |FROM documents""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"), lit(BpePat), lit(0))).cast("long").as("n_bpe"),
+        (length(col("text")).cast("double") /
+          greatest(size(regexp_extract_all(col("text"), lit(BpePat), lit(0))), lit(1)))
+          .as("chars_per_tok"))
+  }
+
+  val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
+    docFreq, seqPack, bpeTokens)
 }
