@@ -209,6 +209,75 @@ object TextStatsQueries {
           .as("chars_per_tok"))
   }
 
+  /** BM25 query terms (fixture vocabulary, mixed document frequency). */
+  private val Bm25Terms = Seq("spark", "window", "filter")
+
+  /** BM25 lexical retrieval (k1=1.2, b=0.75) — the classic keyword
+    * scorer beside the engine's cosine retrieval; together they are the
+    * hybrid-search pair every RAG stack runs. Plan shape is an inverted
+    * index build scoped to the query: explode tokens, keep ONLY query
+    * terms (the `IN` prunes before any shuffle), count postings per
+    * (doc, term); document length and corpus stats join back broadcast.
+    * At 100 TB only the query terms' postings ever travel.
+    *
+    * Cross-engine determinism: every constant is pre-folded (2.2, 0.25)
+    * so both engines evaluate the literally identical double expression
+    * tree; per-term contributions are summed in WRITTEN order, never by
+    * aggregation. `ln` is the one libm call — glibc and the JVM may
+    * disagree in the last ulp — so the OUTPUT score is quantized
+    * (`floor(score * 65536)` as BIGINT), which also makes the top-10
+    * ORDER BY exact in both engines.
+    */
+  val bm25: QueryDef = QueryDef.sql(
+    "q_bm25", {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val cases = Bm25Terms.map(t =>
+        s"coalesce(max(CASE WHEN tok = '$t' THEN contrib END), CAST(0 AS DOUBLE))")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |p AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |      WHERE tok IN ($termList) GROUP BY doc_id, tok),
+         |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY tok),
+         |c AS (SELECT p.doc_id, p.tok,
+         |             ln(CAST(1 AS DOUBLE) + (CAST(s.n_docs - f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |               * (CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |               / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE))) AS contrib
+         |      FROM p JOIN d USING (doc_id) JOIN f ON f.tok = p.tok, s)
+         |SELECT doc_id,
+         |       CAST(floor((${cases.mkString(" + ")}) * CAST(65536 AS DOUBLE)) AS BIGINT) AS score_q
+         |FROM c GROUP BY doc_id
+         |ORDER BY score_q DESC, doc_id
+         |LIMIT 10""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        (log(lit(1.0) + ((col("n_docs") - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))
+          * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl").cast("double") * col("n_docs").cast("double")
+              / col("sum_dl").cast("double")))).as("contrib"))
+    val perTerm = Bm25Terms.map(t =>
+      coalesce(max(when(col("tok") === t, col("contrib"))), lit(0.0)))
+    contrib.groupBy("doc_id")
+      .agg(floor(perTerm.reduce(_ + _) * lit(65536.0)).cast("long").as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
-    docFreq, seqPack, bpeTokens)
+    docFreq, seqPack, bpeTokens, bm25)
 }
