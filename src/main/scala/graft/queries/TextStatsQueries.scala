@@ -228,29 +228,33 @@ object TextStatsQueries {
     * (`floor(score * 65536)` as BIGINT), which also makes the top-10
     * ORDER BY exact in both engines.
     */
-  val bm25: QueryDef = QueryDef.sql(
-    "q_bm25", {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      val cases = Bm25Terms.map(t =>
-        s"coalesce(max(CASE WHEN tok = '$t' THEN contrib END), CAST(0 AS DOUBLE))")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
-         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
-         |p AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-         |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-         |      WHERE tok IN ($termList) GROUP BY doc_id, tok),
-         |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY tok),
-         |c AS (SELECT p.doc_id, p.tok,
-         |             ln(CAST(1 AS DOUBLE) + (CAST(s.n_docs - f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-         |               * (CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
-         |               / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE))) AS contrib
-         |      FROM p JOIN d USING (doc_id) JOIN f ON f.tok = p.tok, s)
-         |SELECT doc_id,
-         |       CAST(floor((${cases.mkString(" + ")}) * CAST(65536 AS DOUBLE)) AS BIGINT) AS score_q
-         |FROM c GROUP BY doc_id
-         |ORDER BY score_q DESC, doc_id
-         |LIMIT 10""".stripMargin
-    }) { (spark, dir) =>
+  /** Shared oracle fragment: CTEs ending in `bm(doc_id, score_q)` —
+    * every scored doc, unlimited. Used by [[bm25]] and [[hybridRrf]].
+    */
+  private def bm25CoreSql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val cases = Bm25Terms.map(t =>
+      s"coalesce(max(CASE WHEN tok = '$t' THEN contrib END), CAST(0 AS DOUBLE))")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |p AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |      WHERE tok IN ($termList) GROUP BY doc_id, tok),
+       |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY tok),
+       |c AS (SELECT p.doc_id, p.tok,
+       |             ln(CAST(1 AS DOUBLE) + (CAST(s.n_docs - f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |               * (CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |               / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE))) AS contrib
+       |      FROM p JOIN d USING (doc_id) JOIN f ON f.tok = p.tok, s),
+       |bm AS (SELECT doc_id,
+       |              CAST(floor((${cases.mkString(" + ")}) * CAST(65536 AS DOUBLE)) AS BIGINT) AS score_q
+       |       FROM c GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Shared Spark side: every scored doc `(doc_id, score_q)`, unlimited. */
+  private def bm25Scores(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
@@ -274,10 +278,75 @@ object TextStatsQueries {
       coalesce(max(when(col("tok") === t, col("contrib"))), lit(0.0)))
     contrib.groupBy("doc_id")
       .agg(floor(perTerm.reduce(_ + _) * lit(65536.0)).cast("long").as("score_q"))
+  }
+
+  val bm25: QueryDef = QueryDef.sql(
+    "q_bm25",
+    s"""WITH $bm25CoreSql
+       |SELECT doc_id, score_q FROM bm
+       |ORDER BY score_q DESC, doc_id
+       |LIMIT 10""".stripMargin) { (spark, dir) =>
+    bm25Scores(spark, dir)
       .orderBy(col("score_q").desc, col("doc_id").asc)
       .limit(10)
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion (k=60) of the BM25
+    * top-10 and the cosine top-10, FULL OUTER joined on doc id (a doc
+    * in one list only still scores). RRF needs no score calibration
+    * across the two retrievals — only ranks — which is why it's the
+    * standard fusion; and because ranks are small integers, the fused
+    * score `1/(60+r_cos) + 1/(60+r_bm)` is bit-identical cross-engine
+    * with NO quantization (the BM25 ln sits behind an already-quantized
+    * rank). Both lists are top-k prunes (TakeOrderedAndProject), so at
+    * scale this is two retrievals plus a 20-row join.
+    */
+  val hybridRrf: QueryDef = QueryDef.sql(
+    "q_hybrid_rrf",
+    s"""WITH $bm25CoreSql,
+       |bmr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS r_bm
+       |        FROM (SELECT doc_id, score_q FROM bm ORDER BY score_q DESC, doc_id LIMIT 10)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cd AS (SELECT vec_id AS doc_id, ${graft.functions.VectorFunctions.cosDistSql("v", "qv")} AS dist
+       |       FROM e, q WHERE vec_id <> 0
+       |       ORDER BY dist, vec_id LIMIT 10),
+       |cosr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dist, doc_id) AS BIGINT) AS r_cos FROM cd)
+       |SELECT doc_id,
+       |       CAST(coalesce(r_cos, 0) AS BIGINT) AS r_cos,
+       |       CAST(coalesce(r_bm, 0) AS BIGINT) AS r_bm,
+       |       coalesce(CAST(1 AS DOUBLE) / CAST(r_cos + 60 AS DOUBLE), CAST(0 AS DOUBLE))
+       |         + coalesce(CAST(1 AS DOUBLE) / CAST(r_bm + 60 AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf
+       |FROM bmr FULL OUTER JOIN cosr USING (doc_id)
+       |ORDER BY rrf DESC, doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosineDistance
+    val bmr = bm25Scores(spark, dir)
+      .orderBy(col("score_q").desc, col("doc_id").asc).limit(10)
+      // 10-row frame post-limit: the unpartitioned window is a single
+      // tiny task by construction, not a scale hazard
+      .withColumn("r_bm", row_number()
+        .over(Window.orderBy(col("score_q").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "r_bm")
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val qlit = array(qv.map(lit): _*)
+    val cosr = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"),
+        cosineDistance(col("embedding"), qlit).as("dist"))
+      .orderBy(col("dist").asc, col("doc_id").asc).limit(10)
+      .withColumn("r_cos", row_number()
+        .over(Window.orderBy(col("dist").asc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "r_cos")
+    bmr.join(cosr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_cos"), lit(0L)).as("r_cos"),
+        coalesce(col("r_bm"), lit(0L)).as("r_bm"),
+        (coalesce(lit(1.0) / (col("r_cos") + lit(60)).cast("double"), lit(0.0))
+          + coalesce(lit(1.0) / (col("r_bm") + lit(60)).cast("double"), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+  }
+
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
-    docFreq, seqPack, bpeTokens, bm25)
+    docFreq, seqPack, bpeTokens, bm25, hybridRrf)
 }
