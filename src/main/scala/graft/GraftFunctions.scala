@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import graft.functions.{CosineDistance, PackSignBitsExpr, PolyHashExpr, ShingleHashesExpr}
+import graft.operators.ChunkGenerator
 
 /** SQL-surface registration: exposes the engine's codegen kernels to
   * `spark.sql(...)` users.
@@ -25,13 +26,21 @@ object GraftFunctions {
     // or NULL second argument is a clear plan-time error, not an NPE
     "graft_pack_sign_bits" -> (es => PackSignBitsExpr(es(0), {
       if (es.length <= 1) 32
-      else if (!es(1).foldable || es(1).eval() == null)
-        throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "INTERNAL_ERROR",
-          messageParameters = Map("message" ->
-            "graft_pack_sign_bits: the bits argument must be a non-null integer literal"))
-      else es(1).eval().asInstanceOf[Number].intValue()
-    })))
+      else foldableInt(es(1), "graft_pack_sign_bits", "bits")
+    })),
+    // generator (table) function: LATERAL VIEW graft_chunk(text, len)
+    "graft_chunk" -> (es =>
+      ChunkGenerator(es(0), foldableInt(es(1), "graft_chunk", "length"))))
+
+  private def foldableInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, arg: String): Int =
+    if (!e.foldable || e.eval() == null)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$fn: the $arg argument must be a non-null integer literal"))
+    else e.eval().asInstanceOf[Number].intValue()
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode/resize is REAL — [[ImageIODecoder]] and [[resizePng]]
   * run on `javax.imageio` (PNG/JPEG/GIF/BMP readers ship with the JDK,
-  * no external dependency). Audio/video decoders genuinely aren't in
-  * this environment, so those stay behind the clearly-marked
-  * deterministic [[StubDecoder]]; the surrounding contract — schema,
-  * partitioning, batch shape, the worker loop — is identical for both,
-  * so productionizing audio means swapping the [[Decoder]] only.
+  * no external dependency). AUDIO decode is REAL too —
+  * [[AudioDecoder]] runs on `javax.sound.sampled` (WAV/AIFF/AU PCM).
+  * Video container demuxers genuinely aren't in this environment, so
+  * video stays behind the clearly-marked deterministic [[StubDecoder]];
+  * the surrounding contract — schema, partitioning, batch shape, the
+  * worker loop — is identical for all three, so productionizing video
+  * means swapping the [[Decoder]] only.
   *
   * Scale notes: media bytes never pass through a shuffle (featurize is a
   * mapPartitions in the scan stage); at 100 TB keep media in its own
@@ -108,10 +110,71 @@ object Multimodal {
     media.withColumn("bytes", resize(col("bytes")))
   }
 
+  /** REAL audio decoder, JDK-only (`javax.sound.sampled`: WAV/AIFF/AU
+    * PCM readers ship with the JDK). Features: `[sample_rate, channels,
+    * bits, duration_ms, n_frames,` then 11 per-block RMS energies`]` —
+    * the audio analog of the thumbnail fingerprint (silence/clipping
+    * detection, VAD-ish quality filters, near-dup blocking). Supports
+    * 8- and 16-bit PCM (signed/unsigned, both endiannesses), mixed down
+    * across channels. Undecodable bytes raise (route compressed codecs
+    * to another [[Decoder]]).
+    */
+  object AudioDecoder extends Decoder {
+    private val Blocks = FeatureDim - 5 // 11 RMS windows
+
+    def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16,
+          s"AudioDecoder handles 8/16-bit PCM, got $bits-bit ($mediaType)")
+        val pcm = in.readAllBytes()
+        val frameSize = fmt.getFrameSize
+        val nFrames = pcm.length / frameSize
+        val ch = fmt.getChannels
+        val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val big = fmt.isBigEndian
+        val sums = new Array[Double](Blocks)
+        val counts = new Array[Long](Blocks)
+        var f = 0
+        while (f < nFrames) {
+          val blk = math.min(Blocks - 1, f * Blocks / math.max(nFrames, 1))
+          var c = 0
+          var mix = 0.0
+          while (c < ch) {
+            val off = f * frameSize + c * (bits / 8)
+            val s =
+              if (bits == 8) {
+                val raw = pcm(off) & 0xff
+                (if (signed) pcm(off).toDouble else (raw - 128).toDouble) / 128.0
+              } else {
+                val (b0, b1) = if (big) (pcm(off), pcm(off + 1)) else (pcm(off + 1), pcm(off))
+                val raw = (b0 << 8) | (b1 & 0xff) // b0 carries the sign
+                (if (signed) raw.toDouble else ((raw & 0xffff) - 32768).toDouble) / 32768.0
+              }
+            mix += s
+            c += 1
+          }
+          mix /= ch
+          sums(blk) += mix * mix
+          counts(blk) += 1
+          f += 1
+        }
+        val rms = Array.tabulate(Blocks) { i =>
+          if (counts(i) == 0) 0f else math.sqrt(sums(i) / counts(i)).toFloat
+        }
+        Array(fmt.getSampleRate, ch.toFloat, bits.toFloat,
+          (nFrames * 1000.0 / fmt.getSampleRate).toFloat, nFrames.toFloat) ++ rms
+      } finally in.close()
+    }
+  }
+
   /** STUB: deterministic fake features from a rolling byte hash — stands
-    * in for the audio/video decoders (genuinely not in this container)
-    * and decodes the text-as-bytes fixtures. Real Spark-side contract;
-    * fake math inside.
+    * in for the video decoders (container demuxers genuinely aren't in
+    * this environment) and decodes the text-as-bytes fixtures. Real
+    * Spark-side contract; fake math inside.
     */
   object StubDecoder extends Decoder {
     def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {

@@ -52,5 +52,22 @@ object TextQueries {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
   }
 
-  val all: Seq[QueryDef] = Seq(chunk)
+  /** The chunker through the SQL TEXT surface: `graft_chunk` registered
+    * as a generator (table) function and invoked via LATERAL VIEW — the
+    * UDTF face of [[graft.operators.ChunkGenerator]], same oracle as
+    * [[chunk]]. With `q_sql_surface`'s scalar functions this completes
+    * the SQL-only user's function surface: scalar, aggregate-shaped and
+    * table functions all reachable from `spark.sql(...)`.
+    */
+  val chunkSql: QueryDef = QueryDef.sql("q_chunk_sql",
+    s"WITH RECURSIVE ${chunkCte(ChunkLen)}\nSELECT doc_id, chunk_idx, chunk FROM chunks") { (spark, dir) =>
+    graft.GraftFunctions.register(spark)
+    Tables(spark, dir, "documents").createOrReplaceTempView("g_documents")
+    spark.sql(
+      s"""SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk
+         |FROM g_documents
+         |LATERAL VIEW graft_chunk(text, $ChunkLen) c AS chunk_idx, chunk""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(chunk, chunkSql)
 }

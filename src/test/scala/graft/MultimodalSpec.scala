@@ -75,6 +75,48 @@ class MultimodalSpec extends SparkSpec {
     assert(back(4) < 0.2f && back(7) > 0.8f)
   }
 
+  /** 16-bit signed little-endian mono WAV: a sine at `amp`, `n` frames. */
+  private def testWav(rate: Float, n: Int, amp: Double): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioDecoder decodes a real WAV: format, duration, block RMS") {
+    val f = Multimodal.AudioDecoder.decode("audio/wav", testWav(8000f, 4000, 0.5))
+    assert(f.length == Multimodal.FeatureDim)
+    assert(f(0) == 8000f && f(1) == 1f && f(2) == 16f) // rate, mono, 16-bit
+    assert(math.abs(f(3) - 500f) < 1f)                 // 4000 frames @ 8kHz = 500 ms
+    assert(f(4) == 4000f)
+    // a constant-amplitude sine has RMS amp/sqrt(2) in every block
+    f.drop(5).foreach(r => assert(math.abs(r - 0.5 / math.sqrt(2)) < 0.01, r))
+    // silence scores ~0 RMS
+    val quiet = Multimodal.AudioDecoder.decode("audio/wav", testWav(8000f, 4000, 0.0))
+    quiet.drop(5).foreach(r => assert(r < 1e-4))
+  }
+
+  test("featurize with AudioDecoder over a media frame of real WAVs") {
+    val mediaDf = Seq(
+      (30L, "audio/wav", testWav(8000f, 1600, 0.25)),
+      (31L, "audio/wav", testWav(16000f, 1600, 0.25))).toDF("media_id", "media_type", "bytes")
+    val rows = Multimodal.featurize(mediaDf, Multimodal.AudioDecoder)
+      .orderBy("media_id").collect()
+    assert(rows(0).getSeq[Float](3).head == 8000f)
+    assert(rows(1).getSeq[Float](3).head == 16000f)
+    assert(math.abs(rows(0).getSeq[Float](3)(3) - 200f) < 1f) // 1600/8k = 200 ms
+    assert(math.abs(rows(1).getSeq[Float](3)(3) - 100f) < 1f) // 1600/16k = 100 ms
+  }
+
   test("sampleFrames explodes 1KiB blocks at the stride") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 2), 2)
     val idx = frames.select("frame_idx").as[Int].collect().sorted.toSeq
