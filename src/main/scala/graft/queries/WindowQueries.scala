@@ -61,5 +61,33 @@ object WindowQueries {
         max(col("n")).as("n"))
   }
 
-  val all: Seq[QueryDef] = Seq(runningSum, median)
+  /** The remaining ranking/navigation window surface in one query:
+    * ntile, percent_rank, cume_dist, lag, lead — per customer over the
+    * deterministic (o_orderdate, o_orderkey) order. The tie-free
+    * ordering makes every peer group a single row, so the rank-based
+    * doubles are the same trivially-exact fractions in both engines;
+    * lag/lead emit NULL at the edges (hash-identical).
+    */
+  val windowFuncs: QueryDef = QueryDef.sql(
+    "q_window_funcs",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(ntile(4)      OVER w AS BIGINT) AS quartile,
+      |       percent_rank()     OVER w AS pr,
+      |       cume_dist()        OVER w AS cd,
+      |       lag(o_totalprice)  OVER w AS prev_price,
+      |       lead(o_totalprice) OVER w AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+  }
+
+  val all: Seq[QueryDef] = Seq(runningSum, median, windowFuncs)
 }
