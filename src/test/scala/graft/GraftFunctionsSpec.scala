@@ -33,6 +33,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(eNull.getMessage.contains("integer literal"))
   }
 
+  test("graft_chunk generator works in LATERAL VIEW; non-literal length errors") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT chunk_idx, chunk
+        |FROM (SELECT 'alpha beta gamma delta' AS t)
+        |LATERAL VIEW graft_chunk(t, 10) c AS chunk_idx, chunk""".stripMargin)
+      .collect()
+    assert(rows.length > 1)                    // the 22-char text splits
+    assert(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM range(1) LATERAL VIEW graft_chunk('x', cast(id AS INT)) c AS i, s")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("extensions class registers functions at session build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]")

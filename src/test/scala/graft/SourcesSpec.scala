@@ -49,4 +49,15 @@ class SourcesSpec extends SparkSpec {
     assert(df.as[(Long, String)].collect().sorted.toSeq ==
       Seq((1L, "comma, inside"), (2L, "plain")))
   }
+
+  test("ORC: columnar round-trip with filter pushdown to the scan") {
+    val dir = Files.createTempDirectory("orcsrc").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("doc_id") < 10)
+    assert(back.count() == docs.filter(col("doc_id") < 10).count())
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("LessThan(doc_id,10)"), s"filter not pushed to ORC scan:\n$scan")
+  }
 }
