@@ -131,4 +131,45 @@ class VdbSpec extends SparkSpec {
     val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("_temp"))
     assert(leftovers.isEmpty)
   }
+
+  test("DSv2 commit protocol: speculative duplicate attempt never surfaces; abort keeps prior data") {
+    import graft.sources.{SerializableHadoopConf, VdbBatchWrite, VdbCommitMessage}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def row(t: String, v: Array[Double]) =
+      InternalRow(UTF8String.fromString(t), new GenericArrayData(v))
+    val dir = Files.createTempDirectory("vdbspec").toString
+    val conf = new SerializableHadoopConf(new org.apache.hadoop.conf.Configuration())
+    val bw = new VdbBatchWrite(dir, 0, 1, Vdb.TypeDouble, false, "jobaaa", conf)
+    val factory = bw.createBatchWriterFactory(null) // PhysicalWriteInfo unused
+    // partition 0 runs TWICE (speculation): both attempts task-commit
+    // their spool files, but the driver only passes attempt 1's message
+    val w00 = factory.createWriter(0, 0L)
+    w00.write(row("stale attempt", Array(9.0, 9.0)))
+    w00.commit()
+    val w01 = factory.createWriter(0, 1L)
+    w01.write(row("alpha", Array(1.0, 2.0)))
+    val m01 = w01.commit()
+    val w1 = factory.createWriter(1, 2L)
+    w1.write(row("beta", Array(3.0, 4.0)))
+    val m1 = w1.commit()
+    bw.commit(Array(m01, m1))
+    // only .vdb parts (the local FS also spools Hadoop .crc siblings)
+    def vdbs() = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".vdb")).sorted.toSeq
+    assert(vdbs() == Seq("part-jobaaa-0.vdb", "part-jobaaa-1.vdb")) // no temp dir, no loser
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_temp")))
+    val back = spark.read.format("graft.sources.VdbDataSource").load(dir)
+      .orderBy("text").as[(String, Seq[Double])].collect().toSeq
+    assert(back == Seq(("alpha", Seq(1.0, 2.0)), ("beta", Seq(3.0, 4.0))))
+    // a later job that ABORTS leaves the committed data untouched
+    val bw2 = new VdbBatchWrite(dir, 0, 1, Vdb.TypeDouble, false, "jobbbb", conf)
+    val f2 = bw2.createBatchWriterFactory(null)
+    val w2 = f2.createWriter(0, 9L)
+    w2.write(row("never lands", Array(7.0)))
+    val m2 = w2.commit().asInstanceOf[VdbCommitMessage]
+    bw2.abort(Array(m2))
+    assert(vdbs() == Seq("part-jobaaa-0.vdb", "part-jobaaa-1.vdb"))
+  }
 }
