@@ -314,9 +314,16 @@ object AnnQueries {
     val cent0 = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
     val asg1 = assign(cent0).drop("d2")
-    // exact per-dim means of each cluster's members (2^52 quantization),
-    // re-assembled into dim-ordered centroid arrays
-    val cent1 = asg1.join(emb, "vec_id")
+    assign(lloydUpdate(emb, asg1))
+  }
+
+  /** One Lloyd centroid UPDATE: exact per-dim means of each cluster's
+    * members (2^52 quantization), re-assembled into dim-ordered centroid
+    * arrays `(cluster, cv)`. Shared by [[kmeans]] and [[ivfKmeans]].
+    */
+  private def lloydUpdate(emb: org.apache.spark.sql.DataFrame,
+                          asg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    asg.join(emb, "vec_id")
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("i0", "x")))
       .select(col("cluster"), col("i0"), floor(col("x") * S52d).cast("long").as("ix"))
       .groupBy("cluster", "i0")
@@ -324,9 +331,71 @@ object AnnQueries {
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("i0"), col("c")))),
         e => e.getField("c")).as("cv"))
-    assign(cent1)
+
+  /** The full production ANN path in one query: TRAIN a codebook (one
+    * Lloyd update from the seeds — the `q_kmeans` math), BUILD the
+    * physical index partitioned by the trained assignment, PROBE the
+    * query's nearest trained centroid with file-level pruning, re-rank
+    * by exact cosine. `q_kmeans`, `q_ivf_pruned` and this query chain
+    * the same verified pieces; here they compose end-to-end, the way a
+    * real corpus index is actually operated (train → layout → serve).
+    */
+  val ivfKmeans: QueryDef = QueryDef.sql(
+    "q_ivf_kmeans",
+    s"""WITH ed AS (SELECT vec_id, i, embedding[i] AS x,
+       |                  CAST(floor(embedding[i] * $S52) AS BIGINT) AS ix
+       |           FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)),
+       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < 8),
+       |a1 AS (SELECT ed.vec_id, c0.cluster,
+       |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
+       |s1 AS (SELECT vec_id, cluster FROM (
+       |         SELECT vec_id, cluster,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |         FROM a1) WHERE rn = 1),
+       |c1 AS (SELECT s1.cluster, ed.i, CAST(sum(ed.ix) AS DOUBLE) / $S52 / count(*) AS c
+       |       FROM ed JOIN s1 ON s1.vec_id = ed.vec_id GROUP BY 1, 2),
+       |a2 AS (SELECT ed.vec_id, c1.cluster,
+       |              CAST(sum(CAST(floor((ed.x - c1.c) * (ed.x - c1.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed JOIN c1 ON c1.i = ed.i GROUP BY 1, 2),
+       |s2 AS (SELECT vec_id, cluster FROM (
+       |         SELECT vec_id, cluster,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |         FROM a2) WHERE rn = 1),
+       |qd AS (SELECT i, embedding[i] AS qx
+       |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i) WHERE vec_id = 0),
+       |cd AS (SELECT c1.cluster,
+       |              CAST(sum(CAST(floor((qd.qx - c1.c) * (qd.qx - c1.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM c1 JOIN qd ON qd.i = c1.i GROUP BY 1),
+       |best AS (SELECT cluster FROM cd ORDER BY d2, cluster LIMIT 1),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT CAST(s2.cluster AS BIGINT) AS probe_cluster, e.vec_id AS nid,
+       |       ${cosDistSql("e.v", "q.qv")} AS dist
+       |FROM e JOIN s2 ON s2.vec_id = e.vec_id
+       |       JOIN best ON s2.cluster = best.cluster, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY dist, e.vec_id
+       |LIMIT 5""".stripMargin) { (spark, dir) =>
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val seeds0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    val cent1 = lloydUpdate(emb, IvfIndex.assign(emb, seeds0))
+    val indexDir = s"/tmp/graft_ivf_km/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    IvfIndex.build(emb, cent1, indexDir)
+    val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val best = IvfIndex.nearestClusters(cent1, qvec, 1)
+    val qlit = array(qvec.map(lit): _*)
+    IvfIndex.probe(spark, indexDir, best)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("dist", cosineDistance(col("embedding"), qlit))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(5)
+      .select(col("cluster").cast("long").as("probe_cluster"),
+        col("vec_id").as("nid"), col("dist"))
   }
 
   val all: Seq[QueryDef] = Seq(annTopk, centroids, centroidSpread, ivfTopk,
-    ivfPruned, ivfNprobe, kmeans)
+    ivfPruned, ivfNprobe, ivfKmeans, kmeans)
 }
