@@ -119,6 +119,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == afterFirst + 150)
   }
 
+  test("streaming near-dup: later micro-batches pair with standing bucket anchors") {
+    import graft.streaming.DedupStreams
+    val srcDir = Files.createTempDirectory("neardup-stream").toString
+    val orig = Tables(spark, sf0001, "documents").select("doc_id", "text")
+    orig.coalesce(1).write.mode("append").parquet(srcDir)
+    Thread.sleep(1100) // distinct file mtimes → deterministic batch order
+    // exact copies under new ids arrive LATER: identical signatures land
+    // in the originals' buckets, whose anchors are already in state
+    orig.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = orig.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = DedupStreams.nearDupCandidates(stream)
+      .writeStream.outputMode("append").format("memory").queryName("neardup").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT doc_id, anchor_id FROM neardup")
+        .as[(Long, Long)].collect().toMap
+      // every copy is flagged; each anchors to a batch-1 doc (usually its
+      // original, but an original that shares a bucket anchors there too)
+      val nDocs = orig.count()
+      val copies = pairs.keys.filter(_ >= 10000L)
+      assert(copies.size == nDocs, s"${copies.size} of $nDocs copies flagged")
+      assert(copies.forall(c => pairs(c) < 10000L))
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: docs stream -> chunk+embed -> .vdb parts") {
     // the reference's build pipeline (R1->R2->R3->R4) as a stream: each
     // micro-batch of documents is chunked, mock-embedded, and APPENDED to
