@@ -117,9 +117,15 @@ object Dedup {
     */
   def ngramJaccardPairs(hs: DataFrame, idCol: String, threshold: Double,
                         maxDocFreq: Int = 64): DataFrame = {
-    val kept = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq).select("h")
-    val hsk = hs.join(kept, "h")
+    // df-cap as an ANTI-join against the HOT keys (df > cap): the hot
+    // set is the small side (corpus-stopword shingles), so AQE
+    // broadcasts it and the shingle table never shuffles for the
+    // filter. Counting via groupBy keeps map-side combine — a window
+    // over partition h would funnel every hot shingle's rows into one
+    // task, the exact skew this cap exists to remove.
+    val hot = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("h")
+    val hsk = hs.join(hot, Seq("h"), "left_anti")
     val card = hsk.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
     val sa = hsk.select(col(idCol).as("ida"), col("h"))
     val sb = hsk.select(col(idCol).as("idb"), col("h"))
