@@ -95,5 +95,45 @@ object VectorQueries {
         |LIMIT 10""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk, sqlSurface)
+  /** Int8 scalar quantization — the storage-compression step of a
+    * 100 TB vector corpus (4 KB float32 → 1 KB int8 per kilodim
+    * vector; IVF+int8 is the standard serving layout). Per-vector
+    * symmetric scale `m = max|x|`; `q_i = floor(x_i·127/m)` in
+    * left-to-right double math both engines replay exactly. The gate
+    * row is the quantization's integer FINGERPRINT (position-weighted
+    * sum + extremes + exact scale), which pins every q_i without
+    * hashing raw arrays.
+    */
+  val quantizeInt8: QueryDef = QueryDef.sql(
+    "q_quantize_int8",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |             list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |q AS (SELECT vec_id, mx,
+       |             list_transform(range(1, len(v) + 1),
+       |               i -> CAST(floor(v[i] * CAST(127 AS DOUBLE) / mx) AS BIGINT) * i) AS wq,
+       |             list_transform(v, x -> CAST(floor(x * CAST(127 AS DOUBLE) / mx) AS BIGINT)) AS qs
+       |      FROM m WHERE mx > 0)
+       |SELECT vec_id,
+       |       CAST(floor(mx * 4503599627370496e0) AS BIGINT) AS scale_q,
+       |       CAST(list_sum(wq) AS BIGINT) AS qsum,
+       |       CAST(list_min(qs) AS BIGINT) AS qmin,
+       |       CAST(list_max(qs) AS BIGINT) AS qmax
+       |FROM q""".stripMargin) { (spark, dir) =>
+    val v = col("v")
+    def qi(x: org.apache.spark.sql.Column) =
+      floor(x * lit(127.0) / col("mx")).cast("long")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("mx", array_max(transform(v, x => abs(x))))
+      .filter(col("mx") > 0)
+      .select(col("vec_id"),
+        floor(col("mx") * lit(4503599627370496.0)).cast("long").as("scale_q"), // 2^52
+        aggregate(transform(v, (x, i) => qi(x) * (i + 1).cast("long")),
+          lit(0L), (acc, t) => acc + t).as("qsum"),
+        array_min(transform(v, x => qi(x))).as("qmin"),
+        array_max(transform(v, x => qi(x))).as("qmax"))
+  }
+
+  val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk, sqlSurface, quantizeInt8)
 }
