@@ -135,5 +135,50 @@ object VectorQueries {
         array_max(transform(v, x => qi(x))).as("qmax"))
   }
 
-  val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk, sqlSurface, quantizeInt8)
+  /** Quantization-fidelity eval: recall@10 of cosine retrieval over the
+    * int8-DEQUANTIZED vectors against the exact float top-10 — the
+    * measurement that justifies (or vetoes) shipping the compressed
+    * serving layout. Dequantized values (`q_i·m/127`) are identical
+    * doubles in both engines (floor is exact; products/divisions round
+    * identically), so both lists — and the single-row overlap count —
+    * are deterministic cross-engine.
+    */
+  val int8Recall: QueryDef = QueryDef.sql(
+    "q_int8_recall",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |d AS (SELECT vec_id,
+       |             list_transform(v, x ->
+       |               CAST(CAST(floor(x * CAST(127 AS DOUBLE) / mx) AS BIGINT) AS DOUBLE)
+       |                 * mx / CAST(127 AS DOUBLE)) AS dv
+       |      FROM m WHERE mx > 0),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |dqv AS (SELECT dv AS qdv FROM d WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM e, q WHERE vec_id <> 0
+       |       ORDER BY ${cosDistSql("v", "qv")}, vec_id LIMIT 10),
+       |ap AS (SELECT d.vec_id FROM d, dqv WHERE vec_id <> 0
+       |       ORDER BY ${cosDistSql("dv", "qdv")}, vec_id LIMIT 10)
+       |SELECT CAST(count(*) AS BIGINT) AS recall10
+       |FROM ex JOIN ap ON ex.vec_id = ap.vec_id""".stripMargin) { (spark, dir) =>
+    val v = col("v")
+    def qi(x: org.apache.spark.sql.Column) =
+      floor(x * lit(127.0) / col("mx")).cast("long")
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val dq = emb
+      .withColumn("mx", array_max(transform(v, x => abs(x))))
+      .filter(col("mx") > 0)
+      .select(col("vec_id"),
+        transform(v, x => qi(x).cast("double") * col("mx") / lit(127.0)).as("dv"))
+    val qv = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val qdv = dq.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    def top10(df: org.apache.spark.sql.DataFrame, c: String, q: Seq[Double]) =
+      df.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), cosineDistance(col(c), array(q.map(lit): _*)).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+        .select("vec_id")
+    top10(emb, "v", qv).join(top10(dq, "dv", qdv), "vec_id")
+      .agg(count(lit(1)).as("recall10"))
+  }
+
+  val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk, sqlSurface, quantizeInt8, int8Recall)
 }
