@@ -94,5 +94,31 @@ object EventQueries {
         explode(col("mf")).as(Seq("event_type", "n")))
   }
 
-  val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs)
+  /** Heavy hitters — the third tolerance-gated sketch beside
+    * `q_approx_distinct` and `q_approx_quantile`: single-pass
+    * `freqItems` (stream-summary) with support 0.10 must contain every
+    * type whose EXACT share exceeds 0.15 — that containment is the
+    * algorithm's guarantee, order-independent even though the sketch
+    * itself is order-sensitive, so `in_approx` is deterministically
+    * TRUE and the oracle asserts the literal. Exact twin: the counts
+    * themselves, integer-checked in the same row.
+    */
+  val heavyHitters: QueryDef = QueryDef.sql(
+    "q_heavy_hitters",
+    """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM events)
+      |SELECT event_type, n, TRUE AS in_approx
+      |FROM c, t WHERE n > tot * CAST(0.15 AS DOUBLE)""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val approx = ev.stat.freqItems(Array("event_type"), 0.10)
+      .head().getSeq[String](0)
+    val tot = ev.agg(count(lit(1)).as("tot"))
+    ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n") > col("tot") * lit(0.15))
+      .select(col("event_type"), col("n"),
+        col("event_type").isin(approx: _*).as("in_approx"))
+  }
+
+  val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters)
 }
