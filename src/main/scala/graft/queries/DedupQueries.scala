@@ -366,8 +366,48 @@ object DedupQueries {
       .select("doc_id", "n_tokens", "quality")
   }
 
+  /** Benchmark decontamination: test-split documents that share an
+    * 8-gram fingerprint with any train-split document — the standard
+    * eval-leakage check run before every training job. Splits are the
+    * content-hash buckets of `q_sample_split` (so the check is stable
+    * under re-sharding); fingerprints are 8-token shingle hashes, with
+    * ultra-common shingles (df > 64: boilerplate) excluded by the same
+    * hot-key anti-join as the ngram blocker. Shape at 100 TB: one
+    * hash-keyed equi-join between the (small) test side and the train
+    * side — never doc×doc.
+    */
+  val decontam: QueryDef = QueryDef.sql(
+    "q_decontam",
+    s"""WITH sh8 AS (SELECT doc_id, unnest(${shinglesSql("string_split(text, ' ')", 8)}) AS s
+       |            FROM documents),
+       |hs8 AS (SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM sh8),
+       |hot AS (SELECT h FROM hs8 GROUP BY h HAVING count(*) > 64),
+       |k AS (SELECT hs8.doc_id, hs8.h FROM hs8 ANTI JOIN hot USING (h)),
+       |sp AS (SELECT doc_id, ${polyHashSql("text")} % 100 AS bucket FROM documents),
+       |tr AS (SELECT k.doc_id AS train_doc, k.h FROM k JOIN sp USING (doc_id) WHERE sp.bucket < 80),
+       |te AS (SELECT k.doc_id AS test_doc, k.h FROM k JOIN sp USING (doc_id) WHERE sp.bucket >= 90)
+       |SELECT te.test_doc, CAST(count(DISTINCT te.h) AS BIGINT) AS n_shared,
+       |       CAST(min(tr.train_doc) AS BIGINT) AS first_train_doc
+       |FROM te JOIN tr ON te.h = tr.h
+       |GROUP BY te.test_doc""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val hs8 = Dedup.shingleHashTable(docs, "doc_id", "text", 8)
+    val hot = hs8.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 64).select("h")
+    val k = hs8.join(hot, Seq("h"), "left_anti")
+    val sp = docs.select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))
+    val tr = k.join(sp.filter(col("bucket") < 80), "doc_id")
+      .select(col("doc_id").as("train_doc"), col("h"))
+    val te = k.join(sp.filter(col("bucket") >= 90), "doc_id")
+      .select(col("doc_id").as("test_doc"), col("h"))
+    te.join(tr, "h")
+      .groupBy("test_doc")
+      .agg(countDistinct(col("h")).as("n_shared"),
+        min(col("train_doc")).as("first_train_doc"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups,
-    dedupGroups, dedupIncremental, corpusFilter)
+    dedupGroups, dedupIncremental, corpusFilter, decontam)
 }
