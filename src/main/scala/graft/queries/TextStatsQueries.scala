@@ -347,6 +347,41 @@ object TextStatsQueries {
       .orderBy(col("rrf").desc, col("doc_id").asc)
   }
 
+  /** Per-language keep rates ×10000 for the mixture sampler. */
+  private val MixRates = Seq(
+    "en" -> 10000, "de" -> 5000, "fr" -> 2500, "es" -> 1000) // others 500
+
+  /** Domain-mixture sampling — deterministic per-group downsampling to
+    * a target language mix (the data-mixture step before training).
+    * Keep decision = salted content hash under the group's rate, so it
+    * is stable under re-sharding and incremental reruns, independent of
+    * the train/val/test split hash (different salt), and exact dups
+    * always land together. Counts are exact integers — no tolerance
+    * needed, unlike rng-based `sample()` which is neither cross-engine
+    * nor re-run reproducible.
+    */
+  val domainMix: QueryDef = QueryDef.sql(
+    "q_domain_mix", {
+      val cases = MixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""WITH h AS (SELECT doc_id, lang,
+         |                  ${polyHashSql("text || 'mix'")} % 10000 AS u FROM documents),
+         |r AS (SELECT lang, u,
+         |             CASE lang $cases ELSE 500 END AS keep_below FROM h)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(sum(CASE WHEN u < keep_below THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM r GROUP BY lang""".stripMargin
+    }) { (spark, dir) =>
+    val u = polyHash(concat(col("text"), lit("mix"))) % 10000
+    val keepBelow = MixRates.foldLeft(lit(500)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables(spark, dir, "documents")
+      .select(col("lang"), u.as("u"), keepBelow.as("keep_below"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("u") < col("keep_below"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
-    docFreq, seqPack, bpeTokens, bm25, hybridRrf)
+    docFreq, seqPack, bpeTokens, bm25, hybridRrf, domainMix)
 }
