@@ -382,6 +382,37 @@ object TextStatsQueries {
         sum(when(col("u") < col("keep_below"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Repetition detection — the repeated-trigram ratio, the standard
+    * signal for degenerate/boilerplate text (looped generations, spam
+    * keyword stuffing): `1 − distinct_trigrams / total_trigrams`.
+    * Map-only column algebra; the ratio is one exact division.
+    * Emitted with the raw counts so a curation funnel can threshold
+    * either form.
+    */
+  val repetition: QueryDef = QueryDef.sql(
+    "q_repetition",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |             CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_tri,
+       |             CAST(len(${shinglesSql("toks", 3)}) AS BIGINT) AS n_distinct
+       |      FROM t)
+       |SELECT doc_id, n_tri, n_distinct,
+       |       CASE WHEN n_tri = 0 THEN CAST(0 AS DOUBLE)
+       |            ELSE CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / CAST(n_tri AS DOUBLE)
+       |       END AS rep_ratio
+       |FROM g""".stripMargin) { (spark, dir) =>
+    val toks = tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - 2, lit(0)).cast("long").as("n_tri"),
+        size(shingles(col("toks"), 3)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_tri"), col("n_distinct"),
+        when(col("n_tri") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_tri").cast("double"))
+          .as("rep_ratio"))
+  }
+
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
-    docFreq, seqPack, bpeTokens, bm25, hybridRrf, domainMix)
+    docFreq, seqPack, bpeTokens, bm25, hybridRrf, domainMix, repetition)
 }
