@@ -18,19 +18,37 @@ object GraftFunctions {
 
   private val fns: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-    "graft_cosine_distance" -> (es => CosineDistance(es(0), es(1))),
-    "graft_cosine_similarity" -> (es => CosineDistance(es(0), es(1), asDistance = false)),
-    "graft_polyhash" -> (es => PolyHashExpr(es(0))),
-    "graft_shingle_hashes" -> (es => ShingleHashesExpr(es(0), 3)),
+    "graft_cosine_distance" -> (es => { arity(es, 2, 2, "graft_cosine_distance")
+      CosineDistance(es(0), es(1)) }),
+    "graft_cosine_similarity" -> (es => { arity(es, 2, 2, "graft_cosine_similarity")
+      CosineDistance(es(0), es(1), asDistance = false) }),
+    "graft_polyhash" -> (es => { arity(es, 1, 1, "graft_polyhash")
+      PolyHashExpr(es(0)) }),
+    "graft_shingle_hashes" -> (es => { arity(es, 1, 1, "graft_shingle_hashes")
+      ShingleHashesExpr(es(0), 3) }),
     // bits from an optional constant 2nd arg (default 32); a non-foldable
     // or NULL second argument is a clear plan-time error, not an NPE
-    "graft_pack_sign_bits" -> (es => PackSignBitsExpr(es(0), {
-      if (es.length <= 1) 32
-      else foldableInt(es(1), "graft_pack_sign_bits", "bits")
-    })),
+    "graft_pack_sign_bits" -> (es => { arity(es, 1, 2, "graft_pack_sign_bits")
+      PackSignBitsExpr(es(0), {
+        if (es.length <= 1) 32
+        else foldableInt(es(1), "graft_pack_sign_bits", "bits")
+      }) }),
     // generator (table) function: LATERAL VIEW graft_chunk(text, len)
-    "graft_chunk" -> (es =>
-      ChunkGenerator(es(0), foldableInt(es(1), "graft_chunk", "length"))))
+    "graft_chunk" -> (es => { arity(es, 2, 2, "graft_chunk")
+      ChunkGenerator(es(0), foldableInt(es(1), "graft_chunk", "length")) }))
+
+  /** Wrong-argument-count is an AnalysisException, not a raw
+    * IndexOutOfBounds from `es(i)` inside the builder.
+    */
+  private def arity(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      min: Int, max: Int, fn: String): Unit =
+    if (es.length < min || es.length > max)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          (s"$fn: wrong number of arguments (${es.length}; expected " +
+            (if (min == max) s"$min)" else s"$min to $max)"))))
 
   private def foldableInt(
       e: org.apache.spark.sql.catalyst.expressions.Expression,

@@ -52,8 +52,12 @@ case class CosineDistance(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val sim = constRight match {
-      case Some((arr, sqrtBb)) =>
-        val n = math.min(x.numElements(), arr.length)
+      // the hoisted ‖b‖ covers the FULL literal array, which only
+      // equals the truncated-loop norm when the dims match — on a
+      // mismatch fall back to the generic min-length loop so the
+      // result does not depend on whether the query side was foldable
+      case Some((arr, sqrtBb)) if x.numElements() == arr.length =>
+        val n = arr.length
         var ab = 0.0; var aa = 0.0
         var i = 0
         while (i < n) {
@@ -62,6 +66,16 @@ case class CosineDistance(left: Expression, right: Expression,
           i += 1
         }
         ab / (math.sqrt(aa) * sqrtBb)
+      case Some((arr, _)) =>
+        val n = math.min(x.numElements(), arr.length)
+        var ab = 0.0; var aa = 0.0; var bb = 0.0
+        var i = 0
+        while (i < n) {
+          val xi = x.getDouble(i); val yi = arr(i)
+          ab += xi * yi; aa += xi * xi; bb += yi * yi
+          i += 1
+        }
+        ab / (math.sqrt(aa) * math.sqrt(bb))
       case None =>
         val y = b.asInstanceOf[ArrayData]
         val n = math.min(x.numElements(), y.numElements())
@@ -93,14 +107,27 @@ case class CosineDistance(left: Expression, right: Expression,
           // decimal rendering could perturb the last ulp
           val sqrtBbLit =
             s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(sqrtBb)}L)"
+          // the hoisted norm is only valid when dims match; the else
+          // branch is the generic truncated loop (same result as the
+          // non-foldable path for mismatched inputs)
           s"""
              |int $n = java.lang.Math.min($a.numElements(), $arrRef.length);
              |double $ab = 0.0, $aa = 0.0;
-             |for (int $i = 0; $i < $n; $i++) {
-             |  double $xi = $a.getDouble($i);
-             |  $ab += $xi * $arrRef[$i]; $aa += $xi * $xi;
+             |if ($a.numElements() == $arrRef.length) {
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    double $xi = $a.getDouble($i);
+             |    $ab += $xi * $arrRef[$i]; $aa += $xi * $xi;
+             |  }
+             |  ${ev.value} = ${if (asDistance) "1.0 - " else ""}$ab / (java.lang.Math.sqrt($aa) * $sqrtBbLit);
+             |} else {
+             |  double $bb = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    double $xi = $a.getDouble($i);
+             |    double $yi = $arrRef[$i];
+             |    $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
+             |  }
+             |  ${ev.value} = ${if (asDistance) "1.0 - " else ""}$ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
              |}
-             |${ev.value} = ${if (asDistance) "1.0 - " else ""}$ab / (java.lang.Math.sqrt($aa) * $sqrtBbLit);
            """.stripMargin
         case None =>
           s"""

@@ -199,8 +199,10 @@ object AnnQueries {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val seeds = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
-    // physical index: one assignment pass + partitioned write (per sf dir)
-    val indexDir = s"/tmp/graft_ivf/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // physical index: one assignment pass + partitioned write; the dir is
+    // keyed by applicationId + sf dir so concurrent harness processes
+    // never race on the same build/overwrite
+    val indexDir = s"/tmp/graft_ivf/${spark.sparkContext.applicationId}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     IvfIndex.build(emb, seeds, indexDir)
     val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
     val best = IvfIndex.nearestCluster(seeds, qvec)
@@ -251,7 +253,7 @@ object AnnQueries {
     val seeds = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
     // own index dir: gate queries run concurrently, never share a sink
-    val indexDir = s"/tmp/graft_ivf_np/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val indexDir = s"/tmp/graft_ivf_np/${spark.sparkContext.applicationId}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     IvfIndex.build(emb, seeds, indexDir)
     val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
     val probed = IvfIndex.nearestClusters(seeds, qvec, 2)
@@ -382,7 +384,7 @@ object AnnQueries {
     val seeds0 = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
     val cent1 = lloydUpdate(emb, IvfIndex.assign(emb, seeds0))
-    val indexDir = s"/tmp/graft_ivf_km/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val indexDir = s"/tmp/graft_ivf_km/${spark.sparkContext.applicationId}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     IvfIndex.build(emb, cent1, indexDir)
     val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
     val best = IvfIndex.nearestClusters(cent1, qvec, 1)

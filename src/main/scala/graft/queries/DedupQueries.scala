@@ -193,7 +193,7 @@ object DedupQueries {
     */
   val embedNearDupScaled: QueryDef = QueryDef.sql(
     "q_embed_neardup_scaled",
-    s"""WITH cfg AS (SELECT min(b) AS bits
+    s"""WITH cfg AS (SELECT coalesce(min(b), 15) AS bits
        |             FROM (SELECT unnest(range(1, 16)) AS b),
        |                  (SELECT count(*) AS n FROM embeddings)
        |             WHERE (CAST(1 AS BIGINT) << b) * 32 >= n),

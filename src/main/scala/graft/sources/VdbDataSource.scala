@@ -170,7 +170,13 @@ class VdbBatchWrite(path: String, ti: Int, ei: Int, tpe: Byte, truncate: Boolean
         .foreach(s => fs.delete(s.getPath, false))
     messages.foreach {
       case VdbCommitMessage(temp, finalName, n) if n > 0 =>
-        fs.rename(new Path(temp), new Path(dir, finalName))
+        // rename signals failure by RETURN VALUE on some filesystems
+        // (name collision, missing temp) — silently dropping a
+        // partition while reporting success is the worst outcome a
+        // commit protocol can have, so fail the job loudly instead
+        if (!fs.rename(new Path(temp), new Path(dir, finalName)))
+          throw new java.io.IOException(
+            s"vdb commit: rename failed: $temp -> ${new Path(dir, finalName)}")
       case _ => ()
     }
     fs.delete(tempDir, true)

@@ -50,6 +50,18 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("wrong argument count is an AnalysisException, not IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    for (sql <- Seq(
+        "SELECT graft_chunk('x')",                       // generator, 1 of 2
+        "SELECT graft_cosine_distance(array(1.0d))",     // scalar, 1 of 2
+        "SELECT graft_polyhash('a', 'b')",               // scalar, 2 of 1
+        "SELECT graft_pack_sign_bits(array(1.0d), 4, 5)")) { // 3 of 1..2
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage.contains("wrong number of arguments"), sql)
+    }
+  }
+
   test("extensions class registers functions at session build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]")
