@@ -26,7 +26,9 @@ object SparkEntry {
       graft.queries.WindowQueries.all ++
       graft.queries.AsOfQueries.all ++
       graft.queries.SubqueryQueries.all ++
-      graft.queries.PivotQueries.all
+      graft.queries.PivotQueries.all ++
+      graft.queries.TimeSeriesQueries.all ++
+      graft.queries.CorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

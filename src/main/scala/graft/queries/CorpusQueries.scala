@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Corpus-indexing / sampling ops over `documents`: inverted-index
+  * posting lists and deterministic stratified sampling. Both are built
+  * so the per-group work is bounded BEFORE anything is collected — the
+  * property that keeps them alive when "documents" is 100 TB.
+  */
+object CorpusQueries {
+
+  /** Inverted index: token → document frequency + the first 5 postings.
+    * The posting head is rank-limited BEFORE `collect_list` (Spark turns
+    * the `row_number ≤ 5` filter into a map-side WindowGroupLimit), so
+    * at most 5 doc ids per token ever cross the shuffle or enter an
+    * array — an unbounded `collect_list(doc_id)` on a stopword token
+    * would otherwise materialize millions of ids in one row.
+    */
+  val postings: QueryDef = QueryDef.sql(
+    "q_postings",
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> ''),
+      |head AS (
+      |  SELECT tok, doc_id FROM (
+      |    SELECT tok, doc_id,
+      |           row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+      |    FROM toks) WHERE rn <= 5)
+      |SELECT d.tok, d.df, h.posting_head
+      |FROM (SELECT tok, count(*) AS df FROM toks GROUP BY tok) d
+      |JOIN (SELECT tok, list_sort(list(doc_id)) AS posting_head
+      |      FROM head GROUP BY tok) h USING (tok)""".stripMargin) { (spark, dir) =>
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val head = toks
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("tok").orderBy("doc_id")))
+      .filter(col("rn") <= 5)
+      .groupBy("tok").agg(sort_array(collect_list(col("doc_id"))).as("posting_head"))
+    dfreq.join(head, "tok")
+  }
+
+  /** Deterministic stratified sample: exactly k=10 documents per
+    * language, chosen by a multiplicative-hash order (Knuth constant) so
+    * the pick is stable under re-sharding and identical in both engines
+    * — integer algebra, no RNG. The `rank ≤ k` filter again runs as a
+    * map-side WindowGroupLimit: only ~k rows per stratum reach the
+    * shuffle regardless of corpus size.
+    */
+  val stratifiedK: QueryDef = QueryDef.sql(
+    "q_stratified_k",
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 10""".stripMargin) { (spark, dir) =>
+    val order = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        row_number().over(
+          Window.partitionBy("lang").orderBy(order, col("doc_id"))).as("rn"))
+      .filter(col("rn") <= 10)
+      // row_number is INT in Spark, BIGINT in DuckDB — BIGINT on both
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+  }
+
+  val all: Seq[QueryDef] = Seq(postings, stratifiedK)
+}

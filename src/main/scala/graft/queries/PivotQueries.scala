@@ -28,5 +28,31 @@ object PivotQueries {
     pivoted.select(col("user_id") +: Types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
   }
 
-  val all: Seq[QueryDef] = Seq(eventPivot)
+  /** The inverse op: a wide per-flag aggregate melted to long form via
+    * `Dataset.unpivot` (Spark's native melt — one generated projection,
+    * no join). Measures are BIGINT so the shared value column needs no
+    * lossy common-type promotion.
+    */
+  val unpivot: QueryDef = QueryDef.sql(
+    "q_unpivot",
+    """WITH wide AS (
+      |  SELECT l_returnflag, count(*) AS n_items,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, measure, value FROM wide
+      |UNPIVOT (value FOR measure IN (n_items, sum_qty, n_orders))""".stripMargin) {
+    (spark, dir) =>
+    val wide = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("n_items"), col("sum_qty"), col("n_orders")),
+      "measure", "value")
+  }
+
+  val all: Seq[QueryDef] = Seq(eventPivot, unpivot)
 }
