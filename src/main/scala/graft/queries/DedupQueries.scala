@@ -92,6 +92,57 @@ object DedupQueries {
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
+  /** Sketch-accuracy eval: MinHash-estimated Jaccard (signature
+    * position-agreement / 8) against the exact shingle Jaccard for every
+    * LSH candidate pair — the minhash twin of `q_int8_recall`
+    * (quantization) and `q_approx_distinct` (HLL): each sketch in the
+    * engine ships with a query that MEASURES its error instead of
+    * asserting it. All integer algebra; est_j = matches/8 is an exact
+    * binary fraction, so both doubles are deterministic cross-engine.
+    */
+  val minhashEst: QueryDef = QueryDef.sql(
+    "q_minhash_est",
+    s"""WITH $ShCte,
+       |$HsCte,
+       |$SigCte,
+       |$BandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       |              AND a.doc_id < b.doc_id),
+       |$CardCte,
+       |inter AS (SELECT c.ida, c.idb, count(*) AS i
+       |          FROM cand c JOIN hs sa ON sa.doc_id = c.ida
+       |                      JOIN hs sb ON sb.doc_id = c.idb AND sb.h = sa.h
+       |          GROUP BY c.ida, c.idb),
+       |est AS (SELECT c.ida, c.idb,
+       |               CAST(${(0 until 8).map(j =>
+                         s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS matches
+       |        FROM cand c JOIN sig a ON a.doc_id = c.ida
+       |                    JOIN sig b ON b.doc_id = c.idb)
+       |SELECT e.ida, e.idb, e.matches,
+       |       CAST(e.matches AS DOUBLE) / 8 AS est_j,
+       |       CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
+       |FROM est e JOIN inter i ON i.ida = e.ida AND i.idb = e.idb
+       |           JOIN card ca ON ca.doc_id = e.ida
+       |           JOIN card cb ON cb.doc_id = e.idb""".stripMargin) { (spark, dir) =>
+    val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(hs, "doc_id")
+    val cand = Dedup.lshCandidates(sig, "doc_id")
+    val sa = sig.select(col("doc_id").as("ida") +:
+      (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
+    val sb = sig.select(col("doc_id").as("idb") +:
+      (0 until 8).map(j => col(s"m$j").as(s"b$j")): _*)
+    val matches = (0 until 8)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand.join(sa, "ida").join(sb, "idb")
+      .select(col("ida"), col("idb"), matches.as("matches"))
+    est.join(Dedup.jaccardForPairs(cand, hs, "doc_id"), Seq("ida", "idb"))
+      .select(col("ida"), col("idb"), col("matches"),
+        (col("matches").cast("double") / 8).as("est_j"), col("jaccard"))
+  }
+
   val ngramJaccard: QueryDef = QueryDef.sql(
     "q_ngram_jaccard",
     s"""WITH $ShCte,
@@ -407,7 +458,7 @@ object DedupQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupCanonical, minhashSig, minhashLshPairs, ngramJaccard,
+    dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups,
     dedupGroups, dedupIncremental, corpusFilter, decontam)
 }
