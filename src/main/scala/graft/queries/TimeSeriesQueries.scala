@@ -74,5 +74,55 @@ object TimeSeriesQueries {
         sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("sum_1h"))
   }
 
-  val all: Seq[QueryDef] = Seq(gapFill, rollingHour)
+  /** Range (interval-containment) join, executed the scale-safe way:
+    * each interval explodes to the hour buckets it overlaps, events
+    * equi-join on their hour bucket (the tiny exploded interval table
+    * broadcasts), and the true `lo ≤ ts < hi` predicate runs as a
+    * residual filter. A naive non-equi join would plan as a
+    * nested-loop over every (event, interval) pair; bucketing makes the
+    * candidate set |events| × overlap(≤3) instead. All boundary
+    * arithmetic is epoch-µs BIGINT, so no interval-type semantics enter
+    * the comparison. The oracle states the same join as the plain range
+    * predicate. Intervals (93 min every 48 h, offset 17 min from the
+    * first hour) deliberately straddle bucket boundaries.
+    */
+  val rangeJoin: QueryDef = QueryDef.sql(
+    "q_range_join",
+    """WITH b AS (SELECT epoch_us(date_trunc('hour', min(ts))) AS t0 FROM events),
+      |iv AS (SELECT k, t0 + (17 + k*2880) * CAST(60000000 AS BIGINT) AS lo,
+      |              t0 + (110 + k*2880) * CAST(60000000 AS BIGINT) AS hi
+      |       FROM b, (SELECT unnest(range(0, 15)) AS k))
+      |SELECT CAST(iv.k AS BIGINT) AS interval_id,
+      |       count(e.event_id) AS n,
+      |       CAST(coalesce(sum(CAST(e.value AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_value
+      |FROM iv LEFT JOIN events e
+      |  ON epoch_us(e.ts) >= iv.lo AND epoch_us(e.ts) < iv.hi
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val HourUs = 3600L * 1000000L
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("value"), unix_micros(col("ts")).as("us"))
+    val iv = e.sparkSession.range(0, 15).toDF("k")
+      .crossJoin(Tables.events(spark, dir)
+        .agg(unix_micros(date_trunc("hour", min(col("ts")))).as("t0")))
+      .select(col("k"),
+        (col("t0") + (lit(17L) + col("k") * 2880L) * 60000000L).as("lo"),
+        (col("t0") + (lit(110L) + col("k") * 2880L) * 60000000L).as("hi"))
+    // bucketize: each interval → the hour buckets it overlaps (integer
+    // `div`, not double division — exact at any epoch)
+    val ivb = iv.select(col("k"), col("lo"), col("hi"),
+      explode(sequence(expr("lo div 3600000000"),
+        expr("(hi - 1) div 3600000000"))).as("hb"))
+    val matched = e.withColumn("hb", expr("us div 3600000000"))
+      .join(broadcast(ivb), "hb")
+      .filter(col("us") >= col("lo") && col("us") < col("hi"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    iv.select("k").join(matched, Seq("k"), "left")
+      .select(col("k").cast("long").as("interval_id"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
+  val all: Seq[QueryDef] = Seq(gapFill, rollingHour, rangeJoin)
 }

@@ -180,5 +180,38 @@ object VectorQueries {
       .agg(count(lit(1)).as("recall10"))
   }
 
-  val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk, sqlSurface, quantizeInt8, int8Recall)
+  /** Random-projection dimensionality reduction 64→16 (the cheap ANN
+    * prefilter / JL-sketch step): projection matrix entries are ±1 from
+    * integer hash parity — no RNG, no stored matrix, identical in both
+    * engines. MAP-ONLY: the per-row fold runs over the embedding array
+    * (no shuffle, no join against a materialized matrix), and the dot
+    * products accumulate as 2^52-quantized BIGINTs so the group-free sum
+    * is exact and order-independent by construction.
+    */
+  val randomProj: QueryDef = QueryDef.sql(
+    "q_random_proj",
+    """WITH ed AS (SELECT vec_id, i - 1 AS i,
+      |                   CAST(floor(CAST(embedding[i] AS DOUBLE) * 4503599627370496.0) AS BIGINT) AS q
+      |            FROM embeddings, UNNEST(range(1, 65)) t(i)),
+      |pj AS (SELECT vec_id, j,
+      |              sum(CASE WHEN ((i*1000003 + j*7919) % 97) % 2 = 0 THEN q ELSE -q END) AS p
+      |       FROM ed, (SELECT unnest(range(0, 16)) AS j) GROUP BY 1, 2)
+      |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+      |       CAST(CAST(p AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS value
+      |FROM pj""".stripMargin) { (spark, dir) =>
+    val v = col("embedding")
+    def qterm(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(element_at(v, (i + 1).cast("int")) * lit(4503599627370496.0)).cast("long")
+    val proj = transform(sequence(lit(0), lit(15)), j =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
+        acc + when(((i * 1000003 + j * 7919) % 97) % 2 === 0, qterm(i))
+          .otherwise(-qterm(i))))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(proj).as(Seq("dim", "p")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        (col("p").cast("double") / lit(4503599627370496.0)).as("value"))
+  }
+
+  val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk, sqlSurface, quantizeInt8,
+    int8Recall, randomProj)
 }
