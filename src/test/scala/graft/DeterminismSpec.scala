@@ -1,0 +1,41 @@
+package graft
+
+/** Re-sharding determinism: the engine's claim that results are
+  * independent of physical partitioning — the property that makes runs
+  * reproducible across cluster sizes. Each query runs under two very
+  * different scan/shuffle layouts (tiny maxPartitionBytes forces many
+  * input splits; different shuffle partition counts change reduce-side
+  * grouping and accumulation order) and must produce identical rows.
+  * This is why float accumulations in these queries are quantized or
+  * decimal-cast internally: a plain double sum would already fail here.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val names = Seq(
+    "q_stratified_k",  // hash-ordered sampling: pick must not depend on sharding
+    "q_sample_split",  // content-hash split
+    "q_random_proj",   // quantized-BIGINT fold
+    "q_centroids",     // 2^52-quantized order-independent sums
+    "q_minhash_sig")   // min() over permuted hashes
+
+  private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", maxPartBytes)
+    spark.conf.set("spark.sql.shuffle.partitions", shuffleParts)
+    try names.map { n =>
+      n -> SparkEntry.queries(n)(spark, sf0001).toJSON.collect().toSeq.sorted
+    }.toMap
+    finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
+  test("results are bit-identical under different scan splits and shuffle widths") {
+    val a = runAll(maxPartBytes = "16384", shuffleParts = "3")
+    val b = runAll(maxPartBytes = "134217728", shuffleParts = "17")
+    for (n <- names) {
+      assert(a(n).nonEmpty, s"$n returned no rows")
+      assert(a(n) == b(n), s"$n differs across physical layouts")
+    }
+  }
+}
