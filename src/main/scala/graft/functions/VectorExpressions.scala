@@ -117,3 +117,76 @@ object QuantizedL2Expr {
     GraftShim.column(QuantizedL2Expr(
       GraftShim.expression(a), GraftShim.expression(b), scaleBits))
 }
+
+/** Random-projection sketch (JL): `out(j) = Σᵢ s(i,j)·floor(xᵢ·2^52)
+  * / 2^52` with ±1 signs from integer hash parity
+  * (`((i·1000003 + j·7919) % 97) % 2`). The inner accumulation is exact
+  * BIGINT (order-independent, oracle-replayable — the same 2^52
+  * discipline as the centroid queries); only the final per-dim division
+  * returns to double, and a power-of-two division is exact scaling.
+  * Replaces the interpreted nested-HOF formulation
+  * (`transform(seq, j -> aggregate(...))`, kept as a cross-check in
+  * VectorFunctionsSpec) with one primitive double loop inside
+  * WholeStageCodegen — at 100 TB the projection runs over every vector,
+  * a hot kernel like [[CosineDistance]].
+  */
+case class RandomProjExpr(child: Expression, outDims: Int = 16)
+    extends UnaryExpression {
+  require(outDims > 0 && outDims <= 64)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.randomProj(a, outDims))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // the loop lives in a static kernel shared with the interpreted
+      // path (same pattern as the hash kernels): codegen emits one call
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.VectorKernels.randomProj($c, $outDims));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RandomProjExpr {
+  def column(v: Column, outDims: Int = 16): Column =
+    GraftShim.column(RandomProjExpr(GraftShim.expression(v), outDims))
+}
+
+/** Static kernels callable from both interpreted eval and generated
+  * code (the JVM JIT inlines them either way).
+  */
+object VectorKernels {
+  private final val S52 = 4503599627370496.0 // 2^52
+
+  def randomProj(v: ArrayData, outDims: Int): Array[Double] = {
+    val n = v.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = java.lang.Math.floor(v.getDouble(i) * S52).toLong
+      i += 1
+    }
+    val out = new Array[Double](outDims)
+    var j = 0
+    while (j < outDims) {
+      var acc = 0L
+      i = 0
+      while (i < n) {
+        acc += (if (((i * 1000003 + j * 7919) % 97) % 2 == 0) q(i) else -q(i))
+        i += 1
+      }
+      out(j) = acc.toDouble / S52
+      j += 1
+    }
+    out
+  }
+}

@@ -199,17 +199,13 @@ object VectorQueries {
       |SELECT vec_id, CAST(j AS BIGINT) AS dim,
       |       CAST(CAST(p AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS value
       |FROM pj""".stripMargin) { (spark, dir) =>
-    val v = col("embedding")
-    def qterm(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      floor(element_at(v, (i + 1).cast("int")) * lit(4503599627370496.0)).cast("long")
-    val proj = transform(sequence(lit(0), lit(15)), j =>
-      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
-        acc + when(((i * 1000003 + j * 7919) % 97) % 2 === 0, qterm(i))
-          .otherwise(-qterm(i))))
+    // codegen kernel (RandomProjExpr); the nested-HOF formulation is the
+    // bit-identity cross-check in VectorFunctionsSpec
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(proj).as(Seq("dim", "p")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        (col("p").cast("double") / lit(4503599627370496.0)).as("value"))
+      .select(col("vec_id"),
+        posexplode(graft.functions.RandomProjExpr.column(col("embedding"), 16))
+          .as(Seq("dim", "value")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("value"))
   }
 
   val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk, sqlSurface, quantizeInt8,

@@ -64,6 +64,22 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(d2 == 10L * (1L << 45))
   }
 
+  test("RandomProjExpr is bit-identical to the nested-HOF formulation on fixture data") {
+    import graft.functions.RandomProjExpr
+    val v = col("embedding")
+    def qterm(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(element_at(v, (i + 1).cast("int")) * lit(4503599627370496.0)).cast("long")
+    val hofProj = transform(sequence(lit(0), lit(15)), j =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
+        acc + when(((i * 1000003 + j * 7919) % 97) % 2 === 0, qterm(i))
+          .otherwise(-qterm(i))))
+    val diff = Tables.embeddings(spark, sf0001)
+      .select(RandomProjExpr.column(v, 16).as("fast"),
+        transform(hofProj, p => p.cast("double") / lit(4503599627370496.0)).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
   test("packSignBits codegen expression is bit-identical to the HOF fold") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.fill(50)(Seq.fill(64)(rnd.nextDouble() - 0.5))
