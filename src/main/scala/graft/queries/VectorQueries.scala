@@ -208,6 +208,55 @@ object VectorQueries {
       .select(col("vec_id"), col("dim").cast("long").as("dim"), col("value"))
   }
 
+  /** Recall eval for the projection prefilter: coarse cosine top-50 in
+    * the 16-dim projected space, exact re-rank of those 50 in the full
+    * 64-dim space, recall@10 against the exact top-10 — the JL twin of
+    * [[int8Recall]]. At scale this is the two-stage serving shape: the
+    * coarse pass reads 4× less data per vector (or the 16-dim sketch
+    * column alone), and only ~50 full vectors are touched per query.
+    */
+  val projRecall: QueryDef = QueryDef.sql(
+    "q_proj_recall",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ed AS (SELECT vec_id, i - 1 AS i,
+       |              CAST(floor(CAST(embedding[i] AS DOUBLE) * 4503599627370496.0) AS BIGINT) AS q
+       |       FROM embeddings, UNNEST(range(1, 65)) t(i)),
+       |pj AS (SELECT vec_id, j,
+       |              sum(CASE WHEN ((i*1000003 + j*7919) % 97) % 2 = 0 THEN q ELSE -q END) AS p
+       |       FROM ed, (SELECT unnest(range(0, 16)) AS j) GROUP BY 1, 2),
+       |pv AS (SELECT vec_id,
+       |              list(CAST(CAST(p AS BIGINT) AS DOUBLE) / 4503599627370496.0 ORDER BY j) AS pv
+       |       FROM pj GROUP BY vec_id),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |pq AS (SELECT pv AS qpv FROM pv WHERE vec_id = 0),
+       |coarse AS (SELECT pv.vec_id FROM pv, pq WHERE vec_id <> 0
+       |           ORDER BY ${cosDistSql("pv.pv", "qpv")}, vec_id LIMIT 50),
+       |rr AS (SELECT e.vec_id FROM e JOIN coarse USING (vec_id), q
+       |       ORDER BY ${cosDistSql("e.v", "qv")}, e.vec_id LIMIT 10),
+       |ex AS (SELECT vec_id FROM e, q WHERE vec_id <> 0
+       |       ORDER BY ${cosDistSql("v", "qv")}, vec_id LIMIT 10)
+       |SELECT CAST(count(*) AS BIGINT) AS recall10
+       |FROM ex JOIN rr ON ex.vec_id = rr.vec_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val pv = emb.select(col("vec_id"),
+      graft.functions.RandomProjExpr.column(col("v"), 16).as("pv"))
+    val qv = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val qpv = pv.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val coarse = pv.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), cosineDistance(col("pv"), array(qpv.map(lit): _*)).as("cd"))
+      .orderBy(col("cd").asc, col("vec_id").asc).limit(50)
+      .select("vec_id")
+    val rerank = coarse.join(emb, "vec_id")
+      .select(col("vec_id"), cosineDistance(col("v"), array(qv.map(lit): _*)).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      .select("vec_id")
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), cosineDistance(col("v"), array(qv.map(lit): _*)).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      .select("vec_id")
+    rerank.join(exact, "vec_id").agg(count(lit(1)).as("recall10"))
+  }
+
   val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk, sqlSurface, quantizeInt8,
-    int8Recall, randomProj)
+    int8Recall, randomProj, projRecall)
 }
