@@ -217,6 +217,33 @@ object RelationalQueries2 {
       .select(col("l_returnflag"), col("sum_value").cast("double").as("sum_value"), col("n"))
   }
 
+  /** TPC-H Q18 shape: large-quantity orders via HAVING over a 3-way
+    * join. The group-then-filter runs BEFORE the customer join in the
+    * Spark form — the aggregation shrinks lineitem to order grain and
+    * HAVING keeps a handful of rows, so only survivors join customer
+    * (broadcast): the join order a 100 TB plan needs, stated
+    * declaratively. Quantities sum as BIGINT (integer-valued column) —
+    * no decimal in the output schema.
+    */
+  val bigOrders: QueryDef = QueryDef.sql(
+    "q_big_orders",
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+      |SELECT c.c_name, o.o_orderkey, big.total_qty
+      |FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+      |         JOIN customer c ON c.c_custkey = o.o_custkey""".stripMargin) { (spark, dir) =>
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    big.join(Tables(spark, dir, "orders"),
+        big("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("total_qty"))
+  }
+
   val all: Seq[QueryDef] = Seq(cube, rollup, groupingSets, approxDistinct,
-    approxQuantile, monthlyTrend, distinctCounts, setOps, saltedAgg)
+    approxQuantile, monthlyTrend, distinctCounts, setOps, saltedAgg, bigOrders)
 }
