@@ -80,5 +80,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => PolyHashExpr(es(0))))
+    // optimizer rule: put the foldable cosine argument on the hoisted
+    // side regardless of how the user wrote the call
+    ext.injectOptimizerRule(_ => graft.plans.CosineArgSwapRule)
   }
 }

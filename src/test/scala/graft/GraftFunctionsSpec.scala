@@ -62,6 +62,33 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("CosineArgSwapRule puts the foldable side in the hoisted position") {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.functions._
+    import graft.functions.CosineDistance
+    import graft.plans.CosineArgSwapRule
+    import spark.implicits._
+    val df = Seq(Seq(1.0, 2.0)).toDF("a")
+    val qlit = array(lit(0.5), lit(-0.25))
+    // literal deliberately on the LEFT — the un-hoistable order
+    val c = GraftShim.column(CosineDistance(
+      GraftShim.expression(qlit), GraftShim.expression(col("a"))))
+    val before = df.select(c.as("d")).queryExecution.analyzed
+    def cosines(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.expressions.flatMap(_.collect { case cd: CosineDistance => cd })
+    assert(cosines(before).exists(cd => cd.left.foldable && !cd.right.foldable))
+    val after = CosineArgSwapRule(before)
+    val cd = cosines(after).head
+    assert(cd.right.foldable && !cd.left.foldable, "swap did not fire")
+    assert(CosineArgSwapRule(after) == after, "rule is not idempotent")
+    // symmetric kernel: swapped result is the same value
+    val slow = df.select(c.as("d")).head().getDouble(0)
+    val fast = df.select(graft.functions.VectorFunctions
+      .cosineDistance(col("a"), qlit).as("d")).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(slow) ==
+      java.lang.Double.doubleToLongBits(fast))
+  }
+
   test("extensions class registers functions at session build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]")
