@@ -143,6 +143,42 @@ object DedupQueries {
         (col("matches").cast("double") / 8).as("est_j"), col("jaccard"))
   }
 
+  /** The production near-dup ORDER, as a checked query: exact-collapse
+    * first (group by text, min doc_id as representative), THEN
+    * MinHash/LSH over the representatives only. On a corpus with heavy
+    * exact duplication the candidate-pair count is bounded by NEAR-dup
+    * structure instead of exploding with copy count — on the 30x
+    * verbatim-replica probe (97% duplicates) this runs at 1x cost while
+    * the uncollapsed form emits ~100,000x more pairs (PLANS.md round-4
+    * note). On the dup-free fixture it returns exactly
+    * `q_minhash_lsh_pairs`, which is the point: collapse changes the
+    * cost model, not the answer.
+    */
+  val neardupCollapsed: QueryDef = QueryDef.sql(
+    "q_neardup_collapsed",
+    s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text
+       |              FROM documents GROUP BY text),
+       |sh AS (SELECT doc_id, unnest(${shinglesSql("string_split(text, ' ')", 3)}) AS s
+       |       FROM reps),
+       |$HsCte,
+       |$SigCte,
+       |$BandsCte,
+       |${interJaccardSql(
+        """cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          |         FROM bands a JOIN bands b
+          |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
+          |              AND a.doc_id < b.doc_id)""".stripMargin, 0.2)}""".stripMargin) {
+    (spark, dir) =>
+    val reps = Tables(spark, dir, "documents")
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+    val hs = Dedup.shingleHashTable(reps, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(hs, "doc_id")
+    val cand = Dedup.lshCandidates(sig, "doc_id")
+    Dedup.jaccardForPairs(cand, hs, "doc_id")
+      .filter(col("jaccard") >= 0.2)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
   val ngramJaccard: QueryDef = QueryDef.sql(
     "q_ngram_jaccard",
     s"""WITH $ShCte,
@@ -458,7 +494,8 @@ object DedupQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, ngramJaccard,
+    dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst,
+    neardupCollapsed, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups,
     dedupGroups, dedupIncremental, corpusFilter, decontam)
 }
