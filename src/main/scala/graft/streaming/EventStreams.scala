@@ -65,4 +65,14 @@ object EventStreams {
           next
       }
   }
+
+  /** Stream-static enrichment — the canonical dimension-join shape: the
+    * static side is broadcast into every micro-batch (re-resolved per
+    * batch, so dim updates between batches are picked up), and the
+    * stream side keeps NO state — unlike a stream-stream join there is
+    * no watermark or buffer, which is why this is the preferred form
+    * whenever the dimension fits in memory.
+    */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
 }

@@ -76,6 +76,24 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("stream-static enrichment: every event joins the broadcast dim, no state") {
+    val (dir, schema) = batchEvents
+    val dim = Tables.events(spark, sf0001)
+      .select(col("event_type")).distinct()
+      .withColumn("type_len", length(col("event_type")).cast("long"))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.enriched(stream, dim)
+      .select(col("event_id"), col("event_type"), col("type_len"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM enrich")
+      // inner join loses nothing (dim covers every type) and adds the dim column
+      assert(out.count() == Tables.events(spark, sf0001).count())
+      assert(out.filter(col("type_len") =!= length(col("event_type"))).count() == 0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     val (dir, schema) = batchEvents
     val stream = spark.readStream.schema(schema).parquet(dir)
