@@ -16,7 +16,14 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val src = "/root/testdata/sf0.1"
-    val dst = s"/tmp/graft_scale_x$factor"
+    // GRAFT_PROBE_PERTURB_TEXT=1: suffix every document token with the
+    // copy index, so copies share NO shingles. The default (verbatim)
+    // replica models an Nx-denser duplicate corpus — pairwise reporters
+    // are then output-bound by construction (see PLANS.md round-4 note);
+    // the perturbed replica models "Nx bigger corpus, same dup rate",
+    // the honest scale model for measuring the detector MECHANISM.
+    val perturbText = sys.env.get("GRAFT_PROBE_PERTURB_TEXT").contains("1")
+    val dst = s"/tmp/graft_scale_x$factor" + (if (perturbText) "_pt" else "")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
@@ -40,7 +47,11 @@ object ScaleProbe {
     val only = args.drop(1).toSet
     new java.io.File(dst).mkdirs()
     if (!new java.io.File(s"$dst/documents.parquet").exists()) {
-    replicate("documents", Seq("doc_id"))
+    replicate("documents", Seq("doc_id"), df =>
+      if (!perturbText) df
+      else df.withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("_copy"))), " ")))
     replicate("embeddings", Seq("vec_id"), df =>
       // deterministic per-copy perturbation so replicas aren't identical
       df.withColumn("embedding",
