@@ -64,6 +64,28 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(d2 == 10L * (1L << 45))
   }
 
+  test("VectorKernels.randomProj matches a naive reference on varied dims") {
+    // independent reimplementation, straight from the definition
+    def reference(v: Array[Double], outDims: Int): Array[Double] =
+      Array.tabulate(outDims) { j =>
+        v.indices.map { i =>
+          val q = math.floor(v(i) * 4503599627370496.0).toLong
+          if (((i * 1000003 + j * 7919) % 97) % 2 == 0) q else -q
+        }.sum.toDouble / 4503599627370496.0
+      }
+    val rnd = new scala.util.Random(23)
+    for (n <- Seq(0, 1, 3, 16, 64, 100); _ <- 1 to 20) {
+      val v = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+      val got = graft.functions.VectorKernels.randomProj(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v), 16)
+      val want = reference(v, 16)
+      assert(got.length == 16)
+      assert(got.indices.forall(j =>
+        java.lang.Double.doubleToLongBits(got(j)) ==
+          java.lang.Double.doubleToLongBits(want(j))), s"n=$n")
+    }
+  }
+
   test("RandomProjExpr is bit-identical to the nested-HOF formulation on fixture data") {
     import graft.functions.RandomProjExpr
     val v = col("embedding")
