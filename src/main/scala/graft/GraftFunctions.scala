@@ -35,7 +35,17 @@ object GraftFunctions {
       }) }),
     // generator (table) function: LATERAL VIEW graft_chunk(text, len)
     "graft_chunk" -> (es => { arity(es, 2, 2, "graft_chunk")
-      ChunkGenerator(es(0), foldableInt(es(1), "graft_chunk", "length")) }))
+      ChunkGenerator(es(0), foldableInt(es(1), "graft_chunk", "length")) }),
+    "graft_quantized_l2" -> (es => { arity(es, 2, 3, "graft_quantized_l2")
+      graft.functions.QuantizedL2Expr(es(0), es(1), {
+        if (es.length <= 2) 45
+        else foldableInt(es(2), "graft_quantized_l2", "scaleBits")
+      }) }),
+    "graft_random_proj" -> (es => { arity(es, 1, 2, "graft_random_proj")
+      graft.functions.RandomProjExpr(es(0), {
+        if (es.length <= 1) 16
+        else foldableInt(es(1), "graft_random_proj", "outDims")
+      }) }))
 
   /** Wrong-argument-count is an AnalysisException, not a raw
     * IndexOutOfBounds from `es(i)` inside the builder.

@@ -18,6 +18,13 @@ class GraftFunctionsSpec extends SparkSpec {
     val p32 = spark.sql(
       "SELECT graft_pack_sign_bits(array(1.0d)) AS p").head().getLong(0)
     assert(p32 == 1L) // default 32-bit width, short array
+    val l2 = spark.sql(
+      "SELECT graft_quantized_l2(array(1.5d, -2.0d), array(0.5d, 1.0d)) AS d").head().getLong(0)
+    assert(l2 == 10L * (1L << 45)) // 1^2 + 3^2, exactly representable
+    val rp = spark.sql(
+      "SELECT graft_random_proj(array(1.0d), 2) AS p").head().getSeq[Double](0)
+    // i=0: j=0 -> parity of 0 % 97 = even -> +1.0; j=1 -> 7919%97=60, even -> +1.0
+    assert(rp == Seq(1.0, 1.0))
   }
 
   test("pack_sign_bits with a non-literal bits argument is a clear plan-time error") {
