@@ -53,20 +53,29 @@ object Dedup {
       }: _*)
   }
 
+  /** (id, band, x, y) band rows from 8-value signatures — ONE
+    * `posexplode` pass over the signature frame. The previous 4-way
+    * `unionAll` of per-band projections replicated the entire upstream
+    * signature subtree (scan → shingle kernel → groupBy) 4× per side in
+    * the physical plan (no exchange reuse fires across the differing
+    * projections); the explode form computes signatures once and emits
+    * the same 4 rows per id.
+    */
+  private def bandRows(sig: DataFrame, idCol: String, as: String): DataFrame =
+    sig.select(col(idCol).as(as),
+      posexplode(array((0 until 4).map(b =>
+        struct(col(s"m${2 * b}").as("x"), col(s"m${2 * b + 1}").as("y"))): _*))
+        .as(Seq("band", "xy")))
+      .select(col(as), col("band"), col("xy.x").as("x"), col("xy.y").as("y"))
+
   /** LSH candidate pairs from 8-value signatures, 4 bands of 2 rows:
     * (ida, idb) with ida < idb, distinct.
     */
-  def lshCandidates(sig: DataFrame, idCol: String): DataFrame = {
-    val bands = (0 until 4).map { b =>
-      sig.select(col(idCol).as("id"), lit(b).as("band"),
-        col(s"m${2 * b}").as("x"), col(s"m${2 * b + 1}").as("y"))
-    }.reduce(_ unionAll _)
-    val a = bands.select(col("id").as("ida"), col("band"), col("x"), col("y"))
-    val bb = bands.select(col("id").as("idb"), col("band"), col("x"), col("y"))
-    a.join(bb, Seq("band", "x", "y"))
+  def lshCandidates(sig: DataFrame, idCol: String): DataFrame =
+    bandRows(sig, idCol, "ida")
+      .join(bandRows(sig, idCol, "idb"), Seq("band", "x", "y"))
       .filter(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-  }
 
   /** LSH candidate pairs between a NEW batch and an existing corpus —
     * incremental dedup (dedup a fresh crawl against the standing
@@ -77,14 +86,10 @@ object Dedup {
     * built, not per batch.
     */
   def lshCandidatesAcross(sigNew: DataFrame, sigCorpus: DataFrame,
-                          idCol: String): DataFrame = {
-    def bands(df: DataFrame, as: String) = (0 until 4).map { b =>
-      df.select(col(idCol).as(as), lit(b).as("band"),
-        col(s"m${2 * b}").as("x"), col(s"m${2 * b + 1}").as("y"))
-    }.reduce(_ unionAll _)
-    bands(sigNew, "ida").join(bands(sigCorpus, "idb"), Seq("band", "x", "y"))
+                          idCol: String): DataFrame =
+    bandRows(sigNew, idCol, "ida")
+      .join(bandRows(sigCorpus, idCol, "idb"), Seq("band", "x", "y"))
       .select("ida", "idb").distinct()
-  }
 
   /** Verified Jaccard for candidate pairs against the shingle-hash
     * table. Inner-join semantics: zero-intersection candidates drop out.
