@@ -165,11 +165,12 @@ object Dedup {
     * small on homogeneous corpora), verify hamming <= maxHamming.
     */
   def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val bands = (0 until 2).map { b =>
-      sig.select(col(idCol).as("id"), lit(b).as("band"),
-        shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L)).as("key"),
-        col("simhash"))
-    }.reduce(_ unionAll _)
+    // one posexplode pass — a per-band unionAll would replicate the
+    // 30-column majority-vote aggregate per band per join side
+    val bands = sig.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array((0 until 2).map(b =>
+        shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band", "key")))
     val a = bands.select(col("id").as("ida"), col("band"), col("key"), col("simhash").as("sha"))
     val bb = bands.select(col("id").as("idb"), col("band"), col("key"), col("simhash").as("shb"))
     a.join(bb, Seq("band", "key"))
@@ -216,10 +217,12 @@ object Dedup {
     val mask = (1L << bitsPerBand) - 1
     val packed = df.select(col(idCol).as("id"),
       packSignBits(col(vecCol), bitsPerBand * nBands).as("pack"))
-    val bands = (0 until nBands).map { b =>
-      packed.select(col("id"), lit(b).as("band"),
-        shiftright(col("pack"), bitsPerBand * b).bitwiseAND(lit(mask)).as("key"))
-    }.reduce(_ unionAll _)
+    // one posexplode pass over the packed column (not a per-band
+    // unionAll, which would re-scan + re-pack per band per join side)
+    val bands = packed.select(col("id"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("pack"), bitsPerBand * b).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
     val a = bands.select(col("id").as("ida"), col("band"), col("key"))
     val bb = bands.select(col("id").as("idb"), col("band"), col("key"))
     val pairs = a.join(bb, Seq("band", "key"))
