@@ -19,14 +19,16 @@ class DeterminismSpec extends SparkSpec {
     "q_minhash_sig")   // min() over permuted hashes
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
+    val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.files.maxPartitionBytes", maxPartBytes)
     spark.conf.set("spark.sql.shuffle.partitions", shuffleParts)
     try names.map { n =>
       n -> SparkEntry.queries(n)(spark, sf0001).toJSON.collect().toSeq.sorted
     }.toMap
     finally {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevBytes)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 
