@@ -72,5 +72,40 @@ object CorpusQueries {
       .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
   }
 
-  val all: Seq[QueryDef] = Seq(postings, stratifiedK)
+  /** Sliding token windows (size 16, stride 8) with a polynomial
+    * fingerprint per window — how long documents become fixed-length
+    * training samples, and the unit for window-level dedup/decontam
+    * (the fingerprint is the join key). MAP-ONLY: windows are built
+    * per row from the token array (`transform(sequence(...))` +
+    * `slice`), nothing shuffles; the last window is short rather than
+    * padded, both engines clip slices identically.
+    */
+  val tokenWindows: QueryDef = QueryDef.sql(
+    "q_token_windows", {
+      import graft.functions.TextFunctions.polyHashSql
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, w, toks[w*8+1 : w*8+16] AS win
+         |      FROM tk, unnest(range(0, (len(toks) + 7) // 8)) t(w))
+         |SELECT doc_id, CAST(w AS BIGINT) AS win_idx,
+         |       CAST(w*8 AS BIGINT) AS start_tok,
+         |       CAST(len(win) AS BIGINT) AS n_tok,
+         |       ${polyHashSql("array_to_string(win, ' ')")} AS fp
+         |FROM w""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.TextFunctions.{polyHash, tokens}
+    val toks = tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(transform(
+        // windows w = 0 .. floor((n-1)/8)  (== ceil(n/8)-1; n >= 1 always)
+        sequence(lit(0), ((size(toks) - 1) / lit(8)).cast("int")),
+        w => struct(w.cast("long").as("win_idx"),
+          (w * 8).cast("long").as("start_tok"),
+          slice(toks, w * 8 + 1, lit(16)).as("win")))).as("x"))
+      .select(col("doc_id"), col("x.win_idx").as("win_idx"),
+        col("x.start_tok").as("start_tok"),
+        size(col("x.win")).cast("long").as("n_tok"),
+        polyHash(array_join(col("x.win"), " ")).as("fp"))
+  }
+
+  val all: Seq[QueryDef] = Seq(postings, stratifiedK, tokenWindows)
 }
