@@ -143,6 +143,43 @@ object DedupQueries {
         (col("matches").cast("double") / 8).as("est_j"), col("jaccard"))
   }
 
+  /** Character-level verify for candidate pairs: exact Levenshtein edit
+    * distance plus a normalized similarity — the string-similarity
+    * member of the dedup family (shingle Jaccard is token-level; edit
+    * distance catches char-level mutations tokens miss). Runs ONLY on
+    * the LSH candidate pairs — O(|s|²) per pair is fine for a bounded
+    * candidate set, never for a cross join. Both engines implement
+    * classic integer Levenshtein, so the distance is exact; the
+    * normalization is one double division.
+    */
+  val editDistance: QueryDef = QueryDef.sql(
+    "q_edit_distance",
+    s"""WITH $ShCte,
+       |$HsCte,
+       |$SigCte,
+       |$BandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       |              AND a.doc_id < b.doc_id)
+       |SELECT c.ida, c.idb,
+       |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+       |       1 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+       |           / greatest(length(da.text), length(db.text)) AS sim
+       |FROM cand c JOIN documents da ON da.doc_id = c.ida
+       |            JOIN documents db ON db.doc_id = c.idb""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val cand = Dedup.lshCandidates(Dedup.minhashSignatures(hs, "doc_id"), "doc_id")
+    val lev = levenshtein(col("ta"), col("tb"))
+    cand
+      .join(docs.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
+      .join(docs.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
+      .select(col("ida"), col("idb"), lev.cast("long").as("lev"),
+        (lit(1) - lev.cast("double") / greatest(length(col("ta")), length(col("tb"))))
+          .as("sim"))
+  }
+
   /** The production near-dup ORDER, as a checked query: exact-collapse
     * first (group by text, min doc_id as representative), THEN
     * MinHash/LSH over the representatives only. On a corpus with heavy
@@ -494,7 +531,7 @@ object DedupQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst,
+    dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups,
     dedupGroups, dedupIncremental, corpusFilter, decontam)
