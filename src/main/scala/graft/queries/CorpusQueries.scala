@@ -107,5 +107,35 @@ object CorpusQueries {
         polyHash(array_join(col("x.win"), " ")).as("fp"))
   }
 
-  val all: Seq[QueryDef] = Seq(postings, stratifiedK, tokenWindows)
+  /** One-row corpus report card — the summary a curation run logs per
+    * snapshot: document count, exact-duplicate count, token volume,
+    * vocabulary size, mean tokens/doc. All integer aggregates (the mean
+    * is one double division of two exact BIGINTs), so the row is
+    * bit-stable across engines and partitionings.
+    */
+  val corpusStats: QueryDef = QueryDef.sql(
+    "q_corpus_stats",
+    """WITH d AS (SELECT count(*) AS n_docs,
+      |                  count(*) - count(DISTINCT text) AS n_dup_docs,
+      |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |v AS (SELECT count(DISTINCT tok) AS vocab FROM (
+      |        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |      WHERE tok <> '')
+      |SELECT d.n_docs, d.n_dup_docs, d.n_tokens, v.vocab,
+      |       CAST(d.n_tokens AS DOUBLE) / d.n_docs AS mean_tokens
+      |FROM d, v""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val d = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val v = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(countDistinct(col("tok")).as("vocab"))
+    d.crossJoin(v)
+      .withColumn("mean_tokens", col("n_tokens").cast("double") / col("n_docs"))
+  }
+
+  val all: Seq[QueryDef] = Seq(postings, stratifiedK, tokenWindows, corpusStats)
 }
