@@ -118,7 +118,9 @@ object TimeSeriesQueries {
       .groupBy("k")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-    iv.select("k").join(matched, Seq("k"), "left")
+    // matched is post-aggregate (≤ |intervals| rows) — broadcast it so
+    // the spine join never sorts/shuffles
+    iv.select("k").join(broadcast(matched), Seq("k"), "left")
       .select(col("k").cast("long").as("interval_id"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))

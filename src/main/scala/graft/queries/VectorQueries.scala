@@ -259,6 +259,8 @@ object VectorQueries {
     val coarse = pv.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), cosineDistance(col("pv"), array(qpv.map(lit): _*)).as("cd"))
       .orderBy(col("cd").asc, col("vec_id").asc).limit(200)
+      // global window is DELIBERATE: it runs after the TakeOrdered
+      // top-200 prune, so at most 200 rows pass through one partition
       .select(col("vec_id"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("cd").asc, col("vec_id").asc)).as("crn"))
