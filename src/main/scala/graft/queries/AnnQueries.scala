@@ -398,6 +398,50 @@ object AnnQueries {
         col("vec_id").as("nid"), col("dist"))
   }
 
+  /** Nearest-centroid classifier eval over the fixture's `label`
+    * column: per-label centroids (exact 2^52 means — the
+    * [[lloydUpdate]] math, seeded by the TRUE labels), every vector
+    * assigned to its nearest centroid by exact integer-quantized L2,
+    * output = the confusion matrix. This is the embedding-space
+    * cluster-quality measurement a curation run uses to decide whether
+    * labels (domains, topics, sources) are separable before stratifying
+    * on them — and, like every eval here, it is oracle-checked rather
+    * than asserted. Assignment = broadcast k×dim against the scan; the
+    * data side never shuffles to be classified.
+    */
+  val centroidClassify: QueryDef = QueryDef.sql(
+    "q_centroid_classify",
+    s"""WITH ed AS (SELECT label, vec_id, i, embedding[i] AS x,
+       |                  CAST(floor(embedding[i] * $S52) AS BIGINT) AS ix
+       |           FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)),
+       |cent AS (SELECT label AS clabel, i, CAST(sum(ix) AS DOUBLE) / $S52 / count(*) AS c
+       |         FROM ed GROUP BY 1, 2),
+       |a AS (SELECT ed.vec_id, ed.label, cent.clabel,
+       |             CAST(sum(CAST(floor((ed.x - cent.c) * (ed.x - cent.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |      FROM ed JOIN cent ON cent.i = ed.i GROUP BY 1, 2, 3),
+       |pred AS (SELECT vec_id, label, clabel AS pred FROM (
+       |           SELECT vec_id, label, clabel,
+       |                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+       |           FROM a) WHERE rn = 1)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(pred AS BIGINT) AS pred, count(*) AS n
+       |FROM pred GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import graft.functions.QuantizedL2Expr
+    val emb = Tables.embeddings(spark, dir)
+    // label centroids = one Lloyd update seeded by the true labels
+    val cents = lloydUpdate(emb.select(col("vec_id"), col("embedding")),
+      emb.select(col("vec_id"), col("label").as("cluster")))
+      .select(col("cluster").as("clabel"), col("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("clabel").asc)
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label").cast("long").as("label"),
+        col("clabel").cast("long").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(annTopk, centroids, centroidSpread, ivfTopk,
-    ivfPruned, ivfNprobe, ivfKmeans, kmeans)
+    ivfPruned, ivfNprobe, ivfKmeans, kmeans, centroidClassify)
 }
