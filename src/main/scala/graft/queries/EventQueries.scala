@@ -120,5 +120,36 @@ object EventQueries {
         col("event_type").isin(approx: _*).as("in_approx"))
   }
 
-  val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters)
+  /** First-touch funnel: users who viewed, then clicked at/after their
+    * first view, then purchased at/after that click — sequence
+    * analytics via first-occurrence timestamps (one groupBy, no array
+    * assembly, no per-user state). NULL-comparison semantics are
+    * identical in both engines: a missing stage makes the predicate
+    * NULL and the conditional count skips it. Epoch-µs comparisons are
+    * exact after the shared ns→µs truncation.
+    */
+  val funnel: QueryDef = QueryDef.sql(
+    "q_funnel",
+    """WITH u AS (SELECT user_id,
+      |                  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+      |                  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+      |                  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+      |           FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |       CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |       CAST(sum(CASE WHEN tc >= tv THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+      |       CAST(sum(CASE WHEN tc >= tv AND tp >= tc THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel
+      |FROM u""".stripMargin) { (spark, dir) =>
+    val us = unix_micros(col("ts"))
+    val u = Tables.events(spark, dir).groupBy("user_id").agg(
+      min(when(col("event_type") === "view", us)).as("tv"),
+      min(when(col("event_type") === "click", us)).as("tc"),
+      min(when(col("event_type") === "purchase", us)).as("tp"))
+    u.agg(count(lit(1)).as("n_users"),
+      sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("tc") >= col("tv"), 1L).otherwise(0L)).as("n_view_click"),
+      sum(when(col("tc") >= col("tv") && col("tp") >= col("tc"), 1L).otherwise(0L)).as("n_funnel"))
+  }
+
+  val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters, funnel)
 }
