@@ -413,6 +413,44 @@ object TextStatsQueries {
           .as("rep_ratio"))
   }
 
+  /** WINDOW-level decontamination: test-split documents containing any
+    * 16-token window (the `q_token_windows` unit, fp = polynomial hash)
+    * that also occurs in a train-split document. Finer-grained than
+    * `q_decontam`'s 8-gram fingerprints: a contaminated SPAN is flagged
+    * even when the surrounding documents differ entirely — the Lee et
+    * al. contamination unit. One hash-keyed equi-join; windows travel
+    * as BIGINT fps, never as text.
+    */
+  val windowDecontam: QueryDef = QueryDef.sql(
+    "q_window_decontam",
+    s"""WITH h AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |                  ${polyHashSql("text")} % 100 AS bucket
+       |           FROM documents),
+       |w AS (SELECT doc_id, bucket,
+       |             ${polyHashSql("array_to_string(toks[w*8+1 : w*8+16], ' ')")} AS fp
+       |      FROM h, unnest(range(0, (len(toks) + 7) // 8)) t(w)),
+       |tw AS (SELECT doc_id, fp FROM w WHERE bucket >= 90),
+       |trw AS (SELECT DISTINCT fp FROM w WHERE bucket < 80)
+       |SELECT tw.doc_id, count(DISTINCT tw.fp) AS n_contaminated
+       |FROM tw JOIN trw ON trw.fp = tw.fp
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{array_join, explode, sequence, size, slice, transform}
+    val toks = tokens(col("text"))
+    val wins = Tables(spark, dir, "documents")
+      .select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"),
+        explode(transform(
+          sequence(lit(0), ((size(toks) - 1) / lit(8)).cast("int")),
+          w => slice(toks, w * 8 + 1, lit(16)))).as("win"))
+      .select(col("doc_id"), col("bucket"),
+        polyHash(array_join(col("win"), " ")).as("fp"))
+    val test = wins.filter(col("bucket") >= 90).select("doc_id", "fp")
+    val train = wins.filter(col("bucket") < 80).select("fp").distinct()
+    test.join(train, "fp")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("fp")).as("n_contaminated"))
+  }
+
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
-    docFreq, seqPack, bpeTokens, bm25, hybridRrf, domainMix, repetition)
+    docFreq, seqPack, bpeTokens, bm25, hybridRrf, domainMix, repetition,
+    windowDecontam)
 }
