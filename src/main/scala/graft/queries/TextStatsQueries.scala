@@ -450,7 +450,49 @@ object TextStatsQueries {
       .agg(countDistinct(col("fp")).as("n_contaminated"))
   }
 
+  /** Per-document keyword extraction: top-5 tokens by TF-IDF
+    * (`tf · ln(N/df)`), quantized `floor(score·65536)` — the same
+    * libm-absorbing discipline as `q_bm25` (ln is the one
+    * transcendental; the ×65536 floor makes the value and the ranking
+    * cross-engine stable). The rank≤5 filter runs as a map-side
+    * WindowGroupLimit, so only 5 rows per document survive the window
+    * shuffle — keyword extraction at corpus scale is two keyed
+    * aggregations plus a bounded window.
+    */
+  val keywords: QueryDef = QueryDef.sql(
+    "q_keywords",
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+      |n AS (SELECT count(*) AS nd FROM documents),
+      |s AS (SELECT tf.doc_id, tf.tok,
+      |             CAST(floor(CAST(tf.tf AS DOUBLE)
+      |                        * ln(CAST(n.nd AS DOUBLE) / CAST(df.df AS DOUBLE))
+      |                        * 65536) AS BIGINT) AS score_q
+      |      FROM tf JOIN df USING (tok), n)
+      |SELECT doc_id, tok, score_q, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT doc_id, tok, score_q,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, tok) AS rn
+      |  FROM s) WHERE rn <= 5""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, explode, log => lnf, row_number, split}
+    val docs = Tables(spark, dir, "documents")
+    val tk = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfr = tk.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("tok").asc)
+    tf.join(dfr, "tok").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("tok"),
+        floor(col("tf").cast("double")
+          * lnf(col("nd").cast("double") / col("df").cast("double"))
+          * lit(65536)).cast("long").as("score_q"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("tok"), col("score_q"), col("rn").cast("long").as("rn"))
+  }
+
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
     docFreq, seqPack, bpeTokens, bm25, hybridRrf, domainMix, repetition,
-    windowDecontam)
+    windowDecontam, keywords)
 }
