@@ -492,7 +492,47 @@ object TextStatsQueries {
       .select(col("doc_id"), col("tok"), col("score_q"), col("rn").cast("long").as("rn"))
   }
 
+  /** Bigram language-model negative log-likelihood per document — the
+    * perplexity-proxy quality signal (fluent text scores low, shuffled
+    * or degenerate text high) computed from the corpus's own bigram
+    * statistics, no external model. Determinism discipline: each
+    * per-bigram `ln(c(w1,w2)/c(w1·))` is quantized to a 2^40 integer
+    * grid BEFORE the per-doc sum, so the aggregation is exact integer
+    * arithmetic — order-independent across engines and partitionings
+    * (a raw `sum(ln(...))` of doubles would be order-sensitive). ln is
+    * the one libm call, same absorption idiom as `q_bm25`/`q_keywords`.
+    */
+  val bigramLm: QueryDef = QueryDef.sql(
+    "q_bigram_lm",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |       FROM tk, unnest(range(1, len(toks))) t(i)),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+      |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1)
+      |SELECT bg.doc_id, count(*) AS n_bigrams,
+      |       CAST(-sum(CAST(floor(ln(CAST(cb.cb AS DOUBLE) / CAST(cu.cu AS DOUBLE))
+      |                            * 1099511627776) AS BIGINT)) AS BIGINT) AS nll_q40
+      |FROM bg JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+      |        JOIN cu ON cu.w1 = bg.w1
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{explode, log => lnf, sequence, size, slice, split, transform}
+    val toks = split(col("text"), " ")
+    val bg = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    bg.join(cb, Seq("w1", "w2")).join(cu, "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(floor(lnf(col("cb").cast("double") / col("cu").cast("double"))
+          * lit(1099511627776.0)).cast("long"))).cast("long").as("nll_q40"))
+  }
+
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
     docFreq, seqPack, bpeTokens, bm25, hybridRrf, domainMix, repetition,
-    windowDecontam, keywords)
+    windowDecontam, keywords, bigramLm)
 }

@@ -16,7 +16,8 @@ class DeterminismSpec extends SparkSpec {
     "q_sample_split",  // content-hash split
     "q_random_proj",   // quantized-BIGINT fold
     "q_centroids",     // 2^52-quantized order-independent sums
-    "q_minhash_sig")   // min() over permuted hashes
+    "q_minhash_sig",   // min() over permuted hashes
+    "q_bigram_lm")     // per-term 2^40-quantized ln before the sum
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
