@@ -422,6 +422,44 @@ object DedupQueries {
     graft.operators.ConnectedComponents.components(pairs, "ida", "idb")
   }
 
+  /** Duplicate-cluster size HISTOGRAM — the curation dashboard number
+    * ("how much of the corpus sits in 2-member vs 50-member dup
+    * clusters"): the same verified-pairs → connected-components step as
+    * [[dedupGroups]], aggregated to (group_size, n_groups). Component
+    * output feeds two tiny keyed aggregations; nothing new shuffles at
+    * corpus size.
+    */
+  val dupHistogram: QueryDef = QueryDef.sql(
+    "q_dup_histogram",
+    s"""WITH RECURSIVE $ShCte,
+       |$HsCte,
+       |kept AS (SELECT h FROM hs GROUP BY h HAVING count(*) <= 64),
+       |hsk AS (SELECT hs.doc_id, hs.h FROM hs JOIN kept ON kept.h = hs.h),
+       |cardk AS (SELECT doc_id, count(*) AS c FROM hsk GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+       |          FROM hsk a JOIN hsk b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (SELECT i.ida, i.idb
+       |          FROM inter i JOIN cardk ca ON ca.doc_id = i.ida
+       |                       JOIN cardk cb ON cb.doc_id = i.idb
+       |          WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= 0.5),
+       |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+       |          UNION SELECT idb, ida FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT sz AS group_size, count(*) AS n_groups
+       |FROM (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    val pairs = Dedup.ngramJaccardPairs(hs, "doc_id", 0.5).select("ida", "idb")
+    graft.operators.ConnectedComponents.components(pairs, "ida", "idb")
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("group_size")).agg(count(lit(1)).as("n_groups"))
+  }
+
   /** Incremental dedup: a NEW batch (doc_id % 5 = 0, ~20%) deduped
     * against the standing corpus (the rest) — band-collide then verify
     * Jaccard, never comparing batch docs to each other. The production
@@ -534,5 +572,5 @@ object DedupQueries {
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups,
-    dedupGroups, dedupIncremental, corpusFilter, decontam)
+    dedupGroups, dupHistogram, dedupIncremental, corpusFilter, decontam)
 }
