@@ -151,5 +151,38 @@ object EventQueries {
       sum(when(col("tc") >= col("tv") && col("tp") >= col("tc"), 1L).otherwise(0L)).as("n_funnel"))
   }
 
-  val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters, funnel)
+  /** One-pass data profiling: per-column null and distinct counts,
+    * computed in a SINGLE aggregation over the scan (the multi-
+    * countDistinct expands map-side, not into N passes) and melted to
+    * one row per column from the 1-row aggregate — profiling a 100 TB
+    * table costs one read, not one per column.
+    */
+  val nullAudit: QueryDef = QueryDef.sql(
+    "q_null_audit",
+    """WITH a AS (SELECT
+      |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_type,
+      |  count(DISTINCT event_type) AS nd_type,
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_user,
+      |  count(DISTINCT user_id) AS nd_user,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_value,
+      |  count(DISTINCT value) AS nd_value,
+      |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_props,
+      |  count(DISTINCT props) AS nd_props
+      |  FROM events)
+      |SELECT 'event_type' AS col, nn_type AS n_null, nd_type AS n_distinct FROM a
+      |UNION ALL SELECT 'user_id', nn_user, nd_user FROM a
+      |UNION ALL SELECT 'value', nn_value, nd_value FROM a
+      |UNION ALL SELECT 'props', nn_props, nd_props FROM a""".stripMargin) { (spark, dir) =>
+    def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
+    def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
+    val cols = Seq("event_type", "user_id", "value", "props")
+    val a = Tables.events(spark, dir)
+      .agg(nn(cols.head), (cols.tail.flatMap(c => Seq(nn(c), nd(c))) :+ nd(cols.head)): _*)
+    cols.map(c => a.select(lit(c).as("col"),
+        col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct")))
+      .reduce(_ unionAll _)
+  }
+
+  val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters,
+    funnel, nullAudit)
 }
