@@ -508,7 +508,7 @@ object TextStatsQueries {
       |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
       |       FROM tk, unnest(range(1, len(toks))) t(i)),
       |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
-      |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1)
+      |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1)
       |SELECT bg.doc_id, count(*) AS n_bigrams,
       |       CAST(-sum(CAST(floor(ln(CAST(cb.cb AS DOUBLE) / CAST(cu.cu AS DOUBLE))
       |                            * 1099511627776) AS BIGINT)) AS BIGINT) AS nll_q40
@@ -524,7 +524,9 @@ object TextStatsQueries {
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // cu derived from cb (sum of bigram counts per first token) — one
+    // fewer pass over the exploded bigram table, identical value
+    val cu = cb.groupBy("w1").agg(sum(col("cb")).as("cu"))
     bg.join(cb, Seq("w1", "w2")).join(cu, "w1")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
