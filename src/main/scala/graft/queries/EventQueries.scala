@@ -183,6 +183,41 @@ object EventQueries {
       .reduce(_ unionAll _)
   }
 
+  /** 3σ outlier counts per event type — the statistical filter step of
+    * value-curation. Moments come from EXACT decimal sums (value is a
+    * clean 2-decimal column, so v and v² are exact in DECIMAL(18,2)/
+    * (37,4) and the UNSCALED sums stay far below 2^53, where the
+    * decimal→double cast is identical in both engines); mean/std/the
+    * comparison are then deterministic double arithmetic on identical
+    * inputs. Two passes over events (moments, then compare) — the
+    * standard shape; a single-pass approximation would trade the exact
+    * gate away.
+    */
+  val outliers: QueryDef = QueryDef.sql(
+    "q_outliers",
+    """WITH s AS (SELECT event_type, count(*) AS n,
+      |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |                  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_type, s.n,
+      |       CAST(sum(CASE WHEN abs(e.value - s.s1 / s.n) >
+      |                          3 * sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN s ON s.event_type = e.event_type
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val d = col("value").cast("decimal(18,2)")
+    val stats = Tables.events(spark, dir).groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(d).cast("double").as("s1"),
+      sum(d * d).cast("double").as("s2"))
+    val mean = col("s1") / col("n")
+    val std = sqrt(col("s2") / col("n") - mean * mean)
+    Tables.events(spark, dir).join(broadcast(stats), "event_type")
+      .groupBy("event_type", "n")
+      .agg(sum(when(abs(col("value") - mean) > lit(3) * std, 1L).otherwise(0L))
+        .as("n_outliers"))
+  }
+
   val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters,
-    funnel, nullAudit)
+    funnel, nullAudit, outliers)
 }
