@@ -178,9 +178,14 @@ object EventQueries {
     val cols = Seq("event_type", "user_id", "value", "props")
     val a = Tables.events(spark, dir)
       .agg(nn(cols.head), (cols.tail.flatMap(c => Seq(nn(c), nd(c))) :+ nd(cols.head)): _*)
-    cols.map(c => a.select(lit(c).as("col"),
-        col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct")))
-      .reduce(_ unionAll _)
+    // melt via ONE explode over the single aggregate row — a union of
+    // per-column selects would recompute the whole aggregation pass
+    // once per column
+    a.select(explode(array(cols.map(c => struct(
+        lit(c).as("col"), col(s"nn_$c").as("n_null"),
+        col(s"nd_$c").as("n_distinct"))): _*)).as("r"))
+      .select(col("r.col").as("col"), col("r.n_null").as("n_null"),
+        col("r.n_distinct").as("n_distinct"))
   }
 
   /** 3σ outlier counts per event type — the statistical filter step of
