@@ -31,7 +31,7 @@ object CorpusQueries {
       |    FROM toks) WHERE rn <= 5)
       |SELECT d.tok, d.df, h.posting_head
       |FROM (SELECT tok, count(*) AS df FROM toks GROUP BY tok) d
-      |JOIN (SELECT tok, list_sort(list(doc_id)) AS posting_head
+      |JOIN (SELECT tok, array_to_string(list_sort(list(doc_id)), ',') AS posting_head
       |      FROM head GROUP BY tok) h USING (tok)""".stripMargin) { (spark, dir) =>
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -42,7 +42,8 @@ object CorpusQueries {
       .withColumn("rn",
         row_number().over(Window.partitionBy("tok").orderBy("doc_id")))
       .filter(col("rn") <= 5)
-      .groupBy("tok").agg(sort_array(collect_list(col("doc_id"))).as("posting_head"))
+      .groupBy("tok").agg(
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("posting_head"))
     dfreq.join(head, "tok")
   }
 
