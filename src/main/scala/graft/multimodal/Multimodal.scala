@@ -171,10 +171,30 @@ object Multimodal {
     }
   }
 
-  /** STUB: deterministic fake features from a rolling byte hash — stands
-    * in for the video decoders (container demuxers genuinely aren't in
-    * this environment) and decodes the text-as-bytes fixtures. Real
-    * Spark-side contract; fake math inside.
+  /** REAL video-container decoder, JDK-only ([[Mp4]] parses the ISO-BMFF
+    * box tree: ftyp/moov/mvhd/trak/tkhd/stsd + the stsz/stsc/stco sample
+    * tables). Features: `[duration_ms, timescale, n_tracks, width,
+    * height,` 4 codec-fourcc bytes, `mdat_bytes, n_samples, n_top_boxes,
+    * 0, 0, 0]`. Codec *payload* decode (H.264 etc.) is out of JDK scope —
+    * structure, duration, codec id and per-sample ranges are real.
+    * Non-BMFF bytes raise (route them to another [[Decoder]]).
+    */
+  object Mp4Decoder extends Decoder {
+    def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
+      val info = Mp4.parse(bytes)
+      val v = info.tracks.find(_.handler == "vide").orElse(info.tracks.headOption)
+      val cc = info.primaryCodec.padTo(4, ' ').take(4)
+      Array(info.durationMs.toFloat, info.timescale.toFloat, info.nTracks.toFloat,
+        v.map(_.width).getOrElse(0f), v.map(_.height).getOrElse(0f),
+        cc(0).toFloat, cc(1).toFloat, cc(2).toFloat, cc(3).toFloat,
+        info.mdatBytes.toFloat, Mp4.sampleRanges(bytes).length.toFloat,
+        info.topLevelBoxes.toFloat, 0f, 0f, 0f, 0f)
+    }
+  }
+
+  /** STUB: deterministic fake features from a rolling byte hash —
+    * decodes the text-as-bytes fixtures (media with no real container
+    * format). Real Spark-side contract; fake math inside.
     */
   object StubDecoder extends Decoder {
     def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
@@ -221,15 +241,25 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame sampling stub for "video" media: every `stride`-th 1 KiB block
-    * becomes one frame row (media_id, frame_idx, frame_bytes). The real
-    * implementation would demux containers; the 1→N row shape, schema and
-    * partitioning are what the engine contributes.
+  /** Frame sampling for "video" media: every `stride`-th sample becomes
+    * one frame row (media_id, frame_idx, frame_bytes). ISO-BMFF payloads
+    * demux for real — [[Mp4.sampleRanges]] walks stsz/stsc/stco and each
+    * emitted frame is that sample's exact byte range. Container-less
+    * bytes fall back to fixed 1 KiB blocks so text fixtures keep the
+    * same 1→N row shape. Map-only either way: the explode runs in the
+    * scan stage, frames never shuffle.
     */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
     val block = 1024
     val frameUdf = udf { bytes: Array[Byte] =>
-      bytes.grouped(block).zipWithIndex
+      val samples =
+        if (Mp4.looksLikeMp4(bytes))
+          Mp4.sampleRanges(bytes).collect {
+            case (off, sz) if off + sz <= bytes.length =>
+              java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + sz)
+          }
+        else bytes.grouped(block).toSeq
+      samples.zipWithIndex
         .filter(_._2 % stride == 0)
         .map { case (b, i) => (i, b) }.toSeq
     }

@@ -122,4 +122,81 @@ class MultimodalSpec extends SparkSpec {
     val idx = frames.select("frame_idx").as[Int].collect().sorted.toSeq
     assert(idx == Seq(0, 2)) // 3000 bytes -> blocks 0,1,2 -> stride 2 keeps 0,2
   }
+
+  // ---- MP4 / ISO-BMFF ----
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val size = payload.length + 8
+    Array[Byte](((size >> 24) & 0xff).toByte, ((size >> 16) & 0xff).toByte,
+      ((size >> 8) & 0xff).toByte, (size & 0xff).toByte) ++
+      typ.getBytes("ISO-8859-1") ++ payload
+  }
+  private def u32b(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Minimal but spec-shaped MP4: ftyp(isom) + moov(mvhd v0 timescale
+    * 1000 / duration 2500, one avc1 video trak with a full 4-sample
+    * stsz/stsc/stco table) + mdat with known sample bytes. Sample layout:
+    * 2 chunks × 2 samples, sizes 5,6,7,8.
+    */
+  private def testMp4(): (Array[Byte], Seq[Array[Byte]]) = {
+    val samples = Seq(
+      Array.fill(5)(0xA1.toByte), Array.fill(6)(0xB2.toByte),
+      Array.fill(7)(0xC3.toByte), Array.fill(8)(0xD4.toByte))
+    val ftyp = box("ftyp", "isom".getBytes ++ u32b(0) ++ "isomavc1".getBytes)
+    val mvhd = box("mvhd", new Array[Byte](12) ++ u32b(1000) ++ u32b(2500) ++
+      new Array[Byte](80))
+    val tkhd = box("tkhd", new Array[Byte](4 + 72) ++
+      u32b(320L << 16) ++ u32b(240L << 16)) // v0; 16.16 fixed w/h at +76
+    val hdlr = box("hdlr", new Array[Byte](8) ++ "vide".getBytes ++ new Array[Byte](13))
+    val stsd = box("stsd", u32b(0) ++ u32b(1) ++ box("avc1", new Array[Byte](70)))
+    val stsz = box("stsz", u32b(0) ++ u32b(0) ++ u32b(4) ++
+      samples.flatMap(s => u32b(s.length)).toArray)
+    val stsc = box("stsc", u32b(0) ++ u32b(1) ++ u32b(1) ++ u32b(2) ++ u32b(1))
+    // stco needs absolute file offsets: compute sizes of everything first
+    def assemble(off1: Long, off2: Long): Array[Byte] = {
+      val stco = box("stco", u32b(0) ++ u32b(2) ++ u32b(off1) ++ u32b(off2))
+      val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", hdlr ++ minf)
+      val trak = box("trak", tkhd ++ mdia)
+      val moov = box("moov", mvhd ++ trak)
+      val mdat = box("mdat", samples.flatten.toArray)
+      ftyp ++ moov ++ mdat
+    }
+    val probe = assemble(0, 0)
+    val mdatPayload = probe.length - samples.map(_.length).sum
+    (assemble(mdatPayload, mdatPayload + 11), samples)
+  }
+
+  test("Mp4Decoder parses a generated MP4: duration, track, codec, dims") {
+    val (mp4, samples) = testMp4()
+    val f = Multimodal.Mp4Decoder.decode("video/mp4", mp4)
+    assert(f.length == Multimodal.FeatureDim)
+    assert(f(0) == 2500f && f(1) == 1000f) // duration_ms (2500/1000 * 1000), timescale
+    assert(f(2) == 1f)                     // one track
+    assert(f(3) == 320f && f(4) == 240f)   // tkhd 16.16 width/height
+    assert(f.slice(5, 9).map(_.toChar).mkString == "avc1")
+    assert(f(9) == samples.map(_.length).sum.toFloat) // mdat bytes
+    assert(f(10) == 4f)                    // demuxed sample count
+    // non-BMFF bytes raise like the other real decoders
+    intercept[IllegalArgumentException] {
+      Multimodal.Mp4Decoder.decode("video/mp4", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 0, 1, 2))
+    }
+  }
+
+  test("sampleFrames demuxes real MP4 samples via stsz/stsc/stco") {
+    val (mp4, samples) = testMp4()
+    val mediaDf = Seq((40L, "video/mp4", mp4)).toDF("media_id", "media_type", "bytes")
+    val frames = Multimodal.sampleFrames(mediaDf, 1)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 4)
+    for (i <- 0 until 4)
+      assert(frames(i).getAs[Array[Byte]]("frame_bytes").toSeq == samples(i).toSeq, s"sample $i")
+    // stride skips demuxed samples, not byte blocks
+    val strided = Multimodal.sampleFrames(mediaDf, 2)
+      .select("frame_idx").as[Int].collect().sorted.toSeq
+    assert(strided == Seq(0, 2))
+  }
 }
