@@ -3,35 +3,35 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-slope probe: replicates the sf0.1 fixtures Nx into /tmp (ids
+/** Scale-slope probe: replicates a fixture dir Nx into /tmp (ids
   * remapped so keys stay unique; embeddings deterministically perturbed
   * so LSH structure isn't artificially degenerate) and times the heavy
   * operators at 1x vs Nx. A ~linear slope is the evidence that the plans
   * survive scale-up; anything super-linear is a red flag to fix.
   *
-  * Probe data lives in /tmp only — fixture dirs are never written.
+  * Probe data lives in /tmp only — fixture dirs are never written. The
+  * replica build and slope measurement are plain functions so
+  * ScaleSlopeSpec can assert slopes in `sbt test` (a lost
+  * WindowGroupLimit or broadcast shows up as a super-linear slope, and
+  * breaks the build instead of just the PLANS.md narrative).
   */
 object ScaleProbe {
 
-  def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val src = "/root/testdata/sf0.1"
-    // GRAFT_PROBE_PERTURB_TEXT=1: suffix every document token with the
-    // copy index, so copies share NO shingles. The default (verbatim)
-    // replica models an Nx-denser duplicate corpus — pairwise reporters
-    // are then output-bound by construction (see PLANS.md round-4 note);
-    // the perturbed replica models "Nx bigger corpus, same dup rate",
-    // the honest scale model for measuring the detector MECHANISM.
-    val perturbText = sys.env.get("GRAFT_PROBE_PERTURB_TEXT").contains("1")
-    val dst = s"/tmp/graft_scale_x$factor" + (if (perturbText) "_pt" else "")
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  /** Build (or reuse) an Nx replica of `src` under `dst`.
+    * perturbText=true suffixes every document token with the copy index,
+    * so copies share NO shingles. The default (verbatim) replica models
+    * an Nx-denser duplicate corpus — pairwise reporters are then
+    * output-bound by construction (see PLANS.md round-4 note); the
+    * perturbed replica models "Nx bigger corpus, same dup rate", the
+    * honest scale model for measuring the detector MECHANISM.
+    */
+  def buildReplica(spark: SparkSession, src: String, dst: String, factor: Int,
+                   perturbText: Boolean): Unit = {
+    if (new java.io.File(s"$dst/documents.parquet/_SUCCESS").exists()) return
+    new java.io.File(dst).mkdirs()
 
-    def replicate(name: String, idCols: Seq[String], perturb: DataFrame => DataFrame = identity): Unit = {
+    def replicate(name: String, idCols: Seq[String],
+                  perturb: DataFrame => DataFrame = identity): Unit = {
       // events carries TIMESTAMP(NANOS): route through Tables.events so the
       // replica gets a µs timestamp Spark can read directly
       val base = if (name == "events") graft.Tables.events(spark, src)
@@ -44,9 +44,6 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
     }
 
-    val only = args.drop(1).toSet
-    new java.io.File(dst).mkdirs()
-    if (!new java.io.File(s"$dst/documents.parquet").exists()) {
     replicate("documents", Seq("doc_id"), df =>
       if (!perturbText) df
       else df.withColumn("text",
@@ -56,7 +53,7 @@ object ScaleProbe {
       // deterministic per-copy perturbation so replicas aren't identical
       df.withColumn("embedding",
         transform(col("embedding"),
-          x => (x + col("_copy").cast("float") * lit(1e-4f) ).cast("float"))))
+          x => (x + col("_copy").cast("float") * lit(1e-4f)).cast("float"))))
     replicate("lineitem", Seq("l_orderkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("customer", Seq("c_custkey"))
@@ -65,7 +62,37 @@ object ScaleProbe {
     Seq("supplier", "part", "nation", "region").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
-    }
+  }
+
+  /** (t_1x, t_Nx, slope) for one registry query, min-of-`passes` per
+    * scale after one untimed warm run — the same variance hedge Bench
+    * uses; slope ≈ t_Nx / (t_1x · N), ≤1 is linear-or-better.
+    */
+  def slope(spark: SparkSession, src: String, dst: String, factor: Int,
+            name: String, passes: Int = 1): (Double, Double, Double) = {
+    val fn = graft.SparkEntry.queries(name)
+    fn(spark, src).count() // warm
+    def time(dir: String): Double = (1 to passes).map { _ =>
+      val t0 = System.nanoTime(); fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9
+    }.min
+    val t1 = time(src)
+    val tn = time(dst)
+    (t1, tn, tn / t1 / factor)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val perturbText = sys.env.get("GRAFT_PROBE_PERTURB_TEXT").contains("1")
+    val dst = s"/tmp/graft_scale_x$factor" + (if (perturbText) "_pt" else "")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    buildReplica(spark, src, dst, factor, perturbText)
 
     // q_embed_neardup_scaled probes UNEDITED: the query itself derives
     // its band width from the corpus count (Dedup.scaledBitsPerBand), so
@@ -75,17 +102,12 @@ object ScaleProbe {
       "q_topk_cosine", "q_window_rank", "q_sessionize")
 
     println(f"${"query"}%-20s ${"1x_s"}%8s ${s"${factor}x_s"}%8s ${"slope"}%7s")
+    val only = args.drop(1).toSet
     val toProbe = if (only.isEmpty) probes
       else only.toSeq.sorted.filter(graft.SparkEntry.queries.contains)
     toProbe.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
-      fn(spark, src).count() // warm
-      def time(dir: String): Double = {
-        val t0 = System.nanoTime(); fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9
-      }
-      val t1 = time(src)
-      val tn = time(dst)
-      println(f"$name%-20s $t1%8.2f $tn%8.2f ${tn / t1 / factor}%7.2f")
+      val (t1, tn, s) = slope(spark, src, dst, factor, name)
+      println(f"$name%-20s $t1%8.2f $tn%8.2f $s%7.2f")
     }
     spark.stop()
   }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.tools.ScaleProbe
+
+/** CI gate for scale slopes: recomputes 10x probe slopes for the
+  * heaviest registry queries and fails if any goes super-linear. A plan
+  * regression — losing a WindowGroupLimit, a broadcast turning into a
+  * shuffle, an accidental all-pairs join — shows up here as slope >> 1
+  * (a quadratic at 10x probes ~10), so the build breaks instead of just
+  * the PLANS.md narrative. Thresholds are deliberately loose (1.5)
+  * against machine-load variance; the sf0.01 base further biases slopes
+  * DOWN (fixed per-query overheads inflate t_1x), so a failure here is a
+  * real mechanism regression, not noise.
+  *
+  * The replica is the perturbed-text model (10x bigger corpus, same dup
+  * rate) — the honest scale model for pairwise detectors; a verbatim
+  * replica would be ~90% exact dups and output-bound by construction
+  * (PLANS.md round-4 note).
+  */
+class ScaleSlopeSpec extends SparkSpec {
+
+  private val factor = 10
+  private val src = "/root/testdata/sf0.01"
+  private val dst = s"/tmp/graft_scale_sf001_x${factor}_pt"
+
+  // the five heaviest queries by round-4 bench, all with documented
+  // sublinear slopes; 1.5 = "still clearly not quadratic" with margin
+  private val thresholds = Seq(
+    "q_dedup_groups" -> 1.5,
+    "q_ngram_jaccard" -> 1.5,
+    "q_dup_histogram" -> 1.5,
+    "q_hybrid_rrf" -> 1.5,
+    "q_simhash_pairs" -> 1.5)
+
+  test("10x scale slopes of the heaviest queries stay sub-quadratic") {
+    ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
+    val bad = thresholds.flatMap { case (name, maxSlope) =>
+      val (t1, tn, s) = ScaleProbe.slope(spark, src, dst, factor, name)
+      info(f"$name%-18s 1x=$t1%6.2fs ${factor}x=$tn%6.2fs slope=$s%5.2f (max $maxSlope)")
+      if (s > maxSlope) Some(f"$name slope $s%.2f > $maxSlope") else None
+    }
+    assert(bad.isEmpty, s"super-linear scale slopes: ${bad.mkString("; ")}")
+  }
+}
