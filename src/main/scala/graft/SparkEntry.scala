@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.SubqueryQueries.all ++
       graft.queries.PivotQueries.all ++
       graft.queries.TimeSeriesQueries.all ++
-      graft.queries.CorpusQueries.all
+      graft.queries.CorpusQueries.all ++
+      graft.queries.CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
