@@ -94,8 +94,11 @@ object CorpusQueries {
          |FROM w""".stripMargin
     }) { (spark, dir) =>
     import graft.functions.TextFunctions.{polyHash, tokens}
-    val toks = tokens(col("text"))
+    // tokens() materialized once per row — slice inside the lambda would
+    // otherwise re-tokenize per window (O(L^2/8) in document length)
+    val toks = col("toks")
     Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(transform(
         // windows w = 0 .. floor((n-1)/8)  (== ceil(n/8)-1; n >= 1 always)
         sequence(lit(0), ((size(toks) - 1) / lit(8)).cast("int")),

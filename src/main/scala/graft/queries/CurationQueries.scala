@@ -127,8 +127,13 @@ object CurationQueries {
       |SELECT tri, CAST(count(*) AS BIGINT) AS cnt
       |FROM tg GROUP BY tri
       |ORDER BY cnt DESC, tri LIMIT 20""".stripMargin) { (spark, dir) =>
-    val toks = split(col("text"), " ")
+    // materialize the split ONCE per row: element_at over the raw
+    // split(...) expression re-evaluates the split per lambda call
+    // (subexpression elimination does not cross lambda boundaries),
+    // turning trigram emission O(L^2) in document length
+    val toks = col("toks")
     Tables(spark, dir, "documents")
+      .select(split(col("text"), " ").as("toks"))
       .filter(size(toks) >= 3)
       .select(explode(transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),

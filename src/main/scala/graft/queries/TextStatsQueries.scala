@@ -435,9 +435,14 @@ object TextStatsQueries {
        |FROM tw JOIN trw ON trw.fp = tw.fp
        |GROUP BY 1""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.functions.{array_join, explode, sequence, size, slice, transform}
-    val toks = tokens(col("text"))
+    // tokens() materialized once per row: slice over the raw expression
+    // re-tokenizes per window (no subexpr elimination across lambdas),
+    // O(L^2/8) in document length
+    val toks = col("toks")
     val wins = Tables(spark, dir, "documents")
       .select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("bucket"),
         explode(transform(
           sequence(lit(0), ((size(toks) - 1) / lit(8)).cast("int")),
           w => slice(toks, w * 8 + 1, lit(16)))).as("win"))
@@ -516,8 +521,13 @@ object TextStatsQueries {
       |        JOIN cu ON cu.w1 = bg.w1
       |GROUP BY 1""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.functions.{explode, log => lnf, sequence, size, slice, split, transform}
-    val toks = split(col("text"), " ")
+    // split materialized once per row — element_at over the raw split
+    // expression re-runs the split per lambda call (no subexpression
+    // elimination across lambda boundaries), making bigram emission
+    // O(L^2) in document length
+    val toks = col("toks")
     val bg = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(toks) - 1),
         i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
