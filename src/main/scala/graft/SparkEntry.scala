@@ -29,7 +29,9 @@ object SparkEntry {
       graft.queries.PivotQueries.all ++
       graft.queries.TimeSeriesQueries.all ++
       graft.queries.CorpusQueries.all ++
-      graft.queries.CurationQueries.all
+      graft.queries.CurationQueries.all ++
+      graft.queries.CurationQueries2.all ++
+      graft.queries.PqQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.QuantizedL2Expr
+
+/** Product quantization (PQ) over the `embeddings` fixture — the memory-
+  * compression half of large-scale ANN serving (IVF narrows WHERE to look,
+  * PQ shrinks WHAT is stored: 64 doubles → 4 byte-sized codes here).
+  *
+  * Determinism discipline matches the ANN family: every distance is the
+  * quantized-L2 integer sum Σ floor((aᵢ−bᵢ)²·2^45) ([[QuantizedL2Expr]],
+  * bit-identical across engines and partitionings), codebooks are seeded
+  * from fixed row ids (vec_id 0..7 per subspace — the `q_kmeans` seeding
+  * convention; codebook TRAINING itself is covered by `q_kmeans`), and
+  * every argmin tie-breaks on the lower code / id.
+  *
+  * Scale shape: the codebook is M×K×(D/M) ≈ KB-sized at any corpus size —
+  * always broadcast. Encoding is a map-side argmin per subspace (the only
+  * shuffle is the window per (vec_id, m), which at production scale is a
+  * per-partition heap because (vec_id, m) is unique per row after the
+  * argmin). ADC serving inverts the direction: the per-query lookup table
+  * (M×K quantized distances) is broadcast against the CODES table — the
+  * full-precision vectors are never touched after encoding, which is the
+  * point of PQ at 100 TB.
+  */
+object PqQueries {
+
+  private val Dim = 64
+  private val M = 4 // subspaces
+  private val SubDim = Dim / M
+  private val K = 8 // codewords per subspace
+  private val S45 = "35184372088832.0" // 2^45 quantization grid
+
+  /** Shared oracle CTEs: per-dim explode, subspace split, seeded codebook,
+    * per-(vector, subspace, code) quantized distances, and the argmin
+    * code assignment.
+    */
+  private val CodesCte =
+    s"""ed AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       |       FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)),
+       |sub AS (SELECT vec_id, CAST((i - 1) // $SubDim AS BIGINT) AS m, i, x FROM ed),
+       |cb AS (SELECT vec_id AS code, m, i, x AS c FROM sub WHERE vec_id < $K),
+       |d AS (SELECT s.vec_id, s.m, cb.code,
+       |             CAST(sum(CAST(floor((s.x - cb.c) * (s.x - cb.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |      FROM sub s JOIN cb ON cb.m = s.m AND cb.i = s.i
+       |      GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, m, code, d2 FROM (
+       |            SELECT vec_id, m, code, d2,
+       |                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+       |            FROM d) WHERE rn = 1)""".stripMargin
+
+  /** (vec_id, subspace) rows with the subvector slice, Spark side. */
+  private def subspaces(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(transform(sequence(lit(0), lit(M - 1)),
+      m => struct(m.cast("long").as("m"),
+        slice(col("embedding"), m * SubDim + 1, lit(SubDim)).as("sv")))).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** Argmin code per (vec_id, subspace) against the broadcast codebook. */
+  private def pqAssign(sub: DataFrame): DataFrame = {
+    val cb = sub.filter(col("vec_id") < K)
+      .select(col("vec_id").as("code"), col("m").as("cm"), col("sv").as("cv"))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("code").asc)
+    sub.join(broadcast(cb), col("cm") === col("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        QuantizedL2Expr.column(col("sv"), col("cv"), 45).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"), col("d2"))
+  }
+
+  /** PQ ENCODE: each vector's 4 subspace codes plus the quantized
+    * residual distance to its codeword — the compressed representation a
+    * 100 TB vector store actually persists.
+    */
+  val pqCodes: QueryDef = QueryDef.sql(
+    "q_pq_codes",
+    s"""WITH $CodesCte
+       |SELECT vec_id, m, code, d2 FROM codes""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    pqAssign(subspaces(emb))
+  }
+
+  /** PQ SERVING-FIDELITY eval: recall@10 of asymmetric-distance (ADC)
+    * top-10 against exact top-10, per query (vec_id < 10, self excluded).
+    * ADC(q, v) = Σ_m lut[m, code_{v,m}] where `lut` is the query's
+    * quantized distance to every codeword — the codes table is the big
+    * side; the 10×4×8-row lookup table is broadcast. Exact ground truth
+    * uses the same quantized-L2 metric on the raw vectors, so the metric
+    * mismatch (approximation error) is ONLY the PQ compression, which is
+    * what this query measures. The eval twin of `q_pq_codes`, in the
+    * `q_int8_recall` / `q_proj_recall` / `q_minhash_est` tradition: every
+    * sketch ships with a query measuring its error.
+    */
+  val pqRecall: QueryDef = QueryDef.sql(
+    "q_pq_recall",
+    s"""WITH $CodesCte,
+       |qd AS (SELECT s.vec_id AS qid, s.m, cb.code,
+       |              CAST(sum(CAST(floor((s.x - cb.c) * (s.x - cb.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM sub s JOIN cb ON cb.m = s.m AND cb.i = s.i
+       |       WHERE s.vec_id < 10 GROUP BY 1, 2, 3),
+       |adc AS (SELECT qd.qid, c.vec_id AS nid, CAST(sum(qd.d2) AS BIGINT) AS ad2
+       |        FROM codes c JOIN qd ON qd.m = c.m AND qd.code = c.code
+       |        WHERE c.vec_id <> qd.qid GROUP BY 1, 2),
+       |atop AS (SELECT qid, nid FROM (
+       |           SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY ad2, nid) AS rn
+       |           FROM adc) WHERE rn <= 10),
+       |ex AS (SELECT qa.vec_id AS qid, xb.vec_id AS nid,
+       |              CAST(sum(CAST(floor((qa.x - xb.x) * (qa.x - xb.x) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed qa JOIN ed xb ON xb.i = qa.i AND xb.vec_id <> qa.vec_id
+       |       WHERE qa.vec_id < 10 GROUP BY 1, 2),
+       |etop AS (SELECT qid, nid FROM (
+       |           SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+       |           FROM ex) WHERE rn <= 10)
+       |SELECT a.qid, CAST(count(e.nid) AS BIGINT) AS hits
+       |FROM atop a LEFT JOIN etop e ON e.qid = a.qid AND e.nid = a.nid
+       |GROUP BY a.qid""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val sub = subspaces(emb)
+    val codes = pqAssign(sub).drop("d2")
+    val cb = sub.filter(col("vec_id") < K)
+      .select(col("vec_id").as("code"), col("m").as("cm"), col("sv").as("cv"))
+    // per-query codeword lookup table: M×K rows per query — broadcast side
+    val qd = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m").as("qm"), col("sv").as("qv"))
+      .join(cb, col("cm") === col("qm"))
+      .select(col("qid"), col("qm"), col("code").as("qcode"),
+        QuantizedL2Expr.column(col("qv"), col("cv"), 45).as("qd2"))
+    val adc = codes.join(broadcast(qd),
+        col("qm") === col("m") && col("qcode") === col("code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2")).cast("long").as("ad2"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("ad2").asc, col("vec_id").asc)
+    val atop = adc.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id").as("nid"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("eqid"), col("embedding").as("qv"))
+    val ex = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("eqid"))
+      .select(col("eqid"), col("vec_id").as("enid"),
+        QuantizedL2Expr.column(col("embedding"), col("qv"), 45).as("d2"))
+    val we = Window.partitionBy(col("eqid")).orderBy(col("d2").asc, col("enid").asc)
+    val etop = ex.withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= 10)
+      .select(col("eqid").as("qid"), col("enid").as("nid"), lit(1).as("hit"))
+    atop.join(etop, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(col("hit")).as("hits"))
+  }
+
+  /** Hard-negative mining — for each query (vec_id < 10), the 3 nearest
+    * neighbors whose label DIFFERS from the query's: the contrastive-
+    * training sampling step (close in embedding space, wrong class).
+    * Same broadcast-query brute-force shape as `q_ann_topk` plus the
+    * label anti-predicate; at scale the label filter pushes into the
+    * scan before any distance is computed.
+    */
+  val hardNegatives: QueryDef = QueryDef.sql(
+    "q_hard_negatives",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+       |d AS (SELECT qid, vec_id AS nid, label AS nlabel,
+       |             ${graft.functions.VectorFunctions.cosDistSql("v", "qv")} AS dist
+       |      FROM e, q WHERE vec_id <> qid AND label <> qlabel),
+       |r AS (SELECT qid, nid, nlabel, dist,
+       |             row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       |      FROM d)
+       |SELECT qid, rank, nid, CAST(nlabel AS BIGINT) AS nlabel, dist
+       |FROM r WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+    import graft.functions.VectorFunctions.cosineDistance
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id").asc)
+    emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("dist", cosineDistance(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("nid"), col("label").cast("long").as("nlabel"), col("dist"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pqCodes, pqRecall, hardNegatives)
+}
