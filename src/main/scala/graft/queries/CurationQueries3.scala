@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.{polyHash, polyHashSql, tokens}
+import graft.functions.QuantizedL2Expr
+import graft.functions.VectorFunctions.{cosDistSql, cosineDistance}
+
+/** Third curation batch: boilerplate span mining, cluster-scoped semantic
+  * dedup (the SemDeDup recipe), mixture rebalancing, n-gram novelty
+  * scoring, and the cumulative token-budget curve. Determinism discipline
+  * unchanged: integer counts/ranks/fingerprints; doubles only from the
+  * shared cosine algebra or exact integer ratios.
+  */
+object CurationQueries3 {
+
+  /** Boilerplate span mining — 16-token windows (stride 8, the
+    * `q_token_windows` unit) occurring in ≥2 DISTINCT documents, ranked
+    * by spread: the frequent-span detector that finds headers, license
+    * blocks and navigation chrome before they pollute dedup and LM
+    * statistics. Windows travel as BIGINT fingerprints; the group state
+    * per fp is two counters, and the top-20 is a heap-merge
+    * (`TakeOrderedAndProject`), never a global sort.
+    */
+  val boilerplateSpans: QueryDef = QueryDef.sql(
+    "q_boilerplate_spans",
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (SELECT doc_id,
+       |             ${polyHashSql("array_to_string(toks[w*8+1 : w*8+16], ' ')")} AS fp
+       |      FROM tk, unnest(range(0, (len(toks) + 7) // 8)) t(w)),
+       |g AS (SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+       |      FROM w GROUP BY fp)
+       |SELECT fp, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
+       |FROM g WHERE n_docs >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 20""".stripMargin) { (spark, dir) =>
+    // toks materialized once per row (the q_token_windows lesson)
+    val toks = col("toks")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), ((size(toks) - 1) / lit(8)).cast("int")),
+        w => slice(toks, w * 8 + 1, lit(16)))).as("win"))
+      .select(col("doc_id"), polyHash(array_join(col("win"), " ")).as("fp"))
+      .groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("fp").asc)
+      .limit(20)
+  }
+
+  /** Cluster-scoped semantic dedup — the SemDeDup recipe: assign every
+    * embedding to its nearest seeded centroid (the `q_kmeans` a1
+    * assignment, quantized-L2 argmin, ties to lower cluster), then find
+    * near-identical pairs ONLY within a cluster (cosine distance ≤ 0.6 — calibrated to this
+    * corpus, whose closest pairs sit at ~0.5;
+    * keep = lower id by convention). Cluster blocking is what makes
+    * semantic dedup tractable at corpus scale: pair candidates are
+    * bounded by cluster size (held roughly constant as k grows with the
+    * corpus), never corpus². Cross-cluster near-dups are missed by
+    * design — the documented SemDeDup trade.
+    */
+  val semDedup: QueryDef = QueryDef.sql(
+    "q_semdedup",
+    s"""WITH ed AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       |            FROM embeddings, UNNEST(range(1, 65)) t(i)),
+       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < 8),
+       |a1 AS (SELECT ed.vec_id, c0.cluster,
+       |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * 35184372088832.0) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
+       |s1 AS (SELECT vec_id, cluster FROM (
+       |         SELECT vec_id, cluster,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |         FROM a1) WHERE rn = 1),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT sa.cluster, a.vec_id AS ida, b.vec_id AS idb,
+       |       ${cosDistSql("a.v", "b.v")} AS dist
+       |FROM e a JOIN s1 sa ON sa.vec_id = a.vec_id
+       |     JOIN s1 sb ON sb.cluster = sa.cluster
+       |     JOIN e b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+       |WHERE ${cosDistSql("a.v", "b.v")} <= 0.6""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cent0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster").asc)
+    val asg = emb.crossJoin(broadcast(cent0))
+      .select(col("vec_id"), col("cluster"),
+        QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"))
+    val side = emb.join(asg, "vec_id")
+    val a = side.select(col("cluster"), col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = side.select(col("cluster"), col("vec_id").as("idb"), col("embedding").as("vb"))
+    a.join(b, "cluster")
+      .filter(col("ida") < col("idb"))
+      .withColumn("dist", cosineDistance(col("va"), col("vb")))
+      .filter(col("dist") <= 0.6)
+      .select(col("cluster"), col("ida"), col("idb"), col("dist"))
+  }
+
+  /** Mixture rebalancing — per-language keep rates that level the corpus
+    * toward a uniform language mix: rate = min(1, target/actual) with
+    * target = ⌊total/n_langs⌋. The sampling-rate computation that
+    * precedes `q_domain_mix`'s hash-gated application. All integer
+    * arithmetic (products stay < 2^53, so both engines' doubles are
+    * exact); one vocabulary-sized aggregate plus a broadcast total.
+    */
+  val mixRebalance: QueryDef = QueryDef.sql(
+    "q_mix_rebalance",
+    """WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nl FROM s)
+      |SELECT s.lang, s.n,
+      |       CAST(floor(t.tot / t.nl) AS BIGINT) AS target_docs,
+      |       CAST(least(10000, floor(floor(t.tot / t.nl) * 10000.0 / s.n)) AS BIGINT) AS keep_bp,
+      |       CAST(floor(s.n * least(10000, floor(floor(t.tot / t.nl) * 10000.0 / s.n)) / 10000.0) AS BIGINT) AS expect_kept
+      |FROM s, t""".stripMargin) { (spark, dir) =>
+    val s = Tables(spark, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val t = s.agg(sum(col("n")).as("tot"), count(lit(1)).as("nl"))
+    val target = floor(col("tot") / col("nl"))
+    val keepBp = least(lit(10000L), floor(target * 10000.0 / col("n")))
+    s.crossJoin(broadcast(t))
+      .select(col("lang"), col("n"),
+        target.cast("long").as("target_docs"),
+        keepBp.cast("long").as("keep_bp"),
+        floor(col("n") * keepBp / 10000.0).cast("long").as("expect_kept"))
+  }
+
+  /** N-gram novelty score — the fraction of each document's distinct
+    * trigrams seen NOWHERE else in the corpus (df = 1), in basis points:
+    * high novelty separates genuinely new content from remixes and
+    * boilerplate (the memorization-risk complement of `q_repetition`).
+    * Trigrams travel as BIGINT polynomial hashes through one df join.
+    */
+  val ngramNovelty: QueryDef = QueryDef.sql(
+    "q_ngram_novelty",
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tg AS (SELECT DISTINCT doc_id,
+       |              ${polyHashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")} AS h
+       |       FROM tk, unnest(range(1, len(toks) - 1)) t(i)),
+       |df AS (SELECT h, count(*) AS df FROM tg GROUP BY h)
+       |SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+       |       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(floor(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 10000.0
+       |                  / count(*)) AS BIGINT) AS novel_bp
+       |FROM tg JOIN df USING (h)
+       |GROUP BY tg.doc_id""".stripMargin) { (spark, dir) =>
+    val toks = col("toks")
+    val tg = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))).as("tri"))
+      .select(col("doc_id"), polyHash(col("tri")).as("h"))
+      .distinct()
+    val df = tg.groupBy("h").agg(count(lit(1)).as("df"))
+    tg.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("df") === 1, 1).otherwise(0)).cast("long").as("n_novel"),
+        floor(sum(when(col("df") === 1, 1).otherwise(0)) * 10000.0 / count(lit(1)))
+          .cast("long").as("novel_bp"))
+  }
+
+  /** Cumulative token-budget curve — docs ranked by length into 10
+    * ntile deciles, with each decile's token volume and the running
+    * cumulative share in basis points: "what fraction of corpus tokens
+    * live in the longest N% of documents", the truncation-budget
+    * planning view. Integer-exact; the running sum is a 10-row window.
+    */
+  val tokenCdf: QueryDef = QueryDef.sql(
+    "q_token_cdf",
+    """WITH m AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |r AS (SELECT doc_id, n, ntile(10) OVER (ORDER BY n DESC, doc_id) AS decile FROM m),
+      |d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(n) AS BIGINT) AS tokens
+      |      FROM r GROUP BY decile),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot FROM d)
+      |SELECT CAST(d.decile AS BIGINT) AS decile, d.n_docs, d.tokens,
+      |       CAST(floor(sum(d.tokens) OVER (ORDER BY d.decile) * 10000.0 / t.tot) AS BIGINT)
+      |         AS cum_bp
+      |FROM d, t""".stripMargin) { (spark, dir) =>
+    val m = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val d = m.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n").desc, col("doc_id").asc)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+    val t = d.agg(sum(col("tokens")).as("tot"))
+    d.crossJoin(broadcast(t))
+      .withColumn("cum_bp",
+        floor(sum(col("tokens")).over(Window.orderBy(col("decile"))) * 10000.0 / col("tot"))
+          .cast("long"))
+      .select(col("decile").cast("long").as("decile"), col("n_docs"),
+        col("tokens"), col("cum_bp"))
+  }
+
+  val all: Seq[QueryDef] = Seq(boilerplateSpans, semDedup, mixRebalance,
+    ngramNovelty, tokenCdf)
+}
