@@ -373,6 +373,43 @@ object DedupQueries {
       embedPairs(spark, dir).select("ida", "idb"), "ida", "idb")
   }
 
+  /** Approximate k-NN GRAPH over the sign-LSH candidate pairs: each
+    * vector's top-3 most-similar band-collision neighbors (cosine desc,
+    * id tie-break) — the adjacency structure SemDeDup-style semantic
+    * clustering and graph-based diversity sampling consume. The pair
+    * generation is the banded join (never all-pairs: an exact k-NN graph
+    * is O(N²) and a scale-killer); the per-node top-k is a window the
+    * optimizer caps with WindowGroupLimit, so per-partition state is k
+    * rows per node. Nodes with no band collisions have no edges — the
+    * honest ANN-graph semantics (recall is bought with bands, measured
+    * by `q_embed_neardup`'s family).
+    */
+  val knnGraph: QueryDef = QueryDef.sql(
+    "q_knn_graph",
+    s"""WITH $EmbCandCtes,
+       |scored AS (SELECT c.ida, c.idb, ${cosSimSql("pa.v", "pb.v")} AS sim
+       |           FROM cand c JOIN pv pa ON pa.vec_id = c.ida
+       |                       JOIN pv pb ON pb.vec_id = c.idb),
+       |edges AS (SELECT ida AS src, idb AS nid, sim FROM scored
+       |          UNION ALL SELECT idb, ida, sim FROM scored),
+       |r AS (SELECT src, nid, sim,
+       |             row_number() OVER (PARTITION BY src ORDER BY sim DESC, nid) AS rank
+       |      FROM edges)
+       |SELECT src, CAST(rank AS BIGINT) AS rank, nid, sim
+       |FROM r WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+    val scored = Dedup.embeddingNearDupCandidates(
+        Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
+      .select(col("ida"), col("idb"), col("sim"))
+    val edges = scored.select(col("ida").as("src"), col("idb").as("nid"), col("sim"))
+      .unionAll(scored.select(col("idb").as("src"), col("ida").as("nid"), col("sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("nid").asc)
+    edges.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("rank").cast("long").as("rank"), col("nid"), col("sim"))
+  }
+
   /** Canonicalization dedup: case-fold, strip non-alphanumerics, collapse
     * whitespace, then group — catches formatting-variant duplicates that
     * exact dedup misses. Regex classes kept to constructs with identical
@@ -571,6 +608,6 @@ object DedupQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
-    simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups,
+    simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups, knnGraph,
     dedupGroups, dupHistogram, dedupIncremental, corpusFilter, decontam)
 }

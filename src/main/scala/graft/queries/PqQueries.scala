@@ -187,5 +187,87 @@ object PqQueries {
         col("vec_id").as("nid"), col("label").cast("long").as("nlabel"), col("dist"))
   }
 
-  val all: Seq[QueryDef] = Seq(pqCodes, pqRecall, hardNegatives)
+  /** IVF+PQ combined serving — the full large-scale ANN read path in one
+    * oracle-checked query: a coarse quantizer (seed centroids vec_id 0..7,
+    * the `q_ivf_pruned` convention) narrows each query (vec_id < 5) to
+    * its nprobe=2 nearest inverted lists, and ONLY those lists' PQ codes
+    * are scored by asymmetric distance (ADC) — the raw vectors are never
+    * touched at serve time. Top-5 per query by (ad2, id).
+    *
+    * Scale shape: the coarse assignment and the per-query LUT are both
+    * broadcast-sized (k×dim and M×K per query); the codes table is the
+    * single big side and the probe join prunes it to nprobe/k of the
+    * corpus before any distance math. This is the FAISS IVFADC layout
+    * re-expressed as a declarative plan — at 100 TB the codes table is
+    * additionally partitioned by cluster on disk (`q_ivf_pruned` proves
+    * the file-pruning half separately).
+    */
+  val ivfPq: QueryDef = QueryDef.sql(
+    "q_ivfpq",
+    s"""WITH $CodesCte,
+       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < $K),
+       |a1 AS (SELECT ed.vec_id, c0.cluster,
+       |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
+       |s1 AS (SELECT vec_id, cluster FROM (
+       |         SELECT vec_id, cluster,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |         FROM a1) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS qid, cluster FROM (
+       |            SELECT vec_id, cluster,
+       |                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |            FROM a1 WHERE vec_id < 5) WHERE rn <= 2),
+       |qd AS (SELECT s.vec_id AS qid, s.m, cb.code,
+       |              CAST(sum(CAST(floor((s.x - cb.c) * (s.x - cb.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM sub s JOIN cb ON cb.m = s.m AND cb.i = s.i
+       |       WHERE s.vec_id < 5 GROUP BY 1, 2, 3),
+       |adc AS (SELECT p.qid, c.vec_id AS nid, CAST(sum(qd.d2) AS BIGINT) AS ad2
+       |        FROM codes c
+       |        JOIN s1 ON s1.vec_id = c.vec_id
+       |        JOIN probe p ON p.cluster = s1.cluster
+       |        JOIN qd ON qd.qid = p.qid AND qd.m = c.m AND qd.code = c.code
+       |        WHERE c.vec_id <> p.qid GROUP BY 1, 2)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, ad2 FROM (
+       |  SELECT qid, nid, ad2,
+       |         row_number() OVER (PARTITION BY qid ORDER BY ad2, nid) AS rank
+       |  FROM adc) WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+    import graft.functions.QuantizedL2Expr
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val sub = subspaces(emb)
+    val codes = pqAssign(sub).drop("d2")
+    // coarse quantizer: k×dim seed table, always broadcast
+    val seeds = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    val a1 = emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cluster"),
+        QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"))
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster").asc)
+    val ranked = a1.withColumn("rn", row_number().over(wv))
+    val s1 = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cluster"))
+    val probe = ranked.filter(col("vec_id") < 5 && col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("cluster").as("pcluster"))
+    // per-query ADC lookup table: M×K rows per query — broadcast side
+    val cb = sub.filter(col("vec_id") < K)
+      .select(col("vec_id").as("code"), col("m").as("cm"), col("sv").as("cv"))
+    val qd = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("lqid"), col("m").as("qm"), col("sv").as("qv"))
+      .join(broadcast(cb), col("cm") === col("qm"))
+      .select(col("lqid"), col("qm"), col("code").as("qcode"),
+        QuantizedL2Expr.column(col("qv"), col("cv"), 45).as("qd2"))
+    val adc = codes
+      .join(s1, "vec_id")
+      .join(broadcast(probe), col("pcluster") === col("cluster"))
+      .join(broadcast(qd),
+        col("lqid") === col("qid") && col("qm") === col("m") && col("qcode") === col("code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2")).cast("long").as("ad2"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ad2").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("nid"), col("ad2"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pqCodes, pqRecall, hardNegatives, ivfPq)
 }
