@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.{log => lnf, _}
+import graft.{QueryDef, Tables}
+
+/** Fifth curation batch: cohort retention (the event-side engagement
+  * signal a data pipeline joins against document sources), a Zipf
+  * rank-frequency fit (corpus-health scalar: a healthy natural-language
+  * corpus fits slope ≈ −1; synthetic or templated text drifts off),
+  * linear quality-classifier inference (the fastText-style scoring head
+  * applied as a map-only expression), and temperature-flattened source
+  * mixing weights (the n^(1/2) upsampling rule for low-resource
+  * sources). All arithmetic is exact-integer or identically-ordered
+  * IEEE: lns are quantized to the 2^20 grid before any sum, sums of
+  * per-row products ride DECIMAL casts, and sqrt is correctly-rounded
+  * in both engines.
+  */
+object CurationQueries5 {
+
+  private val Q20 = 1048576L // 2^20 ln-quantization grid (products stay in BIGINT)
+
+  /** D1/D7 cohort retention over `events`: users grouped by first-seen
+    * day, retained = any activity exactly 1 / 7 days later. Two keyed
+    * aggregations on user_id (co-partitioned: the distinct-day table and
+    * the cohort table shuffle on the same key) and a date-sized final
+    * rollup. At 100 TB of events the per-user state is the distinct
+    * active-day set, which the first aggregation reduces map-side.
+    */
+  val retention: QueryDef = QueryDef.sql(
+    "q_retention",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id),
+      |r AS (SELECT c.user_id, c.d0,
+      |             max(CASE WHEN ud.d = c.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+      |             max(CASE WHEN ud.d = c.d0 + 7 THEN 1 ELSE 0 END) AS r7
+      |      FROM c JOIN ud ON ud.user_id = c.user_id
+      |      GROUP BY 1, 2)
+      |SELECT d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(r1) AS BIGINT) AS d1_retained,
+      |       CAST(sum(r7) AS BIGINT) AS d7_retained,
+      |       CAST(floor(sum(r1) * 10000.0 / count(*)) AS BIGINT) AS d1_bp,
+      |       CAST(floor(sum(r7) * 10000.0 / count(*)) AS BIGINT) AS d7_bp
+      |FROM r GROUP BY d0""".stripMargin) { (spark, dir) =>
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val c = ud.groupBy("user_id").agg(min(col("d")).as("d0"))
+    val r = c.join(ud, "user_id")
+      .groupBy(col("user_id"), col("d0"))
+      .agg(max(when(col("d") === date_add(col("d0"), 1), 1).otherwise(0)).as("r1"),
+        max(when(col("d") === date_add(col("d0"), 7), 1).otherwise(0)).as("r7"))
+    r.groupBy(col("d0").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r1")).cast("long").as("d1_retained"),
+        sum(col("r7")).cast("long").as("d7_retained"),
+        floor(sum(col("r1")) * 10000.0 / count(lit(1))).cast("long").as("d1_bp"),
+        floor(sum(col("r7")) * 10000.0 / count(lit(1))).cast("long").as("d7_bp"))
+  }
+
+  /** Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the token
+    * frequency table — slope ≈ −1 is the natural-language signature. The
+    * lns are quantized to the 2^20 grid per row (the grid cancels in the
+    * slope), per-row products stay inside BIGINT, and the five sums ride
+    * DECIMAL casts, so both engines feed identical integers into an
+    * identically-ordered double formula. The rank is a global window
+    * over the VOCABULARY table (corpus-bounded, not corpus-sized); the
+    * fit itself is one scalar aggregation.
+    */
+  val zipfFit: QueryDef = QueryDef.sql(
+    "q_zipf_fit",
+    s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+       |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM f),
+       |q AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * $Q20) AS BIGINT) AS x,
+       |             CAST(floor(ln(CAST(cnt AS DOUBLE)) * $Q20) AS BIGINT) AS y
+       |      FROM r),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |             CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+       |             CAST(sum(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+       |             CAST(sum(CAST(x * y AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+       |             CAST(sum(CAST(x * x AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+       |      FROM q)
+       |SELECT CAST(n AS BIGINT) AS n_vocab,
+       |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       |       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / $Q20.0
+       |         AS intercept_ln
+       |FROM s""".stripMargin) { (spark, dir) =>
+    val f = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val q = f.withColumn("rnk", row_number().over(w))
+      .select(floor(lnf(col("rnk").cast("double")) * Q20).cast("long").as("x"),
+        floor(lnf(col("cnt").cast("double")) * Q20).cast("long").as("y"))
+    val s = q.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast("decimal(18,0)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(18,0)")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(18,0)")).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(18,0)")).cast("double").as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n").cast("long").as("n_vocab"),
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("n") / Q20.toDouble).as("intercept_ln"))
+  }
+
+  /** Linear quality-classifier inference — a fixed-weight scoring head
+    * over the `q_quality_filter` features, applied as one map-only
+    * integer expression per document (the shape of fastText/logreg
+    * quality-classifier INFERENCE at corpus scale: the model is weights
+    * in the plan, the data never shuffles). The logit stays in exact
+    * integer feature space; the sigmoid is monotone, so the keep
+    * decision `logit > 0` is identical to `p > 0.5` without computing
+    * any exp.
+    */
+  val qualityLogreg: QueryDef = QueryDef.sql(
+    "q_quality_logreg",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) AS BIGINT) AS n_stop
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(floor(n_uniq * 10000.0 / n_tokens) AS BIGINT) AS uniq_bp,
+      |         CAST(floor(n_stop * 10000.0 / n_tokens) AS BIGINT) AS stop_bp
+      |  FROM m)
+      |SELECT doc_id,
+      |       100 * n_tokens + 3 * uniq_bp - 5 * stop_bp - 12000 AS logit_q,
+      |       (100 * n_tokens + 3 * uniq_bp - 5 * stop_bp - 12000) > 0 AS keep
+      |FROM r""".stripMargin) { (spark, dir) =>
+    val toks = split(col("text"), " ")
+    val logit = lit(100L) * col("n_tokens") + lit(3L) * col("uniq_bp") -
+      lit(5L) * col("stop_bp") - lit(12000L)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        size(filter(toks, t => t === "a" || t === "the")).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("n_uniq") * 10000.0 / col("n_tokens")).cast("long").as("uniq_bp"),
+        floor(col("n_stop") * 10000.0 / col("n_tokens")).cast("long").as("stop_bp"))
+      .select(col("doc_id"), logit.as("logit_q"), (logit > 0).as("keep"))
+  }
+
+  /** Temperature-flattened source mixing: sampling weight ∝ n^(1/2)
+    * instead of ∝ n — the standard low-resource upsampling rule. sqrt
+    * is correctly-rounded IEEE in both engines and the normalization is
+    * exact integer division over the quantized weights, so the emitted
+    * shares match bit-for-bit. Source-count-sized data end to end.
+    */
+  val temperatureMix: QueryDef = QueryDef.sql(
+    "q_temperature_mix",
+    s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+       |w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * $Q20) AS BIGINT) AS wq
+       |      FROM s),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(sum(wq) AS BIGINT) AS wtot FROM w)
+       |SELECT w.source, w.n,
+       |       CAST(floor(w.n * 10000.0 / t.tot) AS BIGINT) AS share_bp,
+       |       CAST(floor(w.wq * 10000.0 / t.wtot) AS BIGINT) AS temp_bp
+       |FROM w, t""".stripMargin) { (spark, dir) =>
+    val s = Tables(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val w = s.select(col("source"), col("n"),
+      floor(sqrt(col("n").cast("double")) * Q20).cast("long").as("wq"))
+    val t = w.agg(sum(col("n")).as("tot"), sum(col("wq")).as("wtot"))
+    w.crossJoin(broadcast(t))
+      .select(col("source"), col("n"),
+        floor(col("n") * 10000.0 / col("tot")).cast("long").as("share_bp"),
+        floor(col("wq") * 10000.0 / col("wtot")).cast("long").as("temp_bp"))
+  }
+
+  val all: Seq[QueryDef] = Seq(retention, zipfFit, qualityLogreg, temperatureMix)
+}

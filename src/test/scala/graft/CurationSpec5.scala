@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the fifth curation batch beyond the oracle gate:
+  * brute-force recounts and analytic sanity bounds.
+  */
+class CurationSpec5 extends SparkSpec {
+
+  test("retention: cohort sizes partition the user base; retained <= cohort size") {
+    val rows = graft.queries.CurationQueries5.retention.fn(spark, sf0001).collect()
+    val nUsers = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1))
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000)
+    }
+  }
+
+  test("retention: d1 figure matches a brute-force recount") {
+    val rows = graft.queries.CurationQueries5.retention.fn(spark, sf0001).collect()
+    val ud = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byUser = ud.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val d1 = byUser.toSeq.map { case (u, ds) => (ds.min, ds.contains(ds.min.plusDays(1))) }
+      .groupBy(_._1).view.mapValues(_.count(_._2).toLong).toMap
+    for (r <- rows)
+      assert(r.getLong(2) == d1.getOrElse(r.getDate(0).toLocalDate, 0L),
+        s"cohort ${r.getDate(0)}")
+  }
+
+  test("zipf fit: slope is negative and matches a driver-side OLS recount") {
+    val row = graft.queries.CurationQueries5.zipfFit.fn(spark, sf0001).collect().head
+    val (n, slope, icept) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(slope < 0, s"zipf slope $slope")
+    val counts = Tables(spark, sf0001, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" ")).groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    assert(n == counts.length)
+    val q = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.floor(math.log(i + 1.0) * 1048576).toLong,
+        math.floor(math.log(c.toDouble) * 1048576).toLong)
+    }
+    val (sx, sy) = (q.map(_._1).sum.toDouble, q.map(_._2).sum.toDouble)
+    val sxy = q.map(p => p._1 * p._2).sum.toDouble
+    val sxx = q.map(p => p._1 * p._1).sum.toDouble
+    val nn = q.length.toDouble
+    val expSlope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(math.abs(slope - expSlope) < 1e-12, s"$slope vs $expSlope")
+    assert(math.abs(icept - (sy - expSlope * sx) / nn / 1048576.0) < 1e-12)
+  }
+
+  test("quality logreg: keep iff logit positive; logit matches the feature recount") {
+    val out = graft.queries.CurationQueries5.qualityLogreg.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    var kept = 0
+    for (r <- Tables(spark, sf0001, "documents").select("doc_id", "text").collect()) {
+      val toks = r.getString(1).split(" ")
+      val uniqBp = toks.distinct.length.toLong * 10000 / toks.length
+      val stopBp = toks.count(t => t == "a" || t == "the").toLong * 10000 / toks.length
+      val logit = 100L * toks.length + 3 * uniqBp - 5 * stopBp - 12000
+      val (gotLogit, gotKeep) = out(r.getLong(0))
+      assert(gotLogit == logit, s"doc ${r.getLong(0)}")
+      assert(gotKeep == (logit > 0))
+      if (gotKeep) kept += 1
+    }
+    // the head must actually separate: both classes present in the fixture
+    assert(kept > 0 && kept < out.size, s"degenerate split: $kept of ${out.size}")
+  }
+
+  test("temperature mix: flattening moves every share toward the mean") {
+    val rows = graft.queries.CurationQueries5.temperatureMix.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val meanBp = 10000L / rows.length
+    for ((src, _, shareBp, tempBp) <- rows) {
+      // sqrt-temperature compresses the distribution: anything above the
+      // mean share must not move further from it, and vice versa (integer
+      // floors allow 1 bp of slack on each comparison)
+      if (shareBp > meanBp) assert(tempBp <= shareBp + 1, src)
+      if (shareBp < meanBp) assert(tempBp + 1 >= shareBp, src)
+    }
+    assert(math.abs(rows.map(_._4).sum - 10000L) <= rows.length) // floors undershoot
+  }
+}
