@@ -315,27 +315,33 @@ object DedupQueries {
     * at 30x for the pinned form vs ~0.4 for this one), so it gets its own
     * oracle-checked entry rather than only a bench probe.
     */
+  /** Shared CTEs for the SCALE-SAFE sign-LSH candidate generation: band
+    * width derived from the corpus count ([[Dedup.scaledBitsPerBand]]).
+    */
+  private val ScaledEmbCandCtes =
+    """cfg AS (SELECT coalesce(min(b), 15) AS bits
+      |             FROM (SELECT unnest(range(1, 16)) AS b),
+      |                  (SELECT count(*) AS n FROM embeddings)
+      |             WHERE (CAST(1 AS BIGINT) << b) * 32 >= n),
+      |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, cfg.bits AS bits
+      |         FROM embeddings, cfg),
+      |packed AS (SELECT vec_id, v, bits,
+      |                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                    list_transform(list_reverse(v[1:(bits*4)]),
+      |                      x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |                    (acc, bt) -> acc * 2 + bt) AS pack
+      |           FROM base),
+      |bands AS (SELECT vec_id, bd AS band,
+      |                 (pack >> (bits * bd)) & ((CAST(1 AS BIGINT) << bits) - 1) AS key
+      |          FROM packed, (SELECT unnest(range(0, 4)) AS bd)),
+      |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      |pv AS (SELECT vec_id, v FROM packed)""".stripMargin
+
   val embedNearDupScaled: QueryDef = QueryDef.sql(
     "q_embed_neardup_scaled",
-    s"""WITH cfg AS (SELECT coalesce(min(b), 15) AS bits
-       |             FROM (SELECT unnest(range(1, 16)) AS b),
-       |                  (SELECT count(*) AS n FROM embeddings)
-       |             WHERE (CAST(1 AS BIGINT) << b) * 32 >= n),
-       |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, cfg.bits AS bits
-       |         FROM embeddings, cfg),
-       |packed AS (SELECT vec_id, v, bits,
-       |                  list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |                    list_transform(list_reverse(v[1:(bits*4)]),
-       |                      x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-       |                    (acc, bt) -> acc * 2 + bt) AS pack
-       |           FROM base),
-       |bands AS (SELECT vec_id, bd AS band,
-       |                 (pack >> (bits * bd)) & ((CAST(1 AS BIGINT) << bits) - 1) AS key
-       |          FROM packed, (SELECT unnest(range(0, 4)) AS bd)),
-       |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-       |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
-       |pv AS (SELECT vec_id, v FROM packed)
+    s"""WITH $ScaledEmbCandCtes
        |SELECT c.ida, c.idb, ${cosSimSql("pa.v", "pb.v")} AS sim
        |FROM cand c JOIN pv pa ON pa.vec_id = c.ida
        |            JOIN pv pb ON pb.vec_id = c.idb
@@ -377,16 +383,18 @@ object DedupQueries {
     * vector's top-3 most-similar band-collision neighbors (cosine desc,
     * id tie-break) — the adjacency structure SemDeDup-style semantic
     * clustering and graph-based diversity sampling consume. The pair
-    * generation is the banded join (never all-pairs: an exact k-NN graph
-    * is O(N²) and a scale-killer); the per-node top-k is a window the
-    * optimizer caps with WindowGroupLimit, so per-partition state is k
-    * rows per node. Nodes with no band collisions have no edges — the
-    * honest ANN-graph semantics (recall is bought with bands, measured
-    * by `q_embed_neardup`'s family).
+    * generation is the banded join in the SCALE-SAFE configuration
+    * (band width from the corpus count, [[Dedup.scaledBitsPerBand]] —
+    * never all-pairs: an exact k-NN graph is O(N²) and a scale-killer);
+    * the per-node top-k is a window the optimizer caps with
+    * WindowGroupLimit, so per-partition state is k rows per node. Nodes
+    * with no band collisions have no edges — the honest ANN-graph
+    * semantics (recall is bought with bands, measured by
+    * `q_embed_neardup`'s family).
     */
   val knnGraph: QueryDef = QueryDef.sql(
     "q_knn_graph",
-    s"""WITH $EmbCandCtes,
+    s"""WITH $ScaledEmbCandCtes,
        |scored AS (SELECT c.ida, c.idb, ${cosSimSql("pa.v", "pb.v")} AS sim
        |           FROM cand c JOIN pv pa ON pa.vec_id = c.ida
        |                       JOIN pv pb ON pb.vec_id = c.idb),
@@ -397,8 +405,9 @@ object DedupQueries {
        |      FROM edges)
        |SELECT src, CAST(rank AS BIGINT) AS rank, nid, sim
        |FROM r WHERE rank <= 3""".stripMargin) { (spark, dir) =>
-    val scored = Dedup.embeddingNearDupCandidates(
-        Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val emb = Tables.embeddings(spark, dir)
+    val bits = Dedup.scaledBitsPerBand(emb.count())
+    val scored = Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 4)
       .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
       .select(col("ida"), col("idb"), col("sim"))
     val edges = scored.select(col("ida").as("src"), col("idb").as("nid"), col("sim"))
