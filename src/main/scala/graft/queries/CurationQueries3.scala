@@ -198,6 +198,58 @@ object CurationQueries3 {
         col("tokens"), col("cum_bp"))
   }
 
+  /** The APPLY step of [[boilerplateSpans]]: per-document count of token
+    * positions covered by any cross-document repeated window (the spans
+    * a cleaner would strip), with the kept-token count and stripped
+    * share in basis points. Coverage is the exact union of overlapping
+    * windows — computed as DISTINCT covered positions, so the stride-8 /
+    * width-16 overlap never double-counts. Fingerprints are the join
+    * key; positions explode to ≤2 rows per token (width/stride), keeping
+    * the whole pass corpus-linear.
+    */
+  val boilerplateStrip: QueryDef = QueryDef.sql(
+    "q_boilerplate_strip",
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk),
+       |w AS (SELECT doc_id, w,
+       |             ${polyHashSql("array_to_string(toks[w*8+1 : w*8+16], ' ')")} AS fp,
+       |             len(toks) AS nt
+       |      FROM tk, unnest(range(0, (len(toks) + 7) // 8)) t(w)),
+       |b AS (SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT ww.doc_id, p
+       |        FROM w ww JOIN b ON b.fp = ww.fp,
+       |             unnest(range(ww.w*8 + 1, least(ww.w*8 + 16, ww.nt) + 1)) t(p)),
+       |c AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_tokens,
+       |       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered,
+       |       CAST(n.n_tokens - coalesce(c.covered, 0) AS BIGINT) AS kept_tokens,
+       |       CAST(floor(coalesce(c.covered, 0) * 10000.0 / n.n_tokens) AS BIGINT) AS strip_bp
+       |FROM n LEFT JOIN c ON c.doc_id = n.doc_id""".stripMargin) { (spark, dir) =>
+    val toks = col("toks")
+    val tk = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val n = tk.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    val w = tk
+      .select(col("doc_id"), size(toks).as("nt"),
+        posexplode(transform(
+          sequence(lit(0), ((size(toks) - 1) / lit(8)).cast("int")),
+          wi => slice(toks, wi * 8 + 1, lit(16)))).as(Seq("w", "win")))
+      .select(col("doc_id"), col("w"), col("nt"), polyHash(array_join(col("win"), " ")).as("fp"))
+    val b = w.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp").as("bfp"))
+    val cov = w.join(b, col("bfp") === col("fp"))
+      .select(col("doc_id"),
+        explode(sequence(col("w") * 8 + 1, least(col("w") * 8 + 16, col("nt")))).as("p"))
+      .distinct()
+    val c = cov.groupBy(col("doc_id").as("cdoc")).agg(count(lit(1)).as("covered"))
+    n.join(c, col("cdoc") === col("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        (col("n_tokens") - coalesce(col("covered"), lit(0L))).as("kept_tokens"),
+        floor(coalesce(col("covered"), lit(0L)) * 10000.0 / col("n_tokens"))
+          .cast("long").as("strip_bp"))
+  }
+
   val all: Seq[QueryDef] = Seq(boilerplateSpans, semDedup, mixRebalance,
-    ngramNovelty, tokenCdf)
+    ngramNovelty, tokenCdf, boilerplateStrip)
 }

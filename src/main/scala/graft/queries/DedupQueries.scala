@@ -419,6 +419,67 @@ object DedupQueries {
       .select(col("src"), col("rank").cast("long").as("rank"), col("nid"), col("sim"))
   }
 
+  /** Recall eval for [[knnGraph]] — the sketch-accuracy member for the
+    * ANN-graph family (`q_minhash_est` / `q_int8_recall` /
+    * `q_pq_recall` tradition: every approximation ships with a query
+    * measuring its error). For each probe vector (vec_id < 10), hits =
+    * how many of its top-3 band-collision neighbors appear in the EXACT
+    * cosine top-3 (brute force over the corpus, id tie-break). The
+    * exact side broadcasts the 10 probes against one corpus scan — the
+    * eval is corpus-linear; only the graph it grades is banded.
+    */
+  val knnRecall: QueryDef = QueryDef.sql(
+    "q_knn_recall",
+    s"""WITH $ScaledEmbCandCtes,
+       |scored AS (SELECT c.ida, c.idb, ${cosSimSql("pa.v", "pb.v")} AS sim
+       |           FROM cand c JOIN pv pa ON pa.vec_id = c.ida
+       |                       JOIN pv pb ON pb.vec_id = c.idb),
+       |edges AS (SELECT ida AS src, idb AS nid, sim FROM scored
+       |          UNION ALL SELECT idb, ida, sim FROM scored),
+       |g AS (SELECT src, nid FROM (
+       |        SELECT src, nid, row_number() OVER (PARTITION BY src ORDER BY sim DESC, nid) AS rn
+       |        FROM edges) WHERE rn <= 3 AND src < 10),
+       |ex AS (SELECT q.vec_id AS src, e.vec_id AS nid,
+       |              row_number() OVER (PARTITION BY q.vec_id
+       |                ORDER BY ${cosSimSql("e.v", "q.v")} DESC, e.vec_id) AS rn
+       |       FROM pv q JOIN pv e ON e.vec_id <> q.vec_id
+       |       WHERE q.vec_id < 10),
+       |et AS (SELECT src, nid FROM ex WHERE rn <= 3)
+       |SELECT q.vec_id AS qid,
+       |       CAST(count(g.nid) AS BIGINT) AS n_edges,
+       |       CAST(count(et.nid) AS BIGINT) AS hits
+       |FROM (SELECT vec_id FROM pv WHERE vec_id < 10) q
+       |LEFT JOIN g ON g.src = q.vec_id
+       |LEFT JOIN et ON et.src = g.src AND et.nid = g.nid
+       |GROUP BY q.vec_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val bits = Dedup.scaledBitsPerBand(emb.count())
+    val scored = Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 4)
+      .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
+      .select(col("ida"), col("idb"), col("sim"))
+    val edges = scored.select(col("ida").as("src"), col("idb").as("nid"), col("sim"))
+      .unionAll(scored.select(col("idb").as("src"), col("ida").as("nid"), col("sim")))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("nid").asc)
+    val g = edges.withColumn("rn", row_number().over(wg))
+      .filter(col("rn") <= 3 && col("src") < 10).select("src", "nid")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("esim").desc, col("vec_id").asc)
+    val et = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("esim", cosineSimilarity(col("embedding"), col("qv")))
+      .withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= 3)
+      .select(col("qid").as("eqid"), col("vec_id").as("enid"), lit(1).as("ehit"))
+    probes.select("qid")
+      .join(g, col("src") === col("qid"), "left")
+      .join(et, col("eqid") === col("src") && col("enid") === col("nid"), "left")
+      .groupBy("qid")
+      .agg(count(col("nid")).as("n_edges"), count(col("ehit")).as("hits"))
+  }
+
   /** Canonicalization dedup: case-fold, strip non-alphanumerics, collapse
     * whitespace, then group — catches formatting-variant duplicates that
     * exact dedup misses. Regex classes kept to constructs with identical
@@ -618,5 +679,6 @@ object DedupQueries {
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups, knnGraph,
+    knnRecall,
     dedupGroups, dupHistogram, dedupIncremental, corpusFilter, decontam)
 }

@@ -105,4 +105,44 @@ class CurationSpec4 extends SparkSpec {
       }
     }
   }
+
+  test("knn recall: hits <= n_edges <= 3, one row per probe") {
+    val rows = graft.queries.DedupQueries.knnRecall.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq == (0L until 10L).toSeq)
+    for ((qid, nEdges, hits) <- rows) {
+      assert(nEdges <= 3, s"q$qid edges $nEdges")
+      assert(hits <= nEdges, s"q$qid hits $hits > edges $nEdges")
+    }
+  }
+
+  test("boilerplate strip: exact duplicates are fully covered; coverage bounded") {
+    val rows = graft.queries.CurationQueries3.boilerplateStrip.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val docs = Tables(spark, sf0001, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    for ((id, (n, covered, bp)) <- rows) {
+      assert(covered >= 0 && covered <= n, s"doc $id")
+      assert(bp == covered * 10000 / n, s"doc $id bp")
+    }
+    // any text shared verbatim by 2+ docs must be 100% covered (sf0.001
+    // has no verbatim dups, so also recount one covered doc brute-force)
+    val dupTexts = docs.groupBy(_._2).filter(_._2.length >= 2)
+    for ((_, ds) <- dupTexts; (id, _) <- ds)
+      assert(rows(id)._3 == 10000L, s"exact-dup doc $id not fully covered")
+    val winDocs = docs.map { case (id, t) =>
+      val toks = t.split(" ")
+      id -> (0 to (toks.length - 1) / 8).map(w =>
+        toks.slice(w * 8, w * 8 + 16).mkString(" ")).toSet
+    }
+    val shared = winDocs.flatMap { case (id, ws) => ws.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2).keySet
+    for ((id, ws) <- winDocs) {
+      val toks = docs.toMap.apply(id).split(" ")
+      val coveredPos = (0 to (toks.length - 1) / 8)
+        .filter(w => shared.contains(toks.slice(w * 8, w * 8 + 16).mkString(" ")))
+        .flatMap(w => (w * 8) until math.min(w * 8 + 16, toks.length)).distinct.length
+      assert(rows(id)._2 == coveredPos.toLong, s"doc $id coverage recount")
+    }
+  }
 }

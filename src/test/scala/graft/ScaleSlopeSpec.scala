@@ -30,7 +30,12 @@ class ScaleSlopeSpec extends SparkSpec {
     "q_ngram_jaccard" -> 1.5,
     "q_dup_histogram" -> 1.5,
     "q_hybrid_rrf" -> 1.5,
-    "q_simhash_pairs" -> 1.5)
+    "q_simhash_pairs" -> 1.5,
+    // round-6 lessons: both were rewritten after super-linear first
+    // probes (dup-ngram's shingle-sized self-join; knn-graph's fixed
+    // band width) — pinned here so the rewrites can't silently regress
+    "q_dup_ngram_frac" -> 1.5,
+    "q_knn_graph" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
