@@ -171,5 +171,95 @@ object CurationQueries5 {
         floor(col("wq") * 10000.0 / col("wtot")).cast("long").as("temp_bp"))
   }
 
-  val all: Seq[QueryDef] = Seq(retention, zipfFit, qualityLogreg, temperatureMix)
+  /** The CAPSTONE composite: the full curation pipeline as ONE checked
+    * query, emitting the doc/token funnel a pipeline report shows —
+    * raw → quality gate (`q_quality_filter` predicate) → exact dedup
+    * (min-id keeper) → train split (content-hash bucket < 90, the
+    * `q_sample_split` convention) → decontamination (drop train docs
+    * sharing a non-hot 8-gram fingerprint with the held-out split, the
+    * `q_decontam` machinery). Every stage reuses a fragment proven by
+    * its standalone query; what this adds is the COMPOSITION — stages
+    * chain as DataFrames with no materialization between them, and the
+    * whole funnel is one job. Counts are exact integers.
+    */
+  val pipelineFunnel: QueryDef = QueryDef.sql(
+    "q_pipeline_funnel",
+    s"""WITH tok AS (SELECT doc_id, text,
+       |                    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+       |f AS (SELECT doc_id, text, nt,
+       |             CAST(floor(len(list_distinct(string_split(text, ' '))) * 10000.0 / nt) AS BIGINT) AS uniq_bp,
+       |             CAST(floor(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) * 10000.0 / nt) AS BIGINT) AS stop_bp
+       |      FROM tok),
+       |s1 AS (SELECT doc_id, text, nt FROM f
+       |       WHERE nt >= 20 AND uniq_bp >= 4000 AND stop_bp <= 1000),
+       |ex AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY text),
+       |s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id)),
+       |sp AS (SELECT doc_id, ${graft.functions.TextFunctions.polyHashSql("text")} % 100 AS bucket
+       |       FROM documents),
+       |s3 AS (SELECT s2.* FROM s2 JOIN sp USING (doc_id) WHERE sp.bucket < 90),
+       |held AS (SELECT s2.doc_id FROM s2 JOIN sp USING (doc_id) WHERE sp.bucket >= 90),
+       |sh8 AS (SELECT doc_id, unnest(${graft.functions.TextFunctions.shinglesSql("string_split(text, ' ')", 8)}) AS s
+       |        FROM s2),
+       |hs8 AS (SELECT DISTINCT doc_id, ${graft.functions.TextFunctions.polyHashSql("s")} AS h FROM sh8),
+       |hot AS (SELECT h FROM hs8 GROUP BY h HAVING count(*) > 64),
+       |k AS (SELECT hs8.doc_id, hs8.h FROM hs8 ANTI JOIN hot USING (h)),
+       |contam AS (SELECT DISTINCT a.doc_id
+       |           FROM k a JOIN k b ON a.h = b.h
+       |                    JOIN held ON held.doc_id = b.doc_id
+       |           WHERE a.doc_id <> b.doc_id),
+       |s4 AS (SELECT s3.* FROM s3 ANTI JOIN contam USING (doc_id))
+       |SELECT * FROM (
+       |  SELECT '00_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok
+       |  UNION ALL
+       |  SELECT '10_quality', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT) FROM s1
+       |  UNION ALL
+       |  SELECT '20_exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT) FROM s2
+       |  UNION ALL
+       |  SELECT '30_train_split', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT) FROM s3
+       |  UNION ALL
+       |  SELECT '40_decontam', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT) FROM s4
+       |)""".stripMargin) { (spark, dir) =>
+    import graft.functions.TextFunctions.polyHash
+    import graft.operators.Dedup
+    val toks = split(col("text"), " ")
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), size(toks).cast("long").as("nt"))
+    val s1 = tok
+      .withColumn("uniq_bp",
+        floor(size(array_distinct(toks)) * 10000.0 / col("nt")).cast("long"))
+      .withColumn("stop_bp",
+        floor(size(filter(toks, t => t === "a" || t === "the")) * 10000.0 / col("nt"))
+          .cast("long"))
+      .filter(col("nt") >= 20 && col("uniq_bp") >= 4000 && col("stop_bp") <= 1000)
+      .select("doc_id", "text", "nt")
+    val ex = s1.groupBy("text").agg(min(col("doc_id")).as("kdoc"))
+      .select(col("kdoc").as("doc_id"))
+    val s2 = s1.join(ex, "doc_id")
+    val sp = tok.select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))
+    val s3 = s2.join(sp.filter(col("bucket") < 90).select("doc_id"), "doc_id")
+    val held = s2.join(sp.filter(col("bucket") >= 90).select("doc_id"), "doc_id")
+      .select("doc_id")
+    val hs8 = Dedup.shingleHashTable(s2, "doc_id", "text", 8)
+    val hot = hs8.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 64).select("h")
+    val k = hs8.join(hot, Seq("h"), "left_anti")
+    val contam = k.select(col("doc_id").as("adoc"), col("h"))
+      .join(k.select(col("doc_id").as("bdoc"), col("h")), "h")
+      .join(held.select(col("doc_id").as("bdoc")), "bdoc")
+      .filter(col("adoc") =!= col("bdoc"))
+      .select(col("adoc").as("doc_id")).distinct()
+    val s4 = s3.join(contam, Seq("doc_id"), "left_anti")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    stage("00_raw", tok)
+      .unionAll(stage("10_quality", s1))
+      .unionAll(stage("20_exact_dedup", s2))
+      .unionAll(stage("30_train_split", s3))
+      .unionAll(stage("40_decontam", s4))
+  }
+
+  val all: Seq[QueryDef] = Seq(retention, zipfFit, qualityLogreg, temperatureMix,
+    pipelineFunnel)
 }

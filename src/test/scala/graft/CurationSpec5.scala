@@ -82,4 +82,18 @@ class CurationSpec5 extends SparkSpec {
     }
     assert(math.abs(rows.map(_._4).sum - 10000L) <= rows.length) // floors undershoot
   }
+
+  test("pipeline funnel: monotone non-increasing stage counts, raw totals exact") {
+    val rows = graft.queries.CurationQueries5.pipelineFunnel.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      Seq("00_raw", "10_quality", "20_exact_dedup", "30_train_split", "40_decontam"))
+    val docs = Tables(spark, sf0001, "documents").select("text").collect()
+    assert(rows.head._2 == docs.length)
+    assert(rows.head._3 == docs.map(_.getString(0).split(" ").length.toLong).sum)
+    for (Array((sa, da, ta), (sb, db, tb)) <- rows.sliding(2)) {
+      assert(db <= da, s"$sb docs grew vs $sa")
+      assert(tb <= ta, s"$sb tokens grew vs $sa")
+    }
+  }
 }
