@@ -383,7 +383,11 @@ object AnnQueries {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val seeds0 = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
-    val cent1 = lloydUpdate(emb, IvfIndex.assign(emb, seeds0))
+    // the trained codebook is k×dim (KB-sized at any corpus size) but its
+    // LINEAGE is the whole Lloyd chain; localCheckpoint materializes the
+    // training once so the index build and the probe-side collect don't
+    // each re-run it (was ~2 extra train executions per query)
+    val cent1 = lloydUpdate(emb, IvfIndex.assign(emb, seeds0)).localCheckpoint()
     val indexDir = s"/tmp/graft_ivf_km/${spark.sparkContext.applicationId}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     IvfIndex.build(emb, cent1, indexDir)
     val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)

@@ -17,7 +17,11 @@ class DeterminismSpec extends SparkSpec {
     "q_random_proj",   // quantized-BIGINT fold
     "q_centroids",     // 2^52-quantized order-independent sums
     "q_minhash_sig",   // min() over permuted hashes
-    "q_bigram_lm")     // per-term 2^40-quantized ln before the sum
+    "q_bigram_lm",     // per-term 2^40-quantized ln before the sum
+    "q_zipf_fit",      // OLS over 2^20-quantized lns, DECIMAL-cast product sums
+    "q_embed_dim_stats", // mean/var from 2^52 + 2^45 integer grids
+    "q_temperature_mix", // sqrt (correctly-rounded) + integer normalization
+    "q_pipeline_funnel") // five chained stages, counts must not depend on layout
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
