@@ -480,6 +480,57 @@ object DedupQueries {
       .agg(count(col("nid")).as("n_edges"), count(col("ehit")).as("hits"))
   }
 
+  /** Cluster-blocking recall eval for `q_semdedup` — the eval-family
+    * member for the SemDeDup trade (cross-cluster near-dups are missed
+    * by design; this query MEASURES how many). Ground truth = the
+    * scale-safe sign-LSH near-dup pairs (sim ≥ 0.4, i.e. distance ≤
+    * 0.6 — the same threshold `q_semdedup` uses); measured = the share
+    * of those pairs whose endpoints land in the same nearest-seed
+    * cluster. One row: pair counts and the within-cluster share in
+    * basis points. Both sides are the proven fragments — the banded
+    * candidate join and the broadcast k×dim assignment.
+    */
+  val semdedupRecall: QueryDef = QueryDef.sql(
+    "q_semdedup_recall",
+    s"""WITH $ScaledEmbCandCtes,
+       |prs AS (SELECT c.ida, c.idb
+       |        FROM cand c JOIN pv pa ON pa.vec_id = c.ida
+       |                    JOIN pv pb ON pb.vec_id = c.idb
+       |        WHERE ${cosSimSql("pa.v", "pb.v")} >= 0.4),
+       |ed AS (SELECT vec_id, i, v[i] AS x FROM base, UNNEST(range(1, 65)) t(i)),
+       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < 8),
+       |a1 AS (SELECT ed.vec_id, c0.cluster,
+       |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * 35184372088832.0) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
+       |s1 AS (SELECT vec_id, cluster FROM (
+       |         SELECT vec_id, cluster,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |         FROM a1) WHERE rn = 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(CASE WHEN sa.cluster = sb.cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+       |       CAST(floor(sum(CASE WHEN sa.cluster = sb.cluster THEN 1 ELSE 0 END) * 10000.0
+       |                  / count(*)) AS BIGINT) AS within_bp
+       |FROM prs JOIN s1 sa ON sa.vec_id = prs.ida
+       |         JOIN s1 sb ON sb.vec_id = prs.idb""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val bits = Dedup.scaledBitsPerBand(emb.count())
+    val prs = Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 4)
+      .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
+      .filter(col("sim") >= 0.4)
+      .select(col("ida"), col("idb"))
+    val cent0 = emb.select(col("vec_id"), col("embedding")).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    val asg = graft.operators.IvfIndex.assign(
+      emb.select(col("vec_id"), col("embedding")), cent0)
+    prs
+      .join(asg.select(col("vec_id").as("ida"), col("cluster").as("ca")), "ida")
+      .join(asg.select(col("vec_id").as("idb"), col("cluster").as("cb")), "idb")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("n_within"))
+      .select(col("n_pairs"), col("n_within"),
+        floor(col("n_within") * 10000.0 / col("n_pairs")).cast("long").as("within_bp"))
+  }
+
   /** Canonicalization dedup: case-fold, strip non-alphanumerics, collapse
     * whitespace, then group — catches formatting-variant duplicates that
     * exact dedup misses. Regex classes kept to constructs with identical
@@ -679,6 +730,6 @@ object DedupQueries {
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups, knnGraph,
-    knnRecall,
+    knnRecall, semdedupRecall,
     dedupGroups, dupHistogram, dedupIncremental, corpusFilter, decontam)
 }

@@ -223,6 +223,42 @@ object EventQueries {
         .as("n_outliers"))
   }
 
+  /** DAU / trailing-7-day WAU / stickiness per observed day — the
+    * engagement dashboard triple. The trailing window is NOT a sliding
+    * distinct (quadratic state): each (user, active-day) row expands
+    * map-side to the ≤7 window days it contributes to, then one keyed
+    * aggregation counts distinct users per target day — corpus-linear
+    * with a ×7 expansion, the same generated-spine idiom as
+    * `q_range_join`. Days outside the observed set are dropped by a
+    * broadcast semi-join against the (time-bounded, tiny) day spine.
+    */
+  val dauStickiness: QueryDef = QueryDef.sql(
+    "q_dau_stickiness",
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS ad, user_id FROM events),
+      |days AS (SELECT DISTINCT ad AS d FROM ud),
+      |w AS (SELECT ud.ad + CAST(o AS INTEGER) AS td, ud.user_id, ud.ad
+      |      FROM ud, unnest(range(0, 7)) t(o)),
+      |wk AS (SELECT w.td, w.user_id, w.ad FROM w JOIN days ON days.d = w.td)
+      |SELECT td AS d,
+      |       CAST(count(DISTINCT CASE WHEN ad = td THEN user_id END) AS BIGINT) AS dau,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+      |       CAST(floor(count(DISTINCT CASE WHEN ad = td THEN user_id END) * 10000.0
+      |                  / count(DISTINCT user_id)) AS BIGINT) AS stickiness_bp
+      |FROM wk GROUP BY td""".stripMargin) { (spark, dir) =>
+    val ud = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("ad"), col("user_id")).distinct()
+    val days = ud.select(col("ad").as("d")).distinct()
+    val w = ud.select(col("ad"), col("user_id"),
+      explode(sequence(lit(0), lit(6))).as("o"))
+      .select(date_add(col("ad"), col("o")).as("td"), col("user_id"), col("ad"))
+    w.join(broadcast(days), col("d") === col("td"))
+      .groupBy(col("td").as("d"))
+      .agg(countDistinct(when(col("ad") === col("td"), col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau"))
+      .select(col("d"), col("dau"), col("wau"),
+        floor(col("dau") * 10000.0 / col("wau")).cast("long").as("stickiness_bp"))
+  }
+
   val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters,
-    funnel, nullAudit, outliers)
+    funnel, nullAudit, outliers, dauStickiness)
 }

@@ -96,4 +96,25 @@ class CurationSpec5 extends SparkSpec {
       assert(tb <= ta, s"$sb tokens grew vs $sa")
     }
   }
+
+  test("dau/wau: dau <= wau; first observed day has dau == wau") {
+    val rows = graft.queries.EventQueries.dauStickiness.fn(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1.toEpochDay)
+    assert(rows.nonEmpty)
+    for ((d, dau, wau, bp) <- rows) {
+      assert(dau <= wau, s"$d dau > wau")
+      assert(bp == dau * 10000 / wau, s"$d bp")
+    }
+    // the earliest day's window contains only itself
+    assert(rows.head._2 == rows.head._3, "first day dau != wau")
+  }
+
+  test("semdedup recall: within-cluster pairs are a subset; bp consistent") {
+    val Array(row) = graft.queries.DedupQueries.semdedupRecall.fn(spark, sf0001).collect()
+    val (n, within, bp) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(n > 0, "no ground-truth pairs at sf0.001")
+    assert(within <= n)
+    assert(bp == within * 10000 / n)
+  }
 }
