@@ -259,6 +259,66 @@ object EventQueries {
         floor(col("dau") * 10000.0 / col("wau")).cast("long").as("stickiness_bp"))
   }
 
+  /** MAD-based robust outliers — the median-of-absolute-deviations twin
+    * of `q_outliers`' 3σ rule (a single wild value drags a mean/stddev
+    * fence; it cannot move a median fence). Both medians are exact
+    * nearest-rank order statistics over deterministic orders (the
+    * `q_median` discipline: value then id — cross-engine exact where
+    * interpolated quantiles are not), deviations are exact double
+    * subtractions, and the 3·1.4826·MAD fence is the same
+    * identically-ordered double expression in both engines. Two window
+    * passes partitioned by event_type plus two broadcast joins of the
+    * type-sized median tables.
+    */
+  val madOutliers: QueryDef = QueryDef.sql(
+    "q_mad_outliers",
+    """WITH r AS (SELECT event_type, event_id, value,
+      |                  row_number() OVER (PARTITION BY event_type
+      |                                     ORDER BY value, event_id) AS rn,
+      |                  count(*) OVER (PARTITION BY event_type) AS n
+      |           FROM events),
+      |med AS (SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med,
+      |               CAST(max(n) AS BIGINT) AS n
+      |        FROM r GROUP BY event_type),
+      |d AS (SELECT e.event_type, e.event_id, abs(e.value - med.med) AS dev, med.med, med.n
+      |      FROM events e JOIN med USING (event_type)),
+      |d2 AS (SELECT event_type, event_id, dev, med, n,
+      |              row_number() OVER (PARTITION BY event_type
+      |                                 ORDER BY dev, event_id) AS drn
+      |       FROM d),
+      |mad AS (SELECT event_type, max(CASE WHEN drn = (n + 1) // 2 THEN dev END) AS mad
+      |        FROM d2 GROUP BY event_type)
+      |SELECT d.event_type, max(d.n) AS n, max(d.med) AS med, max(mad.mad) AS mad,
+      |       CAST(sum(CASE WHEN d.dev > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_outliers
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY d.event_type""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.events(spark, dir)
+    val wv = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wn = Window.partitionBy(col("event_type"))
+    val med = events
+      .select(col("event_type"), col("value"),
+        row_number().over(wv).as("rn"), count(lit(1)).over(wn).as("n"))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === ((col("n") + 1) / 2).cast("long"), col("value"))).as("med"),
+        max(col("n")).as("n"))
+    val d = events.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("event_id"),
+        abs(col("value") - col("med")).as("dev"), col("med"), col("n"))
+    val wd = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev").asc, col("event_id").asc)
+    val mad = d.withColumn("drn", row_number().over(wd))
+      .groupBy(col("event_type").as("mtype"))
+      .agg(max(when(col("drn") === ((col("n") + 1) / 2).cast("long"), col("dev"))).as("mad"))
+    d.join(broadcast(mad), col("mtype") === col("event_type"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters,
-    funnel, nullAudit, outliers, dauStickiness)
+    funnel, nullAudit, outliers, dauStickiness, madOutliers)
 }

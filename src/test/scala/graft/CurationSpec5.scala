@@ -117,4 +117,22 @@ class CurationSpec5 extends SparkSpec {
     assert(within <= n)
     assert(bp == within * 10000 / n)
   }
+
+  test("mad outliers: medians match a driver-side sort recount; fence respected") {
+    val out = graft.queries.EventQueries.madOutliers.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    val ev = Tables.events(spark, sf0001)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val med = sorted((sorted.length + 1) / 2 - 1)._3
+      val devs = rows.map(r => (math.abs(r._3 - med), r._2)).sortBy(identity)
+      val mad = devs((devs.length + 1) / 2 - 1)._1
+      val nOut = rows.count(r => math.abs(r._3 - med) > 3 * 1.4826 * mad).toLong
+      val (n, gMed, gMad, gOut) = out(t)
+      assert(n == rows.length && gMed == med && gMad == mad && gOut == nOut, s"type $t")
+    }
+  }
 }
