@@ -446,6 +446,65 @@ object AnnQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Embedding-space outlier detection — the OOD gate a curation run
+    * applies before trusting embeddings downstream: assign every vector
+    * to its nearest seed centroid (quantized-L2 argmin, d2 KEPT), fence
+    * each cluster at its exact nearest-rank p95 distance (the
+    * `q_median` order-statistic discipline — integer d2, ties to lower
+    * vec_id), and count members beyond the fence. Everything is
+    * integer-exact: no variance, no sqrt, no tolerance. Assignment is
+    * the broadcast k×dim pattern; the fence is one window per cluster
+    * over (d2, vec_id).
+    */
+  val embedOutliers: QueryDef = QueryDef.sql(
+    "q_embed_outliers",
+    s"""WITH ed AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       |            FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)),
+       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < 8),
+       |a1 AS (SELECT ed.vec_id, c0.cluster,
+       |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
+       |s1 AS (SELECT vec_id, cluster, d2 FROM (
+       |         SELECT vec_id, cluster, d2,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |         FROM a1) WHERE rn = 1),
+       |r AS (SELECT cluster, vec_id, d2,
+       |             row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS rn,
+       |             count(*) OVER (PARTITION BY cluster) AS n
+       |      FROM s1),
+       |f AS (SELECT cluster, CAST(max(n) AS BIGINT) AS n_vecs,
+       |             max(CASE WHEN rn = (n * 95 + 99) // 100 THEN d2 END) AS fence_d2
+       |      FROM r GROUP BY cluster)
+       |SELECT f.cluster, f.n_vecs, f.fence_d2,
+       |       CAST(sum(CASE WHEN s1.d2 > f.fence_d2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM s1 JOIN f ON f.cluster = s1.cluster
+       |GROUP BY f.cluster, f.n_vecs, f.fence_d2""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.QuantizedL2Expr
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster").asc)
+    val s1 = emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cluster"),
+        QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("d2"))
+    val wc = Window.partitionBy(col("cluster")).orderBy(col("d2").asc, col("vec_id").asc)
+    val wn = Window.partitionBy(col("cluster"))
+    val f = s1
+      .withColumn("crn", row_number().over(wc))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("cluster").as("fcluster"))
+      .agg(max(col("n")).as("n_vecs"),
+        max(when(col("crn") === ((col("n") * 95 + 99) / 100).cast("long"), col("d2")))
+          .as("fence_d2"))
+    s1.join(broadcast(f), col("fcluster") === col("cluster"))
+      .groupBy(col("cluster"), col("n_vecs"), col("fence_d2"))
+      .agg(sum(when(col("d2") > col("fence_d2"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   val all: Seq[QueryDef] = Seq(annTopk, centroids, centroidSpread, ivfTopk,
-    ivfPruned, ivfNprobe, ivfKmeans, kmeans, centroidClassify)
+    ivfPruned, ivfNprobe, ivfKmeans, kmeans, centroidClassify, embedOutliers)
 }

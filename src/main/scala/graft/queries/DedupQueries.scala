@@ -92,6 +92,56 @@ object DedupQueries {
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
+  /** Cross-SOURCE near-dup overlap matrix — the provenance dashboard a
+    * multi-source ingest run reads before mixture weighting: for every
+    * unordered source pair, how many verified near-dup pairs (the
+    * `q_minhash_lsh_pairs` machinery, Jaccard ≥ 0.2) span them. High
+    * off-diagonal mass means two feeds crawl the same content and the
+    * mixture weights double-count it. The rollup joins the (tiny) pair
+    * set against the doc→source map twice — the pair DETECTION is the
+    * proven banded join; this adds only a source-count-sized aggregate.
+    */
+  val sourceOverlap: QueryDef = QueryDef.sql(
+    "q_source_overlap",
+    s"""WITH $ShCte,
+       |$HsCte,
+       |$SigCte,
+       |$BandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       |              AND a.doc_id < b.doc_id),
+       |$CardCte,
+       |inter AS (SELECT c.ida, c.idb, count(*) AS i
+       |          FROM cand c JOIN hs sa ON sa.doc_id = c.ida
+       |                      JOIN hs sb ON sb.doc_id = c.idb AND sb.h = sa.h
+       |          GROUP BY c.ida, c.idb),
+       |prs AS (SELECT i.ida, i.idb
+       |        FROM inter i JOIN card ca ON ca.doc_id = i.ida
+       |                     JOIN card cb ON cb.doc_id = i.idb
+       |        WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= 0.2),
+       |so AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_a,
+       |       greatest(sa.source, sb.source) AS source_b,
+       |       CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM prs JOIN so sa ON sa.doc_id = prs.ida
+       |         JOIN so sb ON sb.doc_id = prs.idb
+       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(hs, "doc_id")
+    val prs = Dedup.jaccardForPairs(Dedup.lshCandidates(sig, "doc_id"), hs, "doc_id")
+      .filter(col("jaccard") >= 0.2)
+      .select(col("ida"), col("idb"))
+    val so = docs.select(col("doc_id"), col("source"))
+    prs
+      .join(so.select(col("doc_id").as("ida"), col("source").as("sa")), "ida")
+      .join(so.select(col("doc_id").as("idb"), col("source").as("sb")), "idb")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Sketch-accuracy eval: MinHash-estimated Jaccard (signature
     * position-agreement / 8) against the exact shingle Jaccard for every
     * LSH candidate pair — the minhash twin of `q_int8_recall`
@@ -730,6 +780,6 @@ object DedupQueries {
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups, knnGraph,
-    knnRecall, semdedupRecall,
+    knnRecall, semdedupRecall, sourceOverlap,
     dedupGroups, dupHistogram, dedupIncremental, corpusFilter, decontam)
 }

@@ -135,4 +135,47 @@ class CurationSpec5 extends SparkSpec {
       assert(n == rows.length && gMed == med && gMad == mad && gOut == nOut, s"type $t")
     }
   }
+
+  test("source overlap: symmetric rollup of the verified LSH pairs") {
+    val pairs = {
+      val hs = graft.operators.Dedup.shingleHashTable(
+        Tables(spark, sf0001, "documents"), "doc_id", "text", 3)
+      val sig = graft.operators.Dedup.minhashSignatures(hs, "doc_id")
+      graft.operators.Dedup.jaccardForPairs(
+          graft.operators.Dedup.lshCandidates(sig, "doc_id"), hs, "doc_id")
+        .filter(col("jaccard") >= 0.2).select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val src = Tables(spark, sf0001, "documents").select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = graft.queries.DedupQueries.sourceOverlap.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got.values.sum == pairs.length.toLong)
+  }
+
+  test("embed outliers: fence is the exact p95 order statistic; counts match") {
+    val out = graft.queries.AnnQueries.embedOutliers.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def qL2(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, y) => math.floor((x - y) * (x - y) * 35184372088832.0).toLong }.sum
+    val seeds = (0L until 8L).map(c => c -> emb(c))
+    val asg = emb.toSeq.map { case (id, v) =>
+      val (d2, c) = seeds.map { case (c, cv) => (qL2(v, cv), c) }.min
+      (c, id, d2)
+    }
+    for ((c, members) <- asg.groupBy(_._1)) {
+      val sorted = members.sortBy(m => (m._3, m._2))
+      val fence = sorted((sorted.length * 95 + 99) / 100 - 1)._3
+      val nOut = members.count(_._3 > fence).toLong
+      val (n, gFence, gOut) = out(c)
+      assert(n == members.length && gFence == fence && gOut == nOut, s"cluster $c")
+    }
+  }
 }
