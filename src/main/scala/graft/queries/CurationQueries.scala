@@ -144,48 +144,77 @@ object CurationQueries {
   }
 
   /** Token co-occurrence with pointwise mutual information — the word-
-    * association signal (collocation mining, topic coherence). Scale
-    * guard: the pair join only sees tokens whose df sits in [5, 0.9·N]
-    * (content words — the same df-window blocking as the n-gram dedup
-    * family), and pairs below support 5 are dropped before PMI. The PMI
-    * `ln` rides the 2^40 grid; its argument is a ratio of exact integer
-    * products, so both engines divide the same doubles.
+    * association signal (collocation mining, topic coherence), in the
+    * standard DISTANCE-WINDOWED form: a co-occurrence event is a pair of
+    * kept-token positions within ±5 of each other in the same document.
+    * Scale shape (the round-6 `weak` fix): the old per-document pair
+    * self-join was O(m²) in per-doc kept-token count m — a hot-key
+    * quadratic on one 50k-token document. Windowed pairs are emitted
+    * MAP-SIDE from the per-doc sorted position array (≤ 5·L pairs per
+    * doc — corpus-LINEAR, no join at all before the final count), which
+    * is also the textbook collocation definition. Kept tokens are those
+    * with df in [5, 0.9·N] (content words, same df-window blocking as
+    * the n-gram dedup family); pairs below support 5 are dropped before
+    * PMI. PMI = ln(c(x,y)·T / (c(x)·c(y))) over windowed occurrence
+    * counts, quantized on the 2^40 grid; its argument is a ratio of
+    * exact integer products, so both engines divide the same doubles.
     */
   val cooccurPmi: QueryDef = QueryDef.sql(
     "q_cooccur_pmi",
-    s"""WITH tk AS (SELECT DISTINCT doc_id, tok FROM (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
-       |d AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tp AS (SELECT doc_id, i AS pos, toks[i] AS tok
+       |       FROM tk, unnest(range(1, len(toks) + 1)) t(i)),
+       |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tp GROUP BY tok),
        |n AS (SELECT count(*) AS nd FROM documents),
-       |kept AS (SELECT d.tok, d.df FROM d, n WHERE d.df >= 5 AND d.df * 10 <= n.nd * 9),
-       |tkk AS (SELECT tk.doc_id, tk.tok FROM tk JOIN kept USING (tok)),
-       |p AS (SELECT a.tok AS t1, b.tok AS t2, count(*) AS cxy
-       |      FROM tkk a JOIN tkk b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       |kept AS (SELECT d.tok FROM d, n WHERE d.df >= 5 AND d.df * 10 <= n.nd * 9),
+       |kp AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp JOIN kept USING (tok)),
+       |occ AS (SELECT tok, count(*) AS c FROM kp GROUP BY tok),
+       |tot AS (SELECT count(*) AS nt FROM kp),
+       |p AS (SELECT least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2,
+       |             count(*) AS cxy
+       |      FROM kp a JOIN kp b
+       |        ON a.doc_id = b.doc_id AND b.pos > a.pos
+       |       AND b.pos <= a.pos + 5 AND a.tok <> b.tok
        |      GROUP BY 1, 2)
        |SELECT p.t1, p.t2, CAST(p.cxy AS BIGINT) AS cxy,
-       |       CAST(floor(ln(CAST(p.cxy AS DOUBLE) * n.nd / (ka.df * kb.df))
+       |       CAST(floor(ln(CAST(p.cxy AS DOUBLE) * tot.nt / (oa.c * ob.c))
        |                  * $Q40) AS BIGINT) AS pmi_q40
-       |FROM p JOIN kept ka ON ka.tok = p.t1
-       |       JOIN kept kb ON kb.tok = p.t2, n
+       |FROM p JOIN occ oa ON oa.tok = p.t1
+       |       JOIN occ ob ON ob.tok = p.t2, tot
        |WHERE p.cxy >= 5""".stripMargin) { (spark, dir) =>
+    val W = 5
     val docs = Tables(spark, dir, "documents")
-    val tk = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok")).distinct()
-    val d = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+    val tp = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val d = tp.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(count(lit(1)).as("nd"))
     val kept = d.crossJoin(broadcast(n))
       .filter(col("df") >= 5 && col("df") * 10 <= col("nd") * 9)
-      .select(col("tok"), col("df"))
-    val tkk = tk.join(kept.select("tok"), "tok").select("doc_id", "tok")
-    val p = tkk.select(col("doc_id"), col("tok").as("t1"))
-      .join(tkk.select(col("doc_id"), col("tok").as("t2")), "doc_id")
-      .filter(col("t1") < col("t2"))
-      .groupBy("t1", "t2").agg(count(lit(1)).as("cxy"))
+      .select(col("tok"))
+    val kp = tp.join(kept, "tok").select(col("doc_id"), col("pos"), col("tok"))
+    val occ = kp.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = kp.agg(count(lit(1)).as("nt"))
+    // per-doc sorted kept positions; pairs within ±W emitted map-side
+    // (positions are distinct, so ≤ W partners live in the next W slots)
+    val a = col("a")
+    val pairs = kp.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("a"))
+      .select(explode(flatten(transform(sequence(lit(1), size(a)), i => {
+        val xi = element_at(a, i)
+        transform(
+          filter(slice(a, i + 1, lit(W)),
+            y => y("pos") <= xi("pos") + W && y("tok") =!= xi("tok")),
+          y => struct(least(xi("tok"), y("tok")).as("t1"),
+            greatest(xi("tok"), y("tok")).as("t2")))
+      }))).as("pr"))
+      .select(col("pr.t1").as("t1"), col("pr.t2").as("t2"))
+    val p = pairs.groupBy("t1", "t2").agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= 5)
-    p.join(kept.select(col("tok").as("t1"), col("df").as("dfa")), "t1")
-      .join(kept.select(col("tok").as("t2"), col("df").as("dfb")), "t2")
-      .crossJoin(broadcast(n))
+    p.join(occ.select(col("tok").as("t1"), col("c").as("ca")), "t1")
+      .join(occ.select(col("tok").as("t2"), col("c").as("cb")), "t2")
+      .crossJoin(broadcast(tot))
       .select(col("t1"), col("t2"), col("cxy"),
-        floor(lnf(col("cxy").cast("double") * col("nd") / (col("dfa") * col("dfb")))
+        floor(lnf(col("cxy").cast("double") * col("nt") / (col("ca") * col("cb")))
           * lit(Q40.toDouble)).cast("long").as("pmi_q40"))
   }
 

@@ -56,15 +56,21 @@ object CurationQueries3 {
     * corpus, whose closest pairs sit at ~0.5;
     * keep = lower id by convention). Cluster blocking is what makes
     * semantic dedup tractable at corpus scale: pair candidates are
-    * bounded by cluster size (held roughly constant as k grows with the
-    * corpus), never corpus². Cross-cluster near-dups are missed by
-    * design — the documented SemDeDup trade.
+    * bounded by cluster size, never corpus² — which REQUIRES k to grow
+    * with the corpus. k = max(8, N div 64) in BOTH engines (the
+    * `scaledBitsPerBand` pattern), holding expected cluster size at ~64
+    * as N grows; the within-cluster pair mass then stays ~64·N/2, i.e.
+    * corpus-linear. The Spark-side count is a parquet metadata read (the
+    * same driver-side scalar `q_semdedup_recall` already derives its
+    * band width from). Cross-cluster near-dups are missed by design —
+    * the documented SemDeDup trade, measured by `q_semdedup_recall`.
     */
   val semDedup: QueryDef = QueryDef.sql(
     "q_semdedup",
-    s"""WITH ed AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+    s"""WITH cfg AS (SELECT greatest(8, count(*) // 64) AS k FROM embeddings),
+       |ed AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
        |            FROM embeddings, UNNEST(range(1, 65)) t(i)),
-       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < 8),
+       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed, cfg WHERE vec_id < cfg.k),
        |a1 AS (SELECT ed.vec_id, c0.cluster,
        |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * 35184372088832.0) AS BIGINT)) AS BIGINT) AS d2
        |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
@@ -80,7 +86,9 @@ object CurationQueries3 {
        |     JOIN e b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
        |WHERE ${cosDistSql("a.v", "b.v")} <= 0.6""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val cent0 = emb.filter(col("vec_id") < 8)
+    // corpus-scaled k: constant expected cluster size (~64) as N grows
+    val k = math.max(8L, emb.count() / 64)
+    val cent0 = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster").asc)
     val asg = emb.crossJoin(broadcast(cent0))
@@ -169,6 +177,19 @@ object CurationQueries3 {
     * cumulative share in basis points: "what fraction of corpus tokens
     * live in the longest N% of documents", the truncation-budget
     * planning view. Integer-exact; the running sum is a 10-row window.
+    *
+    * Scale shape (the round-6 `weak` fix): the Spark side does NOT run
+    * `ntile` over the corpus — that is a one-task global sort. Instead it
+    * replicates ntile(10) EXACTLY from each row's global rank
+    * rn = (#rows with longer n) + (row_number among equal-n rows), where
+    * the first term comes from a running sum over the length HISTOGRAM
+    * (cardinality ≤ max document token count — corpus-independent) and
+    * the second from a window PARTITIONED by length. The rn→bucket map is
+    * the closed-form ntile function (first n%10 buckets get ⌈N/10⌉ rows)
+    * evaluated map-side. The only single-partition exchanges left ride
+    * the histogram and the 10-row decile table, never the corpus. The
+    * DuckDB oracle keeps the textbook `ntile` — proving the distributed
+    * rank algebra IS ntile.
     */
   val tokenCdf: QueryDef = QueryDef.sql(
     "q_token_cdf",
@@ -185,9 +206,33 @@ object CurationQueries3 {
       |FROM d, t""".stripMargin) { (spark, dir) =>
     val m = Tables(spark, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
-    val d = m.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("n").desc, col("doc_id").asc)))
-      .groupBy("decile")
+    // length histogram: bounded by max token count, never corpus-sized
+    val hist = m.groupBy("n").agg(count(lit(1)).as("cnt"))
+    val before = hist
+      .withColumn("before", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("n").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n").as("hn"), col("before"))
+    val tot = hist.agg(sum(col("cnt")).as("nrows"))
+    // global rank without a global sort: histogram offset + rank within
+    // the equal-length group (window partitioned by n)
+    val ranked = m
+      .join(broadcast(before), col("n") === col("hn"))
+      .withColumn("rwithin", row_number().over(
+        Window.partitionBy(col("n")).orderBy(col("doc_id").asc)))
+      .crossJoin(broadcast(tot))
+      .withColumn("rn", col("before") + col("rwithin"))
+      // closed-form ntile(10): the first (nrows % 10) buckets take
+      // (nrows DIV 10 + 1) rows, the rest (nrows DIV 10); greatest()
+      // guards the (unreachable when nrows < 10) zero divisor
+      .withColumn("decile", expr(
+        """CASE WHEN rn <= (nrows % 10) * (nrows DIV 10 + 1)
+          |     THEN (rn - 1) DIV (nrows DIV 10 + 1) + 1
+          |     ELSE (nrows % 10)
+          |          + (rn - (nrows % 10) * (nrows DIV 10 + 1) - 1)
+          |            DIV greatest(nrows DIV 10, 1) + 1
+          |END""".stripMargin))
+    val d = ranked.groupBy("decile")
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
     val t = d.agg(sum(col("tokens")).as("tot"))
     d.crossJoin(broadcast(t))

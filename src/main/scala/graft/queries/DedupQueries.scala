@@ -547,8 +547,9 @@ object DedupQueries {
        |        FROM cand c JOIN pv pa ON pa.vec_id = c.ida
        |                    JOIN pv pb ON pb.vec_id = c.idb
        |        WHERE ${cosSimSql("pa.v", "pb.v")} >= 0.4),
+       |cfg2 AS (SELECT greatest(8, count(*) // 64) AS k FROM embeddings),
        |ed AS (SELECT vec_id, i, v[i] AS x FROM base, UNNEST(range(1, 65)) t(i)),
-       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < 8),
+       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed, cfg2 WHERE vec_id < cfg2.k),
        |a1 AS (SELECT ed.vec_id, c0.cluster,
        |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * 35184372088832.0) AS BIGINT)) AS BIGINT) AS d2
        |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
@@ -563,12 +564,15 @@ object DedupQueries {
        |FROM prs JOIN s1 sa ON sa.vec_id = prs.ida
        |         JOIN s1 sb ON sb.vec_id = prs.idb""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
-    val bits = Dedup.scaledBitsPerBand(emb.count())
+    val nEmb = emb.count()
+    val bits = Dedup.scaledBitsPerBand(nEmb)
     val prs = Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 4)
       .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
       .filter(col("sim") >= 0.4)
       .select(col("ida"), col("idb"))
-    val cent0 = emb.select(col("vec_id"), col("embedding")).filter(col("vec_id") < 8)
+    // corpus-scaled k, matching q_semdedup's cfg (constant cluster size)
+    val k = math.max(8L, nEmb / 64)
+    val cent0 = emb.select(col("vec_id"), col("embedding")).filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
     val asg = graft.operators.IvfIndex.assign(
       emb.select(col("vec_id"), col("embedding")), cent0)
