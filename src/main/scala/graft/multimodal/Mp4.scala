@@ -122,6 +122,27 @@ object Mp4 {
     }
   }
 
+  /** 1-based sync-sample (keyframe) numbers from the first track carrying
+    * an `stss` box. Empty means no stss box was present — which per the
+    * spec (14496-12 §8.6.2) declares EVERY sample a sync sample.
+    */
+  def syncSamples(b: Array[Byte]): Seq[Int] = {
+    val moov = boxes(b, 0, b.length).collectFirst { case ("moov", ps, pe) => (ps, pe) }
+    moov.toSeq.flatMap { case (ms, me) =>
+      boxes(b, ms, me)
+        .collect { case ("trak", ps, pe) =>
+          descend(b, ps, pe, "mdia", "minf", "stbl")
+            .flatMap { case (s, e) => child(b, s, e, "stss") }
+        }
+        .flatten.toSeq.headOption
+        .map { case (ss, _) =>
+          val n = u32(b, ss + 4).toInt
+          (0 until n).map(i => u32(b, ss + 8 + 4 * i).toInt)
+        }
+        .getOrElse(Seq.empty)
+    }
+  }
+
   private def trackRanges(b: Array[Byte], ts: Int, te: Int): Seq[(Long, Int)] = {
     val stbl = descend(b, ts, te, "mdia", "minf", "stbl")
     (for {

@@ -173,22 +173,36 @@ object Multimodal {
 
   /** REAL video-container decoder, JDK-only ([[Mp4]] parses the ISO-BMFF
     * box tree: ftyp/moov/mvhd/trak/tkhd/stsd + the stsz/stsc/stco sample
-    * tables). Features: `[duration_ms, timescale, n_tracks, width,
-    * height,` 4 codec-fourcc bytes, `mdat_bytes, n_samples, n_top_boxes,
-    * 0, 0, 0]`. Codec *payload* decode (H.264 etc.) is out of JDK scope —
-    * structure, duration, codec id and per-sample ranges are real.
-    * Non-BMFF bytes raise (route them to another [[Decoder]]).
+    * tables and the stss sync-sample box). Features: `[duration_ms,
+    * timescale, n_tracks, width, height,` 4 codec-fourcc bytes,
+    * `mdat_bytes, n_samples, n_top_boxes, mean_frame_bytes,
+    * max_frame_bytes, n_keyframes, kf_stride]` — the last four are the
+    * frame-payload profile (size distribution + keyframe cadence), the
+    * video analog of the audio decoder's block-RMS tail: bitrate spikes,
+    * all-intra vs long-GOP, and still-image-in-a-container all separate
+    * on them. No stss box means every sample is a sync sample (spec
+    * §8.6.2), so n_keyframes falls back to n_samples and stride to 1.
+    * Codec *payload* decode (H.264 etc.) is out of JDK scope — structure,
+    * duration, codec id and per-sample ranges are real. Non-BMFF bytes
+    * raise (route them to another [[Decoder]]).
     */
   object Mp4Decoder extends Decoder {
     def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
       val info = Mp4.parse(bytes)
       val v = info.tracks.find(_.handler == "vide").orElse(info.tracks.headOption)
       val cc = info.primaryCodec.padTo(4, ' ').take(4)
+      val ranges = Mp4.sampleRanges(bytes)
+      val nS = ranges.length
+      val meanSize = if (nS == 0) 0f else (ranges.map(_._2.toLong).sum.toDouble / nS).toFloat
+      val maxSize = if (nS == 0) 0f else ranges.map(_._2).max.toFloat
+      val sync = Mp4.syncSamples(bytes)
+      val nKey = if (sync.nonEmpty) sync.length else nS
+      val kfStride = if (nKey == 0) 0f else nS.toFloat / nKey
       Array(info.durationMs.toFloat, info.timescale.toFloat, info.nTracks.toFloat,
         v.map(_.width).getOrElse(0f), v.map(_.height).getOrElse(0f),
         cc(0).toFloat, cc(1).toFloat, cc(2).toFloat, cc(3).toFloat,
-        info.mdatBytes.toFloat, Mp4.sampleRanges(bytes).length.toFloat,
-        info.topLevelBoxes.toFloat, 0f, 0f, 0f, 0f)
+        info.mdatBytes.toFloat, nS.toFloat,
+        info.topLevelBoxes.toFloat, meanSize, maxSize, nKey.toFloat, kfStride)
     }
   }
 

@@ -386,7 +386,12 @@ object AnnQueries {
     // the trained codebook is k×dim (KB-sized at any corpus size) but its
     // LINEAGE is the whole Lloyd chain; localCheckpoint materializes the
     // training once so the index build and the probe-side collect don't
-    // each re-run it (was ~2 extra train executions per query)
+    // each re-run it (was ~2 extra train executions per query).
+    // Trade-off: localCheckpoint stores to executor-local blocks — lost
+    // executors mean a failed query, not a recompute. Right for a
+    // single-JVM bench; a 1000-executor deployment would swap this one
+    // call for a reliable checkpoint (or cache + count) and keep the
+    // same plan shape.
     val cent1 = lloydUpdate(emb, IvfIndex.assign(emb, seeds0)).localCheckpoint()
     val indexDir = s"/tmp/graft_ivf_km/${spark.sparkContext.applicationId}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     IvfIndex.build(emb, cent1, indexDir)
@@ -498,7 +503,9 @@ object AnnQueries {
       .withColumn("n", count(lit(1)).over(wn))
       .groupBy(col("cluster").as("fcluster"))
       .agg(max(col("n")).as("n_vecs"),
-        max(when(col("crn") === ((col("n") * 95 + 99) / 100).cast("long"), col("d2")))
+        // integral DIV, not a truncated double quotient: exact at any
+        // per-group cardinality (double loses the low bits past ~2^46)
+        max(when(col("crn") === expr("(n * 95 + 99) DIV 100"), col("d2")))
           .as("fence_d2"))
     s1.join(broadcast(f), col("fcluster") === col("cluster"))
       .groupBy(col("cluster"), col("n_vecs"), col("fence_d2"))

@@ -72,29 +72,38 @@ object CurationQueries4 {
        |dfh AS (SELECT h, count(*) AS df, min(doc_id) AS owner FROM hs GROUP BY h),
        |uniq AS (SELECT owner AS doc_id, count(*) AS n_uniq FROM dfh WHERE df = 1 GROUP BY owner),
        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM hs GROUP BY doc_id)
-       |SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
-       |       CAST(t.n_shingles - coalesce(u.n_uniq, 0) AS BIGINT) AS n_dup,
-       |       CAST(floor((t.n_shingles - coalesce(u.n_uniq, 0)) * 10000.0
-       |                  / t.n_shingles) AS BIGINT) AS dup_bp
-       |FROM tot t LEFT JOIN uniq u ON u.doc_id = t.doc_id""".stripMargin) { (spark, dir) =>
+       |SELECT d.doc_id, CAST(coalesce(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |       CAST(coalesce(t.n_shingles, 0) - coalesce(u.n_uniq, 0) AS BIGINT) AS n_dup,
+       |       CAST(CASE WHEN t.n_shingles IS NULL THEN 0
+       |            ELSE floor((t.n_shingles - coalesce(u.n_uniq, 0)) * 10000.0
+       |                       / t.n_shingles) END AS BIGINT) AS dup_bp
+       |FROM documents d LEFT JOIN tot t ON t.doc_id = d.doc_id
+       |     LEFT JOIN uniq u ON u.doc_id = d.doc_id""".stripMargin) { (spark, dir) =>
     // n_dup = n_shingles − (hashes this doc is the SOLE owner of): the df
     // aggregation carries min(doc_id), so singleton hashes flow back to
     // their document as a second aggregation and the final join is
     // DOC-sized, not shingle-sized (the shingle-table self-join loses its
     // broadcast at scale and goes sort-merge — measured slope 1.9 at 10x
-    // for the join form vs ~0.5 for this one)
+    // for the join form vs ~0.5 for this one). The report is anchored on
+    // `documents`, not on the shingle table: a doc under 5 tokens emits
+    // zero shingles and would otherwise vanish from the output.
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
     val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 5)
       .distinct()
     val dfh = hs.groupBy("h")
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
     val uniq = dfh.filter(col("df") === 1)
       .groupBy(col("owner").as("udoc")).agg(count(lit(1)).as("n_uniq"))
-    val tot = hs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    tot.join(uniq, col("udoc") === col("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        (col("n_shingles") - coalesce(col("n_uniq"), lit(0L))).as("n_dup"),
-        floor((col("n_shingles") - coalesce(col("n_uniq"), lit(0L))) * 10000.0
-          / col("n_shingles")).cast("long").as("dup_bp"))
+    val tot = hs.groupBy(col("doc_id").as("tdoc")).agg(count(lit(1)).as("n_shingles"))
+    docs
+      .join(tot, col("tdoc") === col("doc_id"), "left")
+      .join(uniq, col("udoc") === col("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        (coalesce(col("n_shingles"), lit(0L)) - coalesce(col("n_uniq"), lit(0L))).as("n_dup"),
+        when(col("n_shingles").isNull, 0L)
+          .otherwise(floor((col("n_shingles") - coalesce(col("n_uniq"), lit(0L))) * 10000.0
+            / col("n_shingles")).cast("long")).as("dup_bp"))
   }
 
   /** Blocklist filter — per-document hit counts against a fixed term

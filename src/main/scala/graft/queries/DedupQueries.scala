@@ -41,18 +41,33 @@ object DedupQueries {
 
   private val CardCte = "card AS (SELECT doc_id, count(*) AS c FROM hs GROUP BY doc_id)"
 
-  private def interJaccardSql(candCte: String, threshold: Double): String =
+  /** The LSH band-bucket candidate CTE — one definition shared by every
+    * minhash query so band semantics can never drift between them. */
+  private val BandCandCte =
+    """cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
+      |              AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** CTE chain ending in `prs(ida, idb, jaccard)` — the verified-pair
+    * fragment; queries that post-process pairs append their own final
+    * SELECT over `prs` instead of re-inlining the machinery. */
+  private def interJaccardCtes(candCte: String, threshold: Double): String =
     s"""$candCte,
        |$CardCte,
        |inter AS (SELECT c.ida, c.idb, count(*) AS i
        |          FROM cand c JOIN hs sa ON sa.doc_id = c.ida
        |                      JOIN hs sb ON sb.doc_id = c.idb AND sb.h = sa.h
-       |          GROUP BY c.ida, c.idb)
-       |SELECT i.ida, i.idb,
-       |       CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
-       |FROM inter i JOIN card ca ON ca.doc_id = i.ida
-       |             JOIN card cb ON cb.doc_id = i.idb
-       |WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= $threshold""".stripMargin
+       |          GROUP BY c.ida, c.idb),
+       |prs AS (SELECT i.ida, i.idb,
+       |               CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
+       |        FROM inter i JOIN card ca ON ca.doc_id = i.ida
+       |                     JOIN card cb ON cb.doc_id = i.idb
+       |        WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= $threshold)""".stripMargin
+
+  private def interJaccardSql(candCte: String, threshold: Double): String =
+    s"""${interJaccardCtes(candCte, threshold)}
+       |SELECT ida, idb, jaccard FROM prs""".stripMargin
 
   // ---- queries ---------------------------------------------------------
 
@@ -79,11 +94,7 @@ object DedupQueries {
        |$HsCte,
        |$SigCte,
        |$BandsCte,
-       |${interJaccardSql(
-        """cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-          |         FROM bands a JOIN bands b
-          |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
-          |              AND a.doc_id < b.doc_id)""".stripMargin, 0.2)}""".stripMargin) { (spark, dir) =>
+       |${interJaccardSql(BandCandCte, 0.2)}""".stripMargin) { (spark, dir) =>
     val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
     val sig = Dedup.minhashSignatures(hs, "doc_id")
     val cand = Dedup.lshCandidates(sig, "doc_id")
@@ -107,19 +118,7 @@ object DedupQueries {
        |$HsCte,
        |$SigCte,
        |$BandsCte,
-       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-       |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
-       |              AND a.doc_id < b.doc_id),
-       |$CardCte,
-       |inter AS (SELECT c.ida, c.idb, count(*) AS i
-       |          FROM cand c JOIN hs sa ON sa.doc_id = c.ida
-       |                      JOIN hs sb ON sb.doc_id = c.idb AND sb.h = sa.h
-       |          GROUP BY c.ida, c.idb),
-       |prs AS (SELECT i.ida, i.idb
-       |        FROM inter i JOIN card ca ON ca.doc_id = i.ida
-       |                     JOIN card cb ON cb.doc_id = i.idb
-       |        WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= 0.2),
+       |${interJaccardCtes(BandCandCte, 0.2)},
        |so AS (SELECT doc_id, source FROM documents)
        |SELECT least(sa.source, sb.source) AS source_a,
        |       greatest(sa.source, sb.source) AS source_b,
@@ -156,10 +155,7 @@ object DedupQueries {
        |$HsCte,
        |$SigCte,
        |$BandsCte,
-       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-       |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
-       |              AND a.doc_id < b.doc_id),
+       |$BandCandCte,
        |$CardCte,
        |inter AS (SELECT c.ida, c.idb, count(*) AS i
        |          FROM cand c JOIN hs sa ON sa.doc_id = c.ida
@@ -208,10 +204,7 @@ object DedupQueries {
        |$HsCte,
        |$SigCte,
        |$BandsCte,
-       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-       |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
-       |              AND a.doc_id < b.doc_id)
+       |$BandCandCte
        |SELECT c.ida, c.idb,
        |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
        |       1 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
@@ -250,11 +243,7 @@ object DedupQueries {
        |$HsCte,
        |$SigCte,
        |$BandsCte,
-       |${interJaccardSql(
-        """cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-          |         FROM bands a JOIN bands b
-          |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
-          |              AND a.doc_id < b.doc_id)""".stripMargin, 0.2)}""".stripMargin) {
+       |${interJaccardSql(BandCandCte, 0.2)}""".stripMargin) {
     (spark, dir) =>
     val reps = Tables(spark, dir, "documents")
       .groupBy("text").agg(min(col("doc_id")).as("doc_id"))

@@ -274,7 +274,7 @@ object EventQueries {
     "q_mad_outliers",
     """WITH r AS (SELECT event_type, event_id, value,
       |                  row_number() OVER (PARTITION BY event_type
-      |                                     ORDER BY value, event_id) AS rn,
+      |                                     ORDER BY value NULLS LAST, event_id) AS rn,
       |                  count(*) OVER (PARTITION BY event_type) AS n
       |           FROM events),
       |med AS (SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med,
@@ -284,7 +284,7 @@ object EventQueries {
       |      FROM events e JOIN med USING (event_type)),
       |d2 AS (SELECT event_type, event_id, dev, med, n,
       |              row_number() OVER (PARTITION BY event_type
-      |                                 ORDER BY dev, event_id) AS drn
+      |                                 ORDER BY dev NULLS LAST, event_id) AS drn
       |       FROM d),
       |mad AS (SELECT event_type, max(CASE WHEN drn = (n + 1) // 2 THEN dev END) AS mad
       |        FROM d2 GROUP BY event_type)
@@ -295,23 +295,27 @@ object EventQueries {
       |GROUP BY d.event_type""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val events = Tables.events(spark, dir)
+    // NULLS LAST in both engines: Spark ASC defaults nulls FIRST, DuckDB
+    // LAST — a null value would otherwise shift which row each engine
+    // picks as the nearest-rank median. Rank arithmetic is integral DIV,
+    // never a truncated double quotient.
     val wv = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").asc, col("event_id").asc)
+      .orderBy(col("value").asc_nulls_last, col("event_id").asc)
     val wn = Window.partitionBy(col("event_type"))
     val med = events
       .select(col("event_type"), col("value"),
         row_number().over(wv).as("rn"), count(lit(1)).over(wn).as("n"))
       .groupBy("event_type")
-      .agg(max(when(col("rn") === ((col("n") + 1) / 2).cast("long"), col("value"))).as("med"),
+      .agg(max(when(col("rn") === expr("(n + 1) DIV 2"), col("value"))).as("med"),
         max(col("n")).as("n"))
     val d = events.join(broadcast(med), "event_type")
       .select(col("event_type"), col("event_id"),
         abs(col("value") - col("med")).as("dev"), col("med"), col("n"))
     val wd = Window.partitionBy(col("event_type"))
-      .orderBy(col("dev").asc, col("event_id").asc)
+      .orderBy(col("dev").asc_nulls_last, col("event_id").asc)
     val mad = d.withColumn("drn", row_number().over(wd))
       .groupBy(col("event_type").as("mtype"))
-      .agg(max(when(col("drn") === ((col("n") + 1) / 2).cast("long"), col("dev"))).as("mad"))
+      .agg(max(when(col("drn") === expr("(n + 1) DIV 2"), col("dev"))).as("mad"))
     d.join(broadcast(mad), col("mtype") === col("event_type"))
       .groupBy("event_type")
       .agg(max(col("n")).as("n"), max(col("med")).as("med"), max(col("mad")).as("mad"),

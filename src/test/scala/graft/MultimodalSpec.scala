@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.Multimodal
+import graft.multimodal.{Mp4, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -137,10 +137,11 @@ class MultimodalSpec extends SparkSpec {
 
   /** Minimal but spec-shaped MP4: ftyp(isom) + moov(mvhd v0 timescale
     * 1000 / duration 2500, one avc1 video trak with a full 4-sample
-    * stsz/stsc/stco table) + mdat with known sample bytes. Sample layout:
-    * 2 chunks × 2 samples, sizes 5,6,7,8.
+    * stsz/stsc/stco table, plus an stss marking samples 1 and 3 as
+    * keyframes unless `withStss = false`) + mdat with known sample bytes.
+    * Sample layout: 2 chunks × 2 samples, sizes 5,6,7,8.
     */
-  private def testMp4(): (Array[Byte], Seq[Array[Byte]]) = {
+  private def testMp4(withStss: Boolean = true): (Array[Byte], Seq[Array[Byte]]) = {
     val samples = Seq(
       Array.fill(5)(0xA1.toByte), Array.fill(6)(0xB2.toByte),
       Array.fill(7)(0xC3.toByte), Array.fill(8)(0xD4.toByte))
@@ -154,10 +155,13 @@ class MultimodalSpec extends SparkSpec {
     val stsz = box("stsz", u32b(0) ++ u32b(0) ++ u32b(4) ++
       samples.flatMap(s => u32b(s.length)).toArray)
     val stsc = box("stsc", u32b(0) ++ u32b(1) ++ u32b(1) ++ u32b(2) ++ u32b(1))
+    val stss =
+      if (withStss) box("stss", u32b(0) ++ u32b(2) ++ u32b(1) ++ u32b(3))
+      else Array.empty[Byte]
     // stco needs absolute file offsets: compute sizes of everything first
     def assemble(off1: Long, off2: Long): Array[Byte] = {
       val stco = box("stco", u32b(0) ++ u32b(2) ++ u32b(off1) ++ u32b(off2))
-      val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+      val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco ++ stss)
       val minf = box("minf", stbl)
       val mdia = box("mdia", hdlr ++ minf)
       val trak = box("trak", tkhd ++ mdia)
@@ -184,6 +188,21 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.Mp4Decoder.decode("video/mp4", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 0, 1, 2))
     }
+  }
+
+  test("Mp4Decoder frame-payload profile: size stats + keyframe cadence") {
+    val (mp4, samples) = testMp4() // stss marks samples 1 and 3
+    val f = Multimodal.Mp4Decoder.decode("video/mp4", mp4)
+    assert(f(12) == samples.map(_.length).sum.toFloat / 4) // mean frame bytes (6.5)
+    assert(f(13) == 8f)                                    // max frame bytes
+    assert(f(14) == 2f)                                    // stss keyframes
+    assert(f(15) == 2f)                                    // 4 samples / 2 keyframes
+    assert(Mp4.syncSamples(mp4) == Seq(1, 3))
+    // no stss box => every sample is a sync sample (spec 8.6.2 fallback)
+    val (bare, _) = testMp4(withStss = false)
+    val g = Multimodal.Mp4Decoder.decode("video/mp4", bare)
+    assert(Mp4.syncSamples(bare).isEmpty)
+    assert(g(14) == 4f && g(15) == 1f)
   }
 
   test("sampleFrames demuxes real MP4 samples via stsz/stsc/stco") {

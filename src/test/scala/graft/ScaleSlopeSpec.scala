@@ -35,7 +35,16 @@ class ScaleSlopeSpec extends SparkSpec {
     // probes (dup-ngram's shingle-sized self-join; knn-graph's fixed
     // band width) — pinned here so the rewrites can't silently regress
     "q_dup_ngram_frac" -> 1.5,
-    "q_knn_graph" -> 1.5)
+    "q_knn_graph" -> 1.5,
+    // round-7 additions: the two former `weak` plans (token-cdf's
+    // global ntile → histogram ranks; cooccur-pmi's per-doc pair join →
+    // windowed map-side emission) plus the remaining heavyweights whose
+    // slopes previously lived only in PLANS.md narrative
+    "q_token_cdf" -> 1.5,
+    "q_cooccur_pmi" -> 1.5,
+    "q_containment" -> 1.5,
+    "q_semdedup" -> 1.5,
+    "q_source_overlap" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
