@@ -132,9 +132,20 @@ object Dedup {
       .filter(col("df") > maxDocFreq).select("h")
     val hsk = hs.join(hot, Seq("h"), "left_anti")
     val card = hsk.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
-    val sa = hsk.select(col(idCol).as("ida"), col("h"))
-    val sb = hsk.select(col(idCol).as("idb"), col("h"))
-    val inter = sa.join(sb, "h").filter(col("ida") < col("idb"))
+    // pair generation: ONE shuffle (groupBy h), then pairs exploded
+    // MAP-SIDE from the ≤cap-sized sorted id array — the df-cap bounds
+    // every array at `maxDocFreq`, so no group is ever hot. The previous
+    // self-join on h shuffled the shingle table TWICE and sorted both
+    // sides (sort-merge); at 100x those two corpus-sized sorts were the
+    // spill that pushed the slope super-linear on a single box.
+    val ids = col("ids")
+    val inter = hsk
+      .groupBy("h").agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(ids) >= 2) // also guards sequence(1, 0)'s descending run
+      .select(explode(flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+        transform(slice(ids, i + 1, size(ids)),
+          j => struct(element_at(ids, i).as("ida"), j.as("idb")))))).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("i"))
     inter
       .join(card.withColumnRenamed(idCol, "ida").withColumnRenamed("c", "ca"), "ida")

@@ -22,6 +22,42 @@ import graft.functions.QuantizedL2Expr
   */
 object IvfIndex {
 
+  /** Two-level nearest-seed assignment — the scale path when k grows
+    * with the corpus (SemDeDup's constant-cluster-size contract): route
+    * each vector to its nearest COARSE seed (the first `k1` of `seeds`),
+    * then take the argmin only over the fine seeds whose own nearest
+    * coarse seed is that cell. O(N·(k1 + k/k1)) quantized-L2 evaluations
+    * instead of the flat argmin's O(N·k) — with k1 ≈ ⌈√k⌉ and k ∝ N the
+    * assignment drops from quadratic to ~N^1.25 (and on a cluster both
+    * passes are broadcast joins against the scan; the vector table still
+    * never shuffles to be assigned). In-cell nearest replaces global
+    * nearest — the IVF nprobe=1 semantic; callers mirror the exact same
+    * rule in their oracles, so this is a definition, not an
+    * approximation. Every argmin orders (d2, id) — deterministic.
+    */
+  def twoLevelAssign(emb: DataFrame, seeds: DataFrame, k1: Long): DataFrame = {
+    val coarse = seeds.filter(col("cluster") < k1)
+      .select(col("cluster").as("ccell"), col("cv").as("gv"))
+    val wp = Window.partitionBy(col("cluster")).orderBy(col("pd2").asc, col("ccell").asc)
+    val parent = seeds.crossJoin(broadcast(coarse))
+      .select(col("cluster"), col("cv"), col("ccell"),
+        QuantizedL2Expr.column(col("cv"), col("gv"), 45).as("pd2"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+      .select(col("cluster"), col("cv"), col("ccell").as("parent"))
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("cd2").asc, col("ccell").asc)
+    val vc = emb.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("ccell"),
+        QuantizedL2Expr.column(col("embedding"), col("gv"), 45).as("cd2"))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("ccell"))
+    val wf = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster").asc)
+    vc.join(broadcast(parent), col("parent") === col("ccell"))
+      .select(col("vec_id"), col("cluster"),
+        QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"))
+      .withColumn("rn", row_number().over(wf)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Nearest-seed assignment for every vector: (vec_id, cluster). */
   def assign(emb: DataFrame, seeds: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster").asc)

@@ -4,7 +4,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions.{polyHash, polyHashSql, tokens}
-import graft.functions.QuantizedL2Expr
 import graft.functions.VectorFunctions.{cosDistSql, cosineDistance}
 
 /** Third curation batch: boilerplate span mining, cluster-scoped semantic
@@ -50,30 +49,54 @@ object CurationQueries3 {
   }
 
   /** Cluster-scoped semantic dedup — the SemDeDup recipe: assign every
-    * embedding to its nearest seeded centroid (the `q_kmeans` a1
-    * assignment, quantized-L2 argmin, ties to lower cluster), then find
-    * near-identical pairs ONLY within a cluster (cosine distance ≤ 0.6 — calibrated to this
-    * corpus, whose closest pairs sit at ~0.5;
-    * keep = lower id by convention). Cluster blocking is what makes
-    * semantic dedup tractable at corpus scale: pair candidates are
-    * bounded by cluster size, never corpus² — which REQUIRES k to grow
-    * with the corpus. k = max(8, N div 64) in BOTH engines (the
-    * `scaledBitsPerBand` pattern), holding expected cluster size at ~64
-    * as N grows; the within-cluster pair mass then stays ~64·N/2, i.e.
-    * corpus-linear. The Spark-side count is a parquet metadata read (the
-    * same driver-side scalar `q_semdedup_recall` already derives its
+    * embedding to its nearest seeded centroid (quantized-L2 argmin, ties
+    * to lower cluster), then find near-identical pairs ONLY within a
+    * cluster (cosine distance ≤ 0.6 — calibrated to this corpus, whose
+    * closest pairs sit at ~0.5; keep = lower id by convention). Cluster
+    * blocking is what makes semantic dedup tractable at corpus scale:
+    * pair candidates are bounded by cluster size, never corpus² — which
+    * REQUIRES k to grow with the corpus. k = max(8, N div 64) in BOTH
+    * engines (the `scaledBitsPerBand` pattern), holding expected cluster
+    * size at ~64 as N grows; the within-cluster pair mass then stays
+    * ~64·N/2, i.e. corpus-linear. And because k ∝ N makes a FLAT argmin
+    * O(N·k) = quadratic (measured: slope 3.06 at a 100× probe), the
+    * assignment is TWO-LEVEL ([[graft.operators.IvfIndex.twoLevelAssign]]
+    * with k1 = ⌈√k⌉): nearest coarse cell, then argmin over that cell's
+    * fine seeds — O(N·√k), the IVF nprobe=1 semantic, defined identically
+    * in the oracle below. The Spark-side count is a parquet metadata read
+    * (the same driver-side scalar `q_semdedup_recall` already derives its
     * band width from). Cross-cluster near-dups are missed by design —
     * the documented SemDeDup trade, measured by `q_semdedup_recall`.
     */
   val semDedup: QueryDef = QueryDef.sql(
     "q_semdedup",
-    s"""WITH cfg AS (SELECT greatest(8, count(*) // 64) AS k FROM embeddings),
+    s"""WITH cfg AS (SELECT greatest(8, count(*) // 64) AS k,
+       |             CAST(ceil(sqrt(CAST(greatest(8, count(*) // 64) AS DOUBLE))) AS BIGINT) AS k1
+       |      FROM embeddings),
        |ed AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
        |            FROM embeddings, UNNEST(range(1, 65)) t(i)),
        |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed, cfg WHERE vec_id < cfg.k),
+       |g0 AS (SELECT vec_id AS ccell, i, x AS g FROM ed, cfg WHERE vec_id < cfg.k1),
+       |pd AS (SELECT c0.cluster, g0.ccell,
+       |              CAST(sum(CAST(floor((c0.c - g0.g) * (c0.c - g0.g) * 35184372088832.0) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM c0 JOIN g0 ON g0.i = c0.i GROUP BY 1, 2),
+       |par AS (SELECT cluster, parent FROM (
+       |          SELECT cluster, ccell AS parent,
+       |                 row_number() OVER (PARTITION BY cluster ORDER BY d2, ccell) AS rn
+       |          FROM pd) WHERE rn = 1),
+       |cd AS (SELECT ed.vec_id, g0.ccell,
+       |              CAST(sum(CAST(floor((ed.x - g0.g) * (ed.x - g0.g) * 35184372088832.0) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed JOIN g0 ON g0.i = ed.i GROUP BY 1, 2),
+       |vc AS (SELECT vec_id, ccell FROM (
+       |         SELECT vec_id, ccell,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccell) AS rn
+       |         FROM cd) WHERE rn = 1),
        |a1 AS (SELECT ed.vec_id, c0.cluster,
        |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * 35184372088832.0) AS BIGINT)) AS BIGINT) AS d2
-       |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
+       |       FROM ed JOIN vc ON vc.vec_id = ed.vec_id
+       |               JOIN par ON par.parent = vc.ccell
+       |               JOIN c0 ON c0.cluster = par.cluster AND c0.i = ed.i
+       |       GROUP BY 1, 2),
        |s1 AS (SELECT vec_id, cluster FROM (
        |         SELECT vec_id, cluster,
        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
@@ -86,17 +109,13 @@ object CurationQueries3 {
        |     JOIN e b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
        |WHERE ${cosDistSql("a.v", "b.v")} <= 0.6""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // corpus-scaled k: constant expected cluster size (~64) as N grows
+    // corpus-scaled k: constant expected cluster size (~64) as N grows;
+    // two-level assignment keeps the argmin O(N·√k) instead of O(N·k)
     val k = math.max(8L, emb.count() / 64)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toLong
     val cent0 = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster").asc)
-    val asg = emb.crossJoin(broadcast(cent0))
-      .select(col("vec_id"), col("cluster"),
-        QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"))
+    val asg = graft.operators.IvfIndex.twoLevelAssign(emb, cent0, k1)
     val side = emb.join(asg, "vec_id")
     val a = side.select(col("cluster"), col("vec_id").as("ida"), col("embedding").as("va"))
     val b = side.select(col("cluster"), col("vec_id").as("idb"), col("embedding").as("vb"))

@@ -536,12 +536,32 @@ object DedupQueries {
        |        FROM cand c JOIN pv pa ON pa.vec_id = c.ida
        |                    JOIN pv pb ON pb.vec_id = c.idb
        |        WHERE ${cosSimSql("pa.v", "pb.v")} >= 0.4),
-       |cfg2 AS (SELECT greatest(8, count(*) // 64) AS k FROM embeddings),
+       |cfg2 AS (SELECT greatest(8, count(*) // 64) AS k,
+       |              CAST(ceil(sqrt(CAST(greatest(8, count(*) // 64) AS DOUBLE))) AS BIGINT) AS k1
+       |       FROM embeddings),
        |ed AS (SELECT vec_id, i, v[i] AS x FROM base, UNNEST(range(1, 65)) t(i)),
        |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed, cfg2 WHERE vec_id < cfg2.k),
+       |g0 AS (SELECT vec_id AS ccell, i, x AS g FROM ed, cfg2 WHERE vec_id < cfg2.k1),
+       |pd AS (SELECT c0.cluster, g0.ccell,
+       |              CAST(sum(CAST(floor((c0.c - g0.g) * (c0.c - g0.g) * 35184372088832.0) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM c0 JOIN g0 ON g0.i = c0.i GROUP BY 1, 2),
+       |par AS (SELECT cluster, parent FROM (
+       |          SELECT cluster, ccell AS parent,
+       |                 row_number() OVER (PARTITION BY cluster ORDER BY d2, ccell) AS rn
+       |          FROM pd) WHERE rn = 1),
+       |cd AS (SELECT ed.vec_id, g0.ccell,
+       |              CAST(sum(CAST(floor((ed.x - g0.g) * (ed.x - g0.g) * 35184372088832.0) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed JOIN g0 ON g0.i = ed.i GROUP BY 1, 2),
+       |vc AS (SELECT vec_id, ccell FROM (
+       |         SELECT vec_id, ccell,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccell) AS rn
+       |         FROM cd) WHERE rn = 1),
        |a1 AS (SELECT ed.vec_id, c0.cluster,
        |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * 35184372088832.0) AS BIGINT)) AS BIGINT) AS d2
-       |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
+       |       FROM ed JOIN vc ON vc.vec_id = ed.vec_id
+       |               JOIN par ON par.parent = vc.ccell
+       |               JOIN c0 ON c0.cluster = par.cluster AND c0.i = ed.i
+       |       GROUP BY 1, 2),
        |s1 AS (SELECT vec_id, cluster FROM (
        |         SELECT vec_id, cluster,
        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
@@ -559,12 +579,14 @@ object DedupQueries {
       .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
       .filter(col("sim") >= 0.4)
       .select(col("ida"), col("idb"))
-    // corpus-scaled k, matching q_semdedup's cfg (constant cluster size)
+    // corpus-scaled k + two-level assignment, matching q_semdedup's cfg
+    // exactly (constant cluster size, O(N·√k) argmin)
     val k = math.max(8L, nEmb / 64)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toLong
     val cent0 = emb.select(col("vec_id"), col("embedding")).filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
-    val asg = graft.operators.IvfIndex.assign(
-      emb.select(col("vec_id"), col("embedding")), cent0)
+    val asg = graft.operators.IvfIndex.twoLevelAssign(
+      emb.select(col("vec_id"), col("embedding")), cent0, k1)
     prs
       .join(asg.select(col("vec_id").as("ida"), col("cluster").as("ca")), "ida")
       .join(asg.select(col("vec_id").as("idb"), col("cluster").as("cb")), "idb")

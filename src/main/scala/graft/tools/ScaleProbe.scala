@@ -85,8 +85,13 @@ object ScaleProbe {
     val src = "/root/testdata/sf0.1"
     val perturbText = sys.env.get("GRAFT_PROBE_PERTURB_TEXT").contains("1")
     val dst = s"/tmp/graft_scale_x$factor" + (if (perturbText) "_pt" else "")
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    // partitions sized like a cluster would size them (∝ data), not like
+    // the 1x bench: a 100x replica through 16 shuffle partitions measures
+    // single-box spill, not the plan (GRAFT_PROBE_PARTITIONS to override)
+    val cpus = sys.env.getOrElse("GRAFT_PROBE_CPUS", "16")
+    val parts = sys.env.getOrElse("GRAFT_PROBE_PARTITIONS", cpus)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
