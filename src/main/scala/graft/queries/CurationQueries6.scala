@@ -113,5 +113,73 @@ object CurationQueries6 {
         floor(sum(col("cnt")).over(w) * 10000.0 / col("tot")).cast("long").as("cum_bp"))
   }
 
-  val all: Seq[QueryDef] = Seq(shardAssign, packingWaste, vocabCoverage)
+  /** Dedup survivorship by provenance — which sources LOSE the most to
+    * exact dedup: per source, documents in vs. keepers out (keeper =
+    * min-id representative of each text group, the collapse-first
+    * convention). A feed whose keep rate craters is re-crawling content
+    * some other feed already supplied — the signal that reweights or
+    * drops it. One content-key groupBy + one id equi-join + a
+    * source-sized rollup.
+    */
+  val dedupSurvivorship: QueryDef = QueryDef.sql(
+    "q_dedup_survivorship",
+    """WITH g AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(g.keep_id) AS BIGINT) AS n_kept,
+      |       CAST(floor(count(g.keep_id) * 10000.0 / count(*)) AS BIGINT) AS keep_bp
+      |FROM documents d LEFT JOIN g ON g.keep_id = d.doc_id
+      |GROUP BY d.source""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val keepers = docs.groupBy("text").agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id"), lit(1).as("kept"))
+    docs.join(keepers, col("keep_id") === col("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), count(col("kept")).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        floor(col("n_kept") * 10000.0 / col("n_docs")).cast("long").as("keep_bp"))
+  }
+
+  /** Vocabulary growth curve (Heaps-law dashboard) — the corpus split
+    * into 10 id-ordered slices, each reporting its token volume, the
+    * number of NEVER-SEEN-BEFORE token types it introduces, and the
+    * cumulative vocabulary. Sub-linear growth is healthy natural text;
+    * a late slice that mints types linearly is machine noise or an
+    * encoding break. "First slice that contains each type" is one
+    * min-aggregate over the token table — corpus-linear, no ordering
+    * pass; the cumulative sum rides the 10-row result.
+    */
+  val vocabGrowth: QueryDef = QueryDef.sql(
+    "q_vocab_growth",
+    """WITH b AS (SELECT CAST(least(9, doc_id * 10 // (SELECT max(doc_id) + 1 FROM documents))
+      |                       AS BIGINT) AS bucket,
+      |                  string_split(text, ' ') AS toks
+      |           FROM documents),
+      |tk AS (SELECT bucket, unnest(toks) AS tok FROM b),
+      |vol AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM tk GROUP BY bucket),
+      |fs AS (SELECT tok, min(bucket) AS first_bucket FROM tk GROUP BY tok),
+      |nt AS (SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS new_types
+      |       FROM fs GROUP BY first_bucket)
+      |SELECT v.bucket, v.n_tokens,
+      |       CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+      |       CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY v.bucket) AS BIGINT)
+      |         AS cum_vocab
+      |FROM vol v LEFT JOIN nt ON nt.bucket = v.bucket""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    val tk = docs.crossJoin(broadcast(maxId))
+      .select(expr("least(9, doc_id * 10 DIV (mx + 1))").cast("long").as("bucket"),
+        explode(split(col("text"), " ")).as("tok"))
+    val vol = tk.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val nt = tk.groupBy("tok").agg(min(col("bucket")).as("first_bucket"))
+      .groupBy(col("first_bucket").as("nbucket"))
+      .agg(count(lit(1)).as("new_types"))
+    vol.join(nt, col("nbucket") === col("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_vocab",
+        sum(col("new_types")).over(Window.orderBy(col("bucket"))))
+  }
+
+  val all: Seq[QueryDef] = Seq(shardAssign, packingWaste, vocabCoverage,
+    dedupSurvivorship, vocabGrowth)
 }

@@ -26,7 +26,7 @@ object ScaleProbe {
     * honest scale model for measuring the detector MECHANISM.
     */
   def buildReplica(spark: SparkSession, src: String, dst: String, factor: Int,
-                   perturbText: Boolean): Unit = {
+                   perturbText: Boolean, idStep: Long = 100000000L): Unit = {
     if (new java.io.File(s"$dst/documents.parquet/_SUCCESS").exists()) return
     new java.io.File(dst).mkdirs()
 
@@ -37,7 +37,7 @@ object ScaleProbe {
       val base = if (name == "events") graft.Tables.events(spark, src)
         else spark.read.parquet(s"$src/$name.parquet")
       val copies = (0 until factor).map { i =>
-        idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+        idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i.toLong * idStep)))
           .withColumn("_copy", lit(i))
       }.reduce(_ unionByName _)
       perturb(copies).drop("_copy")
@@ -82,9 +82,16 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val src = "/root/testdata/sf0.1"
+    // GRAFT_PROBE_SRC lets a replica be the base of a FURTHER replica
+    // (a decade stack: sf0.1 -> 100x -> 1000x). When nesting, set
+    // GRAFT_PROBE_STEP to a multiple of the inner replica's id range
+    // (inner ids reach (innerFactor-1)*1e8 + base) so outer copies
+    // cannot collide with inner ones.
+    val src = sys.env.getOrElse("GRAFT_PROBE_SRC", "/root/testdata/sf0.1")
+    val idStep = sys.env.get("GRAFT_PROBE_STEP").map(_.toLong).getOrElse(100000000L)
     val perturbText = sys.env.get("GRAFT_PROBE_PERTURB_TEXT").contains("1")
-    val dst = s"/tmp/graft_scale_x$factor" + (if (perturbText) "_pt" else "")
+    val dst = sys.env.getOrElse("GRAFT_PROBE_DST",
+      s"/tmp/graft_scale_x$factor" + (if (perturbText) "_pt" else ""))
     // partitions sized like a cluster would size them (∝ data), not like
     // the 1x bench: a 100x replica through 16 shuffle partitions measures
     // single-box spill, not the plan (GRAFT_PROBE_PARTITIONS to override)
@@ -97,7 +104,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    buildReplica(spark, src, dst, factor, perturbText)
+    buildReplica(spark, src, dst, factor, perturbText, idStep)
 
     // q_embed_neardup_scaled probes UNEDITED: the query itself derives
     // its band width from the corpus count (Dedup.scaledBitsPerBand), so

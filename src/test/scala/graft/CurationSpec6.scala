@@ -39,6 +39,32 @@ class CurationSpec6 extends SparkSpec {
     }
   }
 
+  test("dedup_survivorship: keepers partition distinct texts; rates bounded") {
+    val rows = graft.queries.CurationQueries6.dedupSurvivorship.fn(spark, sf0001).collect()
+    val docs = Tables(spark, sf0001, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    assert(rows.map(_.getLong(2)).sum == docs.select("text").distinct().count())
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+    }
+  }
+
+  test("vocab_growth: new types partition the vocabulary; cumulative monotone") {
+    val rows = graft.queries.CurationQueries6.vocabGrowth.fn(spark, sf0001)
+      .orderBy("bucket").collect()
+    val docs = Tables(spark, sf0001, "documents")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    val totTokens = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == vocab)
+    assert(rows.last.getLong(3) == vocab)
+    assert(rows.map(_.getLong(1)).sum == totTokens)
+    val cums = rows.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
+
   test("vocab_coverage: 20 ranks, counts non-increasing, cum_bp monotone <= 10000") {
     val rows = graft.queries.CurationQueries6.vocabCoverage.fn(spark, sf0001)
       .orderBy("rnk").collect()
