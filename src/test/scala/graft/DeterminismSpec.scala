@@ -21,7 +21,13 @@ class DeterminismSpec extends SparkSpec {
     "q_zipf_fit",      // OLS over 2^20-quantized lns, DECIMAL-cast product sums
     "q_embed_dim_stats", // mean/var from 2^52 + 2^45 integer grids
     "q_temperature_mix", // sqrt (correctly-rounded) + integer normalization
-    "q_pipeline_funnel") // five chained stages, counts must not depend on layout
+    "q_pipeline_funnel", // five chained stages, counts must not depend on layout
+    // round-7 rewrites: distributed rank/window algebra must not depend
+    // on physical layout either
+    "q_token_cdf",       // histogram-derived global ranks -> exact ntile
+    "q_cooccur_pmi",     // map-side windowed pairs + quantized ln
+    "q_semdedup",        // two-level quantized-L2 argmin, (d2, id) ties
+    "q_shard_assign")    // salted id-hash sharding
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
