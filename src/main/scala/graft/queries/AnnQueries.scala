@@ -512,6 +512,79 @@ object AnnQueries {
       .agg(sum(when(col("d2") > col("fence_d2"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Cluster SEPARATION, the complement of [[centroidSpread]]'s
+    * cohesion: for every label cluster, the squared L2 distance to its
+    * nearest OTHER centroid and the Davies-Bouldin-style ratio
+    * (spread_i + spread_j) / d(i,j) — the number that says whether two
+    * clusters have collapsed into each other (ratio high) or are
+    * genuinely distinct (low). The partition/shuffle shape: one
+    * per-dim centroid aggregate over the corpus (same as
+    * [[centroids]]), then everything downstream — the k x k centroid
+    * pair distances, the nearest-other argmin, the ratio — runs on
+    * k x Dim rows, broadcast-sized at ANY corpus scale. Determinism:
+    * spreads and pair distances accumulate on the 2^45 integer grid
+    * (exact, order-independent); the single ratio division happens
+    * once, in the same op order in both engines, then floors onto a
+    * 2^20 grid.
+    */
+  val clusterSeparation: QueryDef = QueryDef.sql(
+    "q_cluster_separation",
+    s"""WITH $CentCte,
+       |sp AS (SELECT ed.label, count(DISTINCT ed.vec_id) AS n_vecs,
+       |              CAST(sum(CAST(floor((ed.x - cent.c) * (ed.x - cent.c) * $S45) AS BIGINT)) AS BIGINT) AS sumt
+       |       FROM ed JOIN cent ON cent.label = ed.label AND cent.i = ed.i
+       |       GROUP BY ed.label),
+       |cd AS (SELECT c1.label AS label, c2.label AS olabel,
+       |              CAST(sum(CAST(floor((c1.c - c2.c) * (c1.c - c2.c) * $S45) AS BIGINT)) AS BIGINT) AS d2q
+       |       FROM cent c1 JOIN cent c2 ON c2.i = c1.i AND c2.label <> c1.label
+       |       GROUP BY 1, 2),
+       |nr AS (SELECT label, olabel, d2q FROM (
+       |         SELECT label, olabel, d2q,
+       |                row_number() OVER (PARTITION BY label ORDER BY d2q, olabel) AS rn
+       |         FROM cd) WHERE rn = 1)
+       |SELECT nr.label, CAST(s1.n_vecs AS BIGINT) AS n_vecs,
+       |       nr.olabel AS nearest_label, nr.d2q AS d2q,
+       |       CAST(floor((CAST(s1.sumt AS DOUBLE) / $S45 / s1.n_vecs
+       |                   + CAST(s2.sumt AS DOUBLE) / $S45 / s2.n_vecs)
+       |                  / (CAST(nr.d2q AS DOUBLE) / $S45) * 1048576.0) AS BIGINT) AS db_q
+       |FROM nr
+       |JOIN sp s1 ON s1.label = nr.label
+       |JOIN sp s2 ON s2.label = nr.olabel""".stripMargin) { (spark, dir) =>
+    val ed = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("label"), col("vec_id"), (col("i0") + 1).as("i"), col("x"),
+        floor(col("x") * S52d).cast("long").as("ix"))
+    val cent = ed.groupBy("label", "i")
+      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+    val centC = cent.withColumnRenamed("label", "clabel").withColumnRenamed("i", "ci")
+    val sp = ed.join(centC, col("clabel") === col("label") && col("ci") === col("i"))
+      .select(col("label"), col("vec_id"),
+        floor((col("x") - col("c")) * (col("x") - col("c")) * S45d).cast("long").as("t"))
+      .groupBy("label")
+      .agg(countDistinct(col("vec_id")).as("n_vecs"), sum(col("t")).as("sumt"))
+    val c2 = cent.select(col("label").as("olabel"), col("i").as("oi"), col("c").as("oc"))
+    val cd = cent.join(broadcast(c2), col("oi") === col("i") && col("olabel") =!= col("label"))
+      .select(col("label"), col("olabel"),
+        floor((col("c") - col("oc")) * (col("c") - col("oc")) * S45d).cast("long").as("t"))
+      .groupBy("label", "olabel")
+      .agg(sum(col("t")).as("d2q"))
+    val nr = cd
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("d2q").asc, col("olabel").asc)))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("olabel"), col("d2q"))
+    val s1 = sp.select(col("label").as("l1"), col("n_vecs"), col("sumt").as("sum1"))
+    val s2 = sp.select(col("label").as("l2"), col("n_vecs").as("n2"), col("sumt").as("sum2"))
+    nr.join(broadcast(s1), col("l1") === col("label"))
+      .join(broadcast(s2), col("l2") === col("olabel"))
+      .select(col("label"), col("n_vecs"),
+        col("olabel").as("nearest_label"), col("d2q"),
+        floor((col("sum1").cast("double") / S45d / col("n_vecs")
+          + col("sum2").cast("double") / S45d / col("n2"))
+          / (col("d2q").cast("double") / S45d) * 1048576.0).cast("long").as("db_q"))
+  }
+
   val all: Seq[QueryDef] = Seq(annTopk, centroids, centroidSpread, ivfTopk,
-    ivfPruned, ivfNprobe, ivfKmeans, kmeans, centroidClassify, embedOutliers)
+    ivfPruned, ivfNprobe, ivfKmeans, kmeans, centroidClassify, embedOutliers,
+    clusterSeparation)
 }

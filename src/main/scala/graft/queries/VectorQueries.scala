@@ -276,6 +276,64 @@ object VectorQueries {
       .crossJoin(rerank(200).join(exact, "vec_id").agg(count(lit(1)).as("recall10_c200")))
   }
 
+  /** Matryoshka / prefix-truncation serving eval: recall@10 of cosine
+    * top-k computed on only the FIRST m dimensions (m = 8, 16, 32)
+    * against the full-dimension exact top-10 — the measurement behind
+    * shipping truncated embeddings (smaller index, cheaper distance)
+    * from a matryoshka-trained model, and the honest answer when the
+    * model was NOT trained that way. Same shape as [[int8Recall]]:
+    * every sketch ships its error query. SCALE: each branch is the
+    * `q_topk_cosine` plan (map-side distance + `TakeOrderedAndProject`,
+    * no shuffle of the corpus); the three branches share one cached
+    * scan and the intersection joins are 10-row broadcasts.
+    */
+  val matryoshkaRecall: QueryDef = QueryDef.sql(
+    "q_matryoshka_recall",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM e, q WHERE vec_id <> 0
+       |       ORDER BY ${cosDistSql("v", "qv")}, vec_id LIMIT 10),
+       |a8 AS (SELECT vec_id FROM e, q WHERE vec_id <> 0
+       |       ORDER BY ${cosDistSql("v[1:8]", "qv[1:8]")}, vec_id LIMIT 10),
+       |a16 AS (SELECT vec_id FROM e, q WHERE vec_id <> 0
+       |        ORDER BY ${cosDistSql("v[1:16]", "qv[1:16]")}, vec_id LIMIT 10),
+       |a32 AS (SELECT vec_id FROM e, q WHERE vec_id <> 0
+       |        ORDER BY ${cosDistSql("v[1:32]", "qv[1:32]")}, vec_id LIMIT 10)
+       |SELECT CAST(8 AS BIGINT) AS dims,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM a8 JOIN ex USING (vec_id)) AS recall10
+       |UNION ALL
+       |SELECT CAST(16 AS BIGINT),
+       |       (SELECT CAST(count(*) AS BIGINT) FROM a16 JOIN ex USING (vec_id))
+       |UNION ALL
+       |SELECT CAST(32 AS BIGINT),
+       |       (SELECT CAST(count(*) AS BIGINT) FROM a32 JOIN ex USING (vec_id))
+       |UNION ALL
+       |SELECT CAST(64 AS BIGINT), CAST((SELECT count(*) FROM ex) AS BIGINT)""".stripMargin) {
+    (spark, dir) =>
+      val q = queryVec(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("v"))
+      def top10(m: Int) = {
+        val qlit = array(q.take(m).map(lit): _*)
+        val vm = if (m == 64) col("v") else slice(col("v"), 1, m)
+        emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), cosineDistance(vm, qlit).as("dist"))
+          .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+          .select("vec_id")
+      }
+      val exact = top10(64)
+      // dims=64 is the self-calibration row: the truncated ranking IS the
+      // exact ranking, so recall must be exactly k — asserted in
+      // CurationSpec7 as the hard floor under the quantization-free claim
+      Seq(8, 16, 32)
+        .map(m => top10(m).join(exact, "vec_id")
+          .agg(count(lit(1)).as("recall10"))
+          .select(lit(m.toLong).as("dims"), col("recall10")))
+        .reduce(_ unionAll _)
+        .unionAll(exact.agg(count(lit(1)).as("recall10"))
+          .select(lit(64L).as("dims"), col("recall10")))
+  }
+
   val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk, sqlSurface, quantizeInt8,
-    int8Recall, randomProj, projRecall)
+    int8Recall, randomProj, projRecall, matryoshkaRecall)
 }

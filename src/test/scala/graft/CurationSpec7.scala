@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the seventh batch beyond the oracle gate: analytic
+  * bounds the quantized metrics must respect by construction.
+  */
+class CurationSpec7 extends SparkSpec {
+
+  test("tfidf_neardup: pairs ordered, cosine grid bounded, shared terms positive") {
+    val rows = graft.queries.CurationQueries7.tfidfNeardup.fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (a, b, dot, shared) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(a < b, "pair not canonically ordered")
+      assert(shared >= 1)
+      // dot_q ~ cosine * 2^20; cosine <= 1 with floor-quantization slack
+      // (each |wq| <= 1024 but floors are downward, so the true bound is
+      // the un-floored norm product): allow 1% headroom over 2^20
+      assert(dot >= 524288L && dot <= (1048576L * 101) / 100, s"dot_q $dot out of range")
+    }
+  }
+
+  test("tfidf_neardup: dot_q approximates the true capped-vocab tf-idf cosine") {
+    // independent cross-check with NO quantization grid: recompute the
+    // capped-vocabulary tf-idf cosine of the best-scoring pair from raw
+    // doubles and require the quantized metric to agree to ~1%. This
+    // pins dot_q to the actual cosine definition, not just to itself.
+    val top = graft.queries.CurationQueries7.tfidfNeardup.fn(spark, sf0001)
+      .orderBy(col("dot_q").desc, col("doc_a").asc, col("doc_b").asc).limit(1)
+      .collect().head
+    val (da, db, dotQ) = (top.getLong(0), top.getLong(1), top.getLong(2))
+    val docs = Tables(spark, sf0001, "documents")
+    val tk = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val nd = docs.count().toDouble
+    val dfm = tk.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def vec(id: Long): Map[String, Double] =
+      tk.filter(col("doc_id") === id).groupBy("tok").agg(count(lit(1)).as("tf"))
+        .collect()
+        .flatMap(r => dfm.get(r.getString(0))
+          .map(df => r.getString(0) -> r.getLong(1) * math.log(nd / df)))
+        .toMap
+    val (va, vb) = (vec(da), vec(db))
+    def norm(v: Map[String, Double]) = math.sqrt(v.values.map(x => x * x).sum)
+    val cos = va.keySet.intersect(vb.keySet).toSeq
+      .map(t => va(t) * vb(t)).sum / (norm(va) * norm(vb))
+    val cosQ = dotQ.toDouble / 1048576.0
+    assert(math.abs(cos - cosQ) < 0.01, s"quantized cosine $cosQ vs true $cos")
+  }
+
+  test("quality_calibration: sources partition the corpus; nearest-rank bounds hold") {
+    val rows = graft.queries.CurationQueries7.qualityCalibration.fn(spark, sf0001).collect()
+    val nDocs = Tables(spark, sf0001, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    for (r <- rows) {
+      val (n, tg, tl, kg, kl) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(tg >= 0 && tg <= 10000 && tl >= 0 && tl <= 10000)
+      assert(kg >= 0 && kg <= n && kl >= 0 && kl <= n)
+      // nearest-rank p10 keeps at least n - ceil(n/10) + 1 docs locally
+      assert(kl >= n - (n + 9) / 10 + 1, s"local keep $kl too small for n=$n")
+    }
+  }
+
+  test("quality_calibration: local calibration equalizes keep rates vs global") {
+    val rows = graft.queries.CurationQueries7.qualityCalibration.fn(spark, sf0001).collect()
+    // local keep rate is ~90% for EVERY source by construction; global
+    // keep rate varies with the source's score distribution. The spread
+    // (max - min keep rate in basis points) must shrink under local
+    // thresholds — that is the entire point of the query.
+    def spreadBp(keep: Array[(Long, Long)]): Long = {
+      val rates = keep.map { case (k, n) => k * 10000 / n }
+      rates.max - rates.min
+    }
+    val global = spreadBp(rows.map(r => (r.getLong(4), r.getLong(1))))
+    val local = spreadBp(rows.map(r => (r.getLong(5), r.getLong(1))))
+    assert(local <= global, s"local spread $local > global spread $global")
+  }
+
+  test("matryoshka_recall: all prefixes reported, bounded, full-dim row exact") {
+    val rows = graft.queries.VectorQueries.matryoshkaRecall.fn(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(8L, 16L, 32L, 64L))
+    for (r <- rows) assert(r.getLong(1) >= 0 && r.getLong(1) <= 10)
+    // dims=64 truncation is no truncation: recall must be exactly k.
+    // (No monotonicity assertion across 8/16/32 — these embeddings are
+    // NOT matryoshka-trained, and the fixture's measured curve is
+    // non-monotone; reporting that honestly is the query's job.)
+    val byDim = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDim(64L) == 10L)
+  }
+
+  test("cluster_separation: every label present, positive distances, spread conservation") {
+    val rows = graft.queries.AnnQueries.clusterSeparation.fn(spark, sf0001).collect()
+    val emb = Tables(spark, sf0001, "embeddings")
+    val nLabels = emb.select("label").distinct().count()
+    assert(rows.length == nLabels)
+    assert(rows.map(_.getLong(1)).sum == emb.count(), "members must partition the corpus")
+    for (r <- rows) {
+      assert(r.getInt(0) != r.getInt(2), "nearest label must differ")
+      assert(r.getLong(3) > 0, "centroid pair distance must be positive")
+      assert(r.getLong(4) > 0, "db ratio must be positive")
+    }
+    // nearest-other is symmetric-bounded: the minimum pair distance is
+    // attained by both endpoints of the closest pair
+    val minD = rows.map(_.getLong(3)).min
+    assert(rows.count(_.getLong(3) == minD) >= 2)
+  }
+}

@@ -27,7 +27,12 @@ class DeterminismSpec extends SparkSpec {
     "q_token_cdf",       // histogram-derived global ranks -> exact ntile
     "q_cooccur_pmi",     // map-side windowed pairs + quantized ln
     "q_semdedup",        // two-level quantized-L2 argmin, (d2, id) ties
-    "q_shard_assign")    // salted id-hash sharding
+    "q_shard_assign",    // salted id-hash sharding
+    // round-7 batch: normalized-integer dot products and histogram
+    // thresholds must survive re-sharding too
+    "q_tfidf_neardup",      // L2-normalized 2^10-grid postings dot
+    "q_quality_calibration", // histogram nearest-rank thresholds
+    "q_cluster_separation")  // 2^45-grid spreads + pair distances
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
