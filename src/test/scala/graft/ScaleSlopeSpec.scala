@@ -44,7 +44,10 @@ class ScaleSlopeSpec extends SparkSpec {
     "q_cooccur_pmi" -> 1.5,
     "q_containment" -> 1.5,
     "q_semdedup" -> 1.5,
-    "q_source_overlap" -> 1.5)
+    "q_source_overlap" -> 1.5,
+    // round-7 batch: the df-capped tf-idf postings join is the one new
+    // pair generator (0.31 perturbed at sf0.1 10x when added)
+    "q_tfidf_neardup" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
