@@ -26,4 +26,45 @@ object TypedOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
     def outputEncoder: Encoder[List[Scored]] = bufferEncoder
   }
+
+  /** Gram-matrix moment accumulator over quantized embedding vectors:
+    * one pass collects n, per-dim sums, per-dim square sums and ALL
+    * upper-triangle cross sums into a single flat Long buffer —
+    * the classic treeAggregate covariance shape. The point is the
+    * SHUFFLE: partial buffers are ~(d²/2 + 2d + 1) longs per partition
+    * (17 KB at d=64) instead of d²/2 exploded rows per INPUT row, so
+    * the pass stays scan-bound at any corpus size. Integer sums ⇒
+    * order-independent ⇒ re-shard deterministic.
+    *
+    * Buffer layout (0-based): [0] n; [1+i] Σx_i; [1+d+i] Σx_i²;
+    * [1+2d + triOffset(i) + (j-i-1)] Σx_i·x_j for i<j, where
+    * triOffset(i) = i·(2d-i-1)/2.
+    */
+  class GramAggregator(d: Int) extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private val size = 1 + 2 * d + d * (d - 1) / 2
+    def zero: Array[Long] = new Array[Long](size)
+    def reduce(b: Array[Long], x: Array[Long]): Array[Long] = {
+      b(0) += 1L
+      var i = 0
+      var t = 1 + 2 * d
+      while (i < d) {
+        val xi = x(i)
+        b(1 + i) += xi
+        b(1 + d + i) += xi * xi
+        var j = i + 1
+        while (j < d) { b(t) += xi * x(j); j += 1; t += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < size) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = bufferEncoder
+  }
 }

@@ -155,5 +155,43 @@ object CurationQueries7 {
         col("kept_global"), col("kept_local"))
   }
 
-  val all: Seq[QueryDef] = Seq(tfidfNeardup, qualityCalibration)
+  /** Epoch planning under a token budget: allocate a 1M-token training
+    * budget across sources by the sqrt-temperature weights of
+    * `q_temperature_mix` (computed on TOKENS, not docs), and report the
+    * implied repeat factor — how many epochs of each source the budget
+    * buys (epochs_centi = 100·alloc/tokens; > 100 means the source is
+    * repeated, the small-but-high-weight-domain regime). One per-source
+    * aggregate plus broadcast totals: the plan is `q_temperature_mix`'s,
+    * invariant to corpus scale past the first agg. The one double sqrt
+    * is floor-absorbed onto the 2^20 grid (the shared idiom), all
+    * downstream arithmetic exact integers.
+    */
+  val epochPlan: QueryDef = QueryDef.sql(
+    "q_epoch_plan",
+    """WITH s AS (SELECT source,
+      |                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |          FROM documents GROUP BY source),
+      |w AS (SELECT source, tokens,
+      |             CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq
+      |      FROM s),
+      |t AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM w)
+      |SELECT w.source, w.tokens,
+      |       CAST(w.wq * 1000000 // t.wtot AS BIGINT) AS alloc_tokens,
+      |       CAST((w.wq * 1000000 // t.wtot) * 100 // w.tokens AS BIGINT) AS epochs_centi
+      |FROM w, t""".stripMargin) { (spark, dir) =>
+    val s = Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+    val w = s.select(col("source"), col("tokens"),
+      floor(sqrt(col("tokens").cast("double")) * 1048576.0).cast("long").as("wq"))
+    val t = w.agg(sum(col("wq")).as("wtot"))
+    w.crossJoin(broadcast(t))
+      // integral DIV on both sides (DuckDB `//`): exact at any scale,
+      // never a truncated double quotient
+      .select(col("source"), col("tokens"),
+        expr("wq * 1000000 DIV wtot").as("alloc_tokens"),
+        expr("(wq * 1000000 DIV wtot) * 100 DIV tokens").as("epochs_centi"))
+  }
+
+  val all: Seq[QueryDef] = Seq(tfidfNeardup, qualityCalibration, epochPlan)
 }

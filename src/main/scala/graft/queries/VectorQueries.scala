@@ -334,6 +334,90 @@ object VectorQueries {
           .select(lit(64L).as("dims"), col("recall10")))
   }
 
+  /** Embedding-space QA: Pearson correlation of every dimension PAIR,
+    * top 20 by |corr| — the "collapsed/redundant dimensions" detector
+    * run before trusting a 64-dim space for retrieval or quantization
+    * (two dims at |corr| ~ 1 mean the space is effectively lower-rank
+    * and PQ/truncation budgets are misallocated). All five moment sums
+    * (Sx, Sxx per dim; Sxy per pair) accumulate as exact BIGINTs on a
+    * 2^20 grid, so they are order-independent; the single correlation
+    * formula then runs in doubles in one fixed op order and floors onto
+    * a 2^20 grid. SCALE: one [[graft.operators.TypedOps.GramAggregator]]
+    * pass — each task folds its rows into a single flat 2145-long
+    * buffer (n, Σx, Σx², all Σx_i·x_j) and the shuffle moves ONE ~17 KB
+    * buffer per partition; the d²-sized pair algebra then runs on the
+    * single result row. Nothing downstream of the scan depends on
+    * corpus size. (A first cut exploded 2016 pair rows per input row —
+    * 2.5 s at sf0.1 and a 2016× scan amplification at 100 TB; the
+    * aggregator form is the treeAggregate-covariance shape MLlib uses.
+    * At extreme row counts the BIGINT Σxy headroom shrinks — 2^40 per
+    * product — and the sums would move to DECIMAL(38,0), the
+    * `q_zipf_fit` idiom.)
+    */
+  val dimCorr: QueryDef = QueryDef.sql(
+    "q_dim_corr",
+    """WITH ix AS (SELECT vec_id, i,
+      |                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+      |           FROM embeddings, UNNEST(range(1, 65)) t(i)),
+      |ds AS (SELECT i, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sx,
+      |              CAST(sum(v * v) AS BIGINT) AS sxx
+      |       FROM ix GROUP BY 1),
+      |pp AS (SELECT a.i AS ia, b.i AS ib, CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+      |       FROM ix a JOIN ix b ON b.vec_id = a.vec_id AND b.i > a.i
+      |       GROUP BY 1, 2),
+      |c AS (SELECT pp.ia, pp.ib,
+      |             CAST(floor((CAST(da.n AS DOUBLE) * CAST(pp.sxy AS DOUBLE)
+      |                         - CAST(da.sx AS DOUBLE) * CAST(db.sx AS DOUBLE))
+      |                        / sqrt((CAST(da.n AS DOUBLE) * CAST(da.sxx AS DOUBLE)
+      |                                - CAST(da.sx AS DOUBLE) * CAST(da.sx AS DOUBLE))
+      |                               * (CAST(db.n AS DOUBLE) * CAST(db.sxx AS DOUBLE)
+      |                                  - CAST(db.sx AS DOUBLE) * CAST(db.sx AS DOUBLE)))
+      |                        * 1048576.0) AS BIGINT) AS corr_q
+      |      FROM pp JOIN ds da ON da.i = pp.ia JOIN ds db ON db.i = pp.ib)
+      |SELECT CAST(ia AS BIGINT) AS dim_a, CAST(ib AS BIGINT) AS dim_b, corr_q
+      |FROM c ORDER BY abs(corr_q) DESC, ia, ib LIMIT 20""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val d = 64
+    // one aggregation pass: flat (1 + 2d + d(d-1)/2)-long moment buffer
+    // per task, ~17 KB through the shuffle regardless of corpus size
+    val g = Tables.embeddings(spark, dir)
+      .select(transform(col("embedding"), x => floor(x * lit(1048576.0)).cast("long")).as("ix"))
+      .select(col("ix"))
+      .as[Array[Long]](ExpressionEncoder[Array[Long]]())
+      .select(new graft.operators.TypedOps.GramAggregator(d).toColumn.name("g"))
+      .toDF("g")
+    // everything below runs on the single buffer row
+    val triOff = array((0 until d).map(i => lit(i * (2 * d - i - 1) / 2)): _*)
+    val ds = g.select(explode(transform(sequence(lit(0), lit(d - 1)), i =>
+        struct((i + 1).cast("long").as("i"),
+          element_at(col("g"), lit(1)).as("n"),
+          element_at(col("g"), i + lit(2)).as("sx"),
+          element_at(col("g"), i + lit(2 + d)).as("sxx")))).as("r"))
+      .select(col("r.i"), col("r.n"), col("r.sx"), col("r.sxx"))
+    val pp = g.select(explode(flatten(
+        transform(sequence(lit(0), lit(d - 2)), i =>
+          transform(sequence(i + 1, lit(d - 1)), j =>
+            struct((i + 1).cast("long").as("ia"), (j + 1).cast("long").as("ib"),
+              element_at(col("g"),
+                lit(2 + 2 * d) + element_at(triOff, i + 1) + (j - i - 1)).as("sxy"))))))
+        .as("pr"))
+      .select(col("pr.ia"), col("pr.ib"), col("pr.sxy"))
+    val da = ds.select(col("i").as("dai"), col("n"), col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val db = ds.select(col("i").as("dbi"), col("sx").as("sxb"), col("sxx").as("sxxb"))
+    pp.join(broadcast(da), col("dai") === col("ia"))
+      .join(broadcast(db), col("dbi") === col("ib"))
+      .select(col("ia").as("dim_a"), col("ib").as("dim_b"),
+        floor((col("n").cast("double") * col("sxy").cast("double")
+          - col("sxa").cast("double") * col("sxb").cast("double"))
+          / sqrt((col("n").cast("double") * col("sxxa").cast("double")
+            - col("sxa").cast("double") * col("sxa").cast("double"))
+            * (col("n").cast("double") * col("sxxb").cast("double")
+              - col("sxb").cast("double") * col("sxb").cast("double")))
+          * lit(1048576.0)).cast("long").as("corr_q"))
+      .orderBy(abs(col("corr_q")).desc, col("dim_a").asc, col("dim_b").asc)
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(topkCosine, hammingTopk, sqlSurface, quantizeInt8,
-    int8Recall, randomProj, projRecall, matryoshkaRecall)
+    int8Recall, randomProj, projRecall, matryoshkaRecall, dimCorr)
 }

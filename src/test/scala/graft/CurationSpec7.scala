@@ -91,6 +91,44 @@ class CurationSpec7 extends SparkSpec {
     assert(byDim(64L) == 10L)
   }
 
+  test("dim_corr: bounded correlations, canonical pair order, top pair verified") {
+    val rows = graft.queries.VectorQueries.dimCorr.fn(spark, sf0001).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      assert(r.getLong(0) >= 1 && r.getLong(0) < r.getLong(1) && r.getLong(1) <= 64)
+      // |corr| <= 1 with one grid step of floor slack
+      assert(math.abs(r.getLong(2)) <= 1048576L + 1)
+    }
+    // independent double-precision recompute of the top pair's Pearson r
+    val top = rows.head
+    val (ia, ib) = (top.getLong(0).toInt, top.getLong(1).toInt)
+    val xs = Tables(spark, sf0001, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val (a, b) = (xs.map(_(ia - 1)), xs.map(_(ib - 1)))
+    val n = a.length.toDouble
+    def m(v: Array[Double]) = v.sum / n
+    val (ma, mb) = (m(a), m(b))
+    val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val r = cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum
+      * b.map(y => (y - mb) * (y - mb)).sum)
+    assert(math.abs(top.getLong(2) / 1048576.0 - r) < 0.01,
+      s"quantized corr ${top.getLong(2) / 1048576.0} vs recomputed $r")
+  }
+
+  test("epoch_plan: budget conservation and sqrt-temperature upweighting") {
+    val rows = graft.queries.CurationQueries7.epochPlan.fn(spark, sf0001).collect()
+    val allocs = rows.map(_.getLong(2))
+    assert(allocs.forall(_ > 0))
+    // floors only lose < 1 token per source
+    assert(allocs.sum <= 1000000L && allocs.sum >= 1000000L - rows.length)
+    // sqrt temperature: the smallest source gets the highest repeat
+    // factor, the largest the lowest
+    val byTokens = rows.sortBy(_.getLong(1))
+    assert(byTokens.head.getLong(3) == rows.map(_.getLong(3)).max)
+    assert(byTokens.last.getLong(3) == rows.map(_.getLong(3)).min)
+  }
+
   test("cluster_separation: every label present, positive distances, spread conservation") {
     val rows = graft.queries.AnnQueries.clusterSeparation.fn(spark, sf0001).collect()
     val emb = Tables(spark, sf0001, "embeddings")

@@ -32,7 +32,8 @@ class DeterminismSpec extends SparkSpec {
     // thresholds must survive re-sharding too
     "q_tfidf_neardup",      // L2-normalized 2^10-grid postings dot
     "q_quality_calibration", // histogram nearest-rank thresholds
-    "q_cluster_separation")  // 2^45-grid spreads + pair distances
+    "q_cluster_separation",  // 2^45-grid spreads + pair distances
+    "q_dim_corr")            // GramAggregator integer moment buffers
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
