@@ -68,9 +68,14 @@ object CurationQueries3 {
     * band width from). Cross-cluster near-dups are missed by design —
     * the documented SemDeDup trade, measured by `q_semdedup_recall`.
     */
-  val semDedup: QueryDef = QueryDef.sql(
-    "q_semdedup",
-    s"""WITH cfg AS (SELECT greatest(8, count(*) // 64) AS k,
+  /** Shared CTE chain for the SemDeDup family: corpus-scaled config,
+    * two-level assignment `s1 (vec_id, cluster)`, and the within-cluster
+    * verified near-pairs `prs (cluster, ida, idb, dist)` — composed by
+    * [[semDedup]] (the pair report) and [[semDedupPrune]] (the apply
+    * step) so the two oracles cannot drift.
+    */
+  private val SemCte: String =
+    s"""cfg AS (SELECT greatest(8, count(*) // 64) AS k,
        |             CAST(ceil(sqrt(CAST(greatest(8, count(*) // 64) AS DOUBLE))) AS BIGINT) AS k1
        |      FROM embeddings),
        |ed AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -101,13 +106,20 @@ object CurationQueries3 {
        |         SELECT vec_id, cluster,
        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
        |         FROM a1) WHERE rn = 1),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-       |SELECT sa.cluster, a.vec_id AS ida, b.vec_id AS idb,
-       |       ${cosDistSql("a.v", "b.v")} AS dist
-       |FROM e a JOIN s1 sa ON sa.vec_id = a.vec_id
-       |     JOIN s1 sb ON sb.cluster = sa.cluster
-       |     JOIN e b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
-       |WHERE ${cosDistSql("a.v", "b.v")} <= 0.6""".stripMargin) { (spark, dir) =>
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |prs AS (SELECT sa.cluster, a.vec_id AS ida, b.vec_id AS idb,
+       |               ${cosDistSql("a.v", "b.v")} AS dist
+       |        FROM e a JOIN s1 sa ON sa.vec_id = a.vec_id
+       |             JOIN s1 sb ON sb.cluster = sa.cluster
+       |             JOIN e b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+       |        WHERE ${cosDistSql("a.v", "b.v")} <= 0.6)""".stripMargin
+
+  /** Spark-side shared pieces: (memberships `s1`-equivalent
+    * (vec_id, cluster), verified within-cluster near-pairs).
+    */
+  private def semParts(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): (org.apache.spark.sql.DataFrame,
+                                      org.apache.spark.sql.DataFrame) = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // corpus-scaled k: constant expected cluster size (~64) as N grows;
     // two-level assignment keeps the argmin O(N·√k) instead of O(N·k)
@@ -119,11 +131,52 @@ object CurationQueries3 {
     val side = emb.join(asg, "vec_id")
     val a = side.select(col("cluster"), col("vec_id").as("ida"), col("embedding").as("va"))
     val b = side.select(col("cluster"), col("vec_id").as("idb"), col("embedding").as("vb"))
-    a.join(b, "cluster")
+    val pairs = a.join(b, "cluster")
       .filter(col("ida") < col("idb"))
       .withColumn("dist", cosineDistance(col("va"), col("vb")))
       .filter(col("dist") <= 0.6)
       .select(col("cluster"), col("ida"), col("idb"), col("dist"))
+    (side.select(col("vec_id"), col("cluster")), pairs)
+  }
+
+  val semDedup: QueryDef = QueryDef.sql(
+    "q_semdedup",
+    s"""WITH $SemCte
+       |SELECT cluster, ida, idb, dist FROM prs""".stripMargin) { (spark, dir) =>
+    semParts(spark, dir)._2
+  }
+
+  /** The APPLY step of [[semDedup]] — the `q_boilerplate_strip` mine→
+    * apply symmetry for semantic dedup: drop every document with a
+    * smaller-id near-identical neighbor IN ITS CLUSTER (the greedy
+    * min-id-keeper rule; deliberately NOT the iterative independent
+    * set, which needs a sequential pass — same keep convention as
+    * `q_dedup_canonical`), and report the per-cluster funnel:
+    * members, dropped, kept, drop rate in basis points. The drop list
+    * is DISTINCT idb off the verified pair stream; membership counts
+    * come from the assignment — both shared fragments, so the apply
+    * step costs one anti-join more than the mine step.
+    */
+  val semDedupPrune: QueryDef = QueryDef.sql(
+    "q_semdedup_prune",
+    s"""WITH $SemCte,
+       |drp AS (SELECT DISTINCT idb AS vec_id FROM prs),
+       |per AS (SELECT s1.cluster, count(*) AS n_members, count(drp.vec_id) AS n_dropped
+       |        FROM s1 LEFT JOIN drp USING (vec_id) GROUP BY 1)
+       |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+       |       CAST(n_dropped AS BIGINT) AS n_dropped,
+       |       CAST(n_members - n_dropped AS BIGINT) AS n_kept,
+       |       CAST(floor(n_dropped * 10000.0 / n_members) AS BIGINT) AS drop_bp
+       |FROM per""".stripMargin) { (spark, dir) =>
+    val (members, pairs) = semParts(spark, dir)
+    val drp = pairs.select(col("idb").as("vec_id")).distinct()
+      .withColumn("hit", lit(1))
+    members.join(drp, Seq("vec_id"), "left")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), count(col("hit")).as("n_dropped"))
+      .select(col("cluster"), col("n_members"), col("n_dropped"),
+        (col("n_members") - col("n_dropped")).as("n_kept"),
+        floor(col("n_dropped") * 10000.0 / col("n_members")).cast("long").as("drop_bp"))
   }
 
   /** Mixture rebalancing — per-language keep rates that level the corpus
@@ -314,6 +367,6 @@ object CurationQueries3 {
           .cast("long").as("strip_bp"))
   }
 
-  val all: Seq[QueryDef] = Seq(boilerplateSpans, semDedup, mixRebalance,
-    ngramNovelty, tokenCdf, boilerplateStrip)
+  val all: Seq[QueryDef] = Seq(boilerplateSpans, semDedup, semDedupPrune,
+    mixRebalance, ngramNovelty, tokenCdf, boilerplateStrip)
 }

@@ -323,6 +323,62 @@ object EventQueries {
           .as("n_outliers"))
   }
 
+  /** Lag-1 autocorrelation of the daily event volume — the seasonality /
+    * trend-stability number a forecasting or anomaly pipeline checks
+    * before trusting day-over-day baselines (r ~ 1: stable daily level;
+    * r ~ 0: volume is noise; negative: alternating load). Counts are
+    * exact integers, so all five moment sums over the (day, day+1)
+    * pairs are exact BIGINTs; the one Pearson division runs in doubles
+    * in a fixed op order and floors onto the 2^20 grid (the `q_dim_corr`
+    * formula on the time axis). SCALE: one day-keyed count (map-side
+    * partial) reduces the corpus; everything after runs on the
+    * days-sized table (self-join on day+1 is a tiny shuffle-free
+    * broadcast at any horizon).
+    */
+  val autocorr: QueryDef = QueryDef.sql(
+    "q_autocorr",
+    """WITH d AS (SELECT CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day,
+      |                 CAST(count(*) AS BIGINT) AS n
+      |          FROM events GROUP BY 1),
+      |p AS (SELECT a.n AS x, b.n AS y FROM d a JOIN d b ON b.day = a.day + 1),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx,
+      |             CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM p),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+      |SELECT t.n_days, s.m AS n_pairs,
+      |       CAST(floor((CAST(s.m AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+      |                   - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+      |                  / sqrt((CAST(s.m AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+      |                          - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+      |                         * (CAST(s.m AS DOUBLE) * CAST(s.syy AS DOUBLE)
+      |                            - CAST(s.sy AS DOUBLE) * CAST(s.sy AS DOUBLE)))
+      |                  * 1048576.0) AS BIGINT) AS autocorr_q
+      |FROM t, s""".stripMargin) { (spark, dir) =>
+    val d = Tables.events(spark, dir)
+      .groupBy(expr("unix_timestamp(date_trunc('day', ts)) DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val p = d.select(col("day"), col("n").as("x"))
+      .join(d.select((col("day") - 1).as("day"), col("n").as("y")), "day")
+    val s = p.agg(count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val t = d.agg(count(lit(1)).as("n_days"))
+    t.crossJoin(broadcast(s))
+      .select(col("n_days"), col("m").as("n_pairs"),
+        floor((col("m").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("m").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("m").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double")))
+          * lit(1048576.0)).cast("long").as("autocorr_q"))
+  }
+
   val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters,
-    funnel, nullAudit, outliers, dauStickiness, madOutliers)
+    funnel, nullAudit, outliers, dauStickiness, madOutliers, autocorr)
 }

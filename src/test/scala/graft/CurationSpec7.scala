@@ -129,6 +129,42 @@ class CurationSpec7 extends SparkSpec {
     assert(byTokens.last.getLong(3) == rows.map(_.getLong(3)).min)
   }
 
+  test("semdedup_prune: clusters partition the corpus; drops consistent with the pair stream") {
+    val prune = graft.queries.CurationQueries3.semDedupPrune.fn(spark, sf0001).collect()
+    val emb = Tables(spark, sf0001, "embeddings")
+    assert(prune.map(_.getLong(1)).sum == emb.count(), "members must partition the corpus")
+    for (r <- prune) {
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1), "dropped + kept = members")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000)
+    }
+    // total dropped = distinct idb in the mine step's verified pairs
+    val pairs = graft.queries.CurationQueries3.semDedup.fn(spark, sf0001)
+    val expectDropped = pairs.select("idb").distinct().count()
+    assert(prune.map(_.getLong(2)).sum == expectDropped)
+  }
+
+  test("autocorr: bounded correlation, pair count one less than day count") {
+    val r = graft.queries.EventQueries.autocorr.fn(spark, sf0001).collect().head
+    val (nDays, nPairs, ac) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nDays >= 2)
+    // contiguous daily fixture: exactly n_days - 1 consecutive pairs
+    assert(nPairs == nDays - 1)
+    assert(math.abs(ac) <= 1048576L + 1)
+  }
+
+  test("media_batches: items and bytes conserved, batch counts cover the payload") {
+    val rows = graft.queries.MultimodalQueries.mediaBatches.fn(spark, sf0001).collect()
+    val docs = Tables(spark, sf0001, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val totBytes = docs.select(sum(octet_length(col("text").cast("binary")).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totBytes)
+    for (r <- rows) {
+      val (bytes, batches) = (r.getLong(2), r.getLong(3))
+      assert(batches * 65536 >= bytes && (batches - 1) * 65536 < bytes)
+    }
+  }
+
   test("cluster_separation: every label present, positive distances, spread conservation") {
     val rows = graft.queries.AnnQueries.clusterSeparation.fn(spark, sf0001).collect()
     val emb = Tables(spark, sf0001, "embeddings")

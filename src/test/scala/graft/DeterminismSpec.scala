@@ -33,7 +33,9 @@ class DeterminismSpec extends SparkSpec {
     "q_tfidf_neardup",      // L2-normalized 2^10-grid postings dot
     "q_quality_calibration", // histogram nearest-rank thresholds
     "q_cluster_separation",  // 2^45-grid spreads + pair distances
-    "q_dim_corr")            // GramAggregator integer moment buffers
+    "q_dim_corr",            // GramAggregator integer moment buffers
+    "q_semdedup_prune",      // apply step over the semdedup pair stream
+    "q_autocorr")            // integer moment sums on the day axis
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
