@@ -47,7 +47,11 @@ class ScaleSlopeSpec extends SparkSpec {
     "q_source_overlap" -> 1.5,
     // round-7 batch: the df-capped tf-idf postings join is the one new
     // pair generator (0.31 perturbed at sf0.1 10x when added)
-    "q_tfidf_neardup" -> 1.5)
+    "q_tfidf_neardup" -> 1.5,
+    // round-7 batch 3: the SemDeDup apply step rides the same pair
+    // stream as the mine step (0.12 at 100x perturbed when added) —
+    // pinned so the shared-CTE refactor can't regress either leg
+    "q_semdedup_prune" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
