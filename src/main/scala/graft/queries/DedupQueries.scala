@@ -519,6 +519,54 @@ object DedupQueries {
       .agg(count(col("nid")).as("n_edges"), count(col("ehit")).as("hits"))
   }
 
+  /** In-degree histogram of the [[knnGraph]] — the HUBNESS profile of
+    * the embedding space. High-dimensional ANN structures concentrate:
+    * a few "hub" vectors appear in many other nodes' top-k lists while
+    * antihubs appear in none, and a heavy right tail here predicts
+    * distorted retrieval / SemDeDup over-merging around hubs
+    * (Radovanović et al., JMLR 2010 — the k-occurrence distribution).
+    * Rows: in-degree → node count, INCLUDING in-degree 0 (antihubs)
+    * via a left join from the full vector set. SCALE: one hash
+    * aggregate on nid over the graph's edge list (3·N rows), one
+    * corpus-sized left join on vec_id, and a final aggregate bounded
+    * by the degree range — no new pair mass beyond the banded graph
+    * itself (gated in ScaleSlopeSpec via q_knn_graph).
+    */
+  val knnHubness: QueryDef = QueryDef.sql(
+    "q_knn_hubness",
+    s"""WITH $ScaledEmbCandCtes,
+       |scored AS (SELECT c.ida, c.idb, ${cosSimSql("pa.v", "pb.v")} AS sim
+       |           FROM cand c JOIN pv pa ON pa.vec_id = c.ida
+       |                       JOIN pv pb ON pb.vec_id = c.idb),
+       |edges AS (SELECT ida AS src, idb AS nid, sim FROM scored
+       |          UNION ALL SELECT idb, ida, sim FROM scored),
+       |r AS (SELECT src, nid,
+       |             row_number() OVER (PARTITION BY src ORDER BY sim DESC, nid) AS rank
+       |      FROM edges),
+       |g AS (SELECT nid FROM r WHERE rank <= 3),
+       |ind AS (SELECT pv.vec_id, CAST(count(g.nid) AS BIGINT) AS indeg
+       |        FROM pv LEFT JOIN g ON g.nid = pv.vec_id GROUP BY 1)
+       |SELECT indeg, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM ind GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val bits = Dedup.scaledBitsPerBand(emb.count())
+    val scored = Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 4)
+      .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
+      .select(col("ida"), col("idb"), col("sim"))
+    val edges = scored.select(col("ida").as("src"), col("idb").as("nid"), col("sim"))
+      .unionAll(scored.select(col("idb").as("src"), col("ida").as("nid"), col("sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("nid").asc)
+    val g = edges.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).select("nid")
+    emb.select("vec_id")
+      .join(g, col("nid") === col("vec_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(col("nid")).as("indeg"))
+      .groupBy("indeg")
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Cluster-blocking recall eval for `q_semdedup` — the eval-family
     * member for the SemDeDup trade (cross-cluster near-dups are missed
     * by design; this query MEASURES how many). Ground truth = the
@@ -795,6 +843,6 @@ object DedupQueries {
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups, knnGraph,
-    knnRecall, semdedupRecall, sourceOverlap,
+    knnRecall, knnHubness, semdedupRecall, sourceOverlap,
     dedupGroups, dupHistogram, dedupIncremental, corpusFilter, decontam)
 }

@@ -379,6 +379,96 @@ object EventQueries {
           * lit(1048576.0)).cast("long").as("autocorr_q"))
   }
 
+  /** Single change-point detection on the daily event volume — the
+    * binary-segmentation first split an anomaly/drift monitor takes
+    * before trusting a "stable level" assumption. The split day
+    * maximizes |n·S_k − k·S_n| (the scaled CUSUM deviation: cumulative
+    * count S_k vs the even-rate line), a pure-BIGINT objective — no
+    * division, no doubles, so the argmax is exact and the cross-engine
+    * tie-break (earlier day wins) is total. Means of the two segments
+    * are reported via integral DIV. The deviation products stay below
+    * 2^63 up to ~10^12 events × 10^4 days — comfortably past 100 TB.
+    * SCALE: one day-keyed map-side count reduces the corpus; the
+    * cumulative window and the argmax run on the days-sized table
+    * (horizon-bounded, like `q_autocorr` — the one unpartitioned
+    * window sees ~365 rows/year, never the corpus).
+    */
+  val changepoint: QueryDef = QueryDef.sql(
+    "q_changepoint",
+    """WITH d AS (SELECT CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day,
+      |                 CAST(count(*) AS BIGINT) AS n
+      |          FROM events GROUP BY 1),
+      |c AS (SELECT day, n,
+      |             CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+      |             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+      |      FROM d),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS tot FROM d),
+      |dev AS (SELECT c.day, c.k, c.s, abs(t.nd * c.s - c.k * t.tot) AS dev, t.nd, t.tot
+      |        FROM c, t WHERE c.k < t.nd),
+      |best AS (SELECT *, row_number() OVER (ORDER BY dev DESC, day) AS rn FROM dev)
+      |SELECT day AS split_day, nd AS n_days, CAST(dev AS BIGINT) AS dev,
+      |       CAST(s // k AS BIGINT) AS pre_mean,
+      |       CAST((tot - s) // (nd - k) AS BIGINT) AS post_mean
+      |FROM best WHERE rn = 1""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(spark, dir)
+      .groupBy(expr("unix_timestamp(date_trunc('day', ts)) DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    // days-sized input: the unpartitioned windows below see one row per
+    // day of horizon, never the corpus (same argument as q_autocorr)
+    val w = Window.orderBy(col("day"))
+    val c = d.select(col("day"), col("n"),
+      sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"),
+      row_number().over(w).cast("long").as("k"))
+    val t = d.agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
+    val dev = c.crossJoin(broadcast(t))
+      .filter(col("k") < col("nd"))
+      .withColumn("dev", abs(col("nd") * col("s") - col("k") * col("tot")))
+    dev.withColumn("rn", row_number().over(Window.orderBy(col("dev").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("day").as("split_day"), col("nd").as("n_days"), col("dev"),
+        expr("s DIV k").as("pre_mean"),
+        expr("(tot - s) DIV (nd - k)").as("post_mean"))
+  }
+
+  /** Per-user inter-arrival gap histogram — the burstiness / bot-cadence
+    * profile an event-stream curation pass checks before trusting
+    * user-level counts (a scraper fires every few seconds forever; a
+    * human's gaps spread over minutes-to-days). Consecutive same-user
+    * gaps in epoch seconds (total order: ts, then event_id for
+    * same-second ties), bucketed to whole minutes capped at one day —
+    * a ≤1441-row histogram with exact integer edges (no log buckets:
+    * Spark's log2 is ln-ratio and not bit-exact at power-of-two
+    * boundaries). SCALE: the lag window is partitioned by user_id —
+    * one co-partitioned shuffle of (user, ts) pairs, per-partition
+    * state is one previous row; the histogram aggregate is bounded by
+    * the bucket range, not the corpus.
+    */
+  val interarrival: QueryDef = QueryDef.sql(
+    "q_interarrival",
+    """WITH e AS (SELECT user_id, event_id,
+      |                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t FROM events),
+      |g AS (SELECT user_id,
+      |             t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+      |      FROM e),
+      |b AS (SELECT least(gap // 60, 1440) AS bucket_min, user_id
+      |      FROM g WHERE gap IS NOT NULL)
+      |SELECT CAST(bucket_min AS BIGINT) AS bucket_min,
+      |       CAST(count(*) AS BIGINT) AS n_gaps,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM b GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("t"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(least(expr("gap DIV 60"), lit(1440L)).as("bucket_min"), col("user_id"))
+      .groupBy("bucket_min")
+      .agg(count(lit(1)).as("n_gaps"), countDistinct(col("user_id")).as("n_users"))
+  }
+
   val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters,
-    funnel, nullAudit, outliers, dauStickiness, madOutliers, autocorr)
+    funnel, nullAudit, outliers, dauStickiness, madOutliers, autocorr, changepoint,
+    interarrival)
 }

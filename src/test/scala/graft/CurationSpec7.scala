@@ -165,6 +165,51 @@ class CurationSpec7 extends SparkSpec {
     }
   }
 
+  test("changepoint: argmax of the exact integer CUSUM objective, recomputed independently") {
+    val r = graft.queries.EventQueries.changepoint.fn(spark, sf0001).collect().head
+    val (splitDay, nDays, dev, preMean, postMean) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // independent recompute from raw daily counts (days-sized collect)
+    val daily = graft.Tables.events(spark, sf0001)
+      .groupBy(expr("unix_timestamp(date_trunc('day', ts)) DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(nDays == daily.length)
+    val tot = daily.map(_._2).sum
+    val cums = daily.scanLeft(0L)(_ + _._2).tail
+    val objs = daily.indices.dropRight(1).map { i =>
+      (daily(i)._1, math.abs(nDays * cums(i) - (i + 1) * tot), i + 1, cums(i))
+    }
+    val best = objs.maxBy(o => (o._2, -o._1))
+    assert(splitDay == best._1 && dev == best._2)
+    assert(preMean == best._4 / best._3)
+    assert(postMean == (tot - best._4) / (nDays - best._3))
+  }
+
+  test("interarrival: gap count conservation, bucket bounds, user subadditivity") {
+    val rows = graft.queries.EventQueries.interarrival.fn(spark, sf0001).collect()
+    val ev = Tables(spark, sf0001, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user contributes (its event count - 1) gaps
+    assert(rows.map(_.getLong(1)).sum == nEvents - nUsers)
+    for (r <- rows) {
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 1440)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1), "users per bucket within gap count")
+    }
+  }
+
+  test("knn_hubness: node conservation and edge-mass identity with the knn graph") {
+    val rows = graft.queries.DedupQueries.knnHubness.fn(spark, sf0001).collect()
+    val emb = Tables(spark, sf0001, "embeddings")
+    assert(rows.map(_.getLong(1)).sum == emb.count(), "histogram partitions the vector set")
+    val edgeMass = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val graphEdges = graft.queries.DedupQueries.knnGraph.fn(spark, sf0001).count()
+    assert(edgeMass == graphEdges, "sum(indeg * n_nodes) = total graph edges")
+    assert(rows.exists(_.getLong(0) == 0L) || edgeMass >= emb.count(),
+      "antihubs visible unless every node is referenced")
+  }
+
   test("cluster_separation: every label present, positive distances, spread conservation") {
     val rows = graft.queries.AnnQueries.clusterSeparation.fn(spark, sf0001).collect()
     val emb = Tables(spark, sf0001, "embeddings")

@@ -35,7 +35,9 @@ class DeterminismSpec extends SparkSpec {
     "q_cluster_separation",  // 2^45-grid spreads + pair distances
     "q_dim_corr",            // GramAggregator integer moment buffers
     "q_semdedup_prune",      // apply step over the semdedup pair stream
-    "q_autocorr")            // integer moment sums on the day axis
+    "q_autocorr",            // integer moment sums on the day axis
+    "q_changepoint",         // pure-BIGINT CUSUM argmax, day tie-break
+    "q_interarrival")        // integer second gaps, minute buckets
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")

@@ -51,7 +51,10 @@ class ScaleSlopeSpec extends SparkSpec {
     // round-7 batch 3: the SemDeDup apply step rides the same pair
     // stream as the mine step (0.12 at 100x perturbed when added) —
     // pinned so the shared-CTE refactor can't regress either leg
-    "q_semdedup_prune" -> 1.5)
+    "q_semdedup_prune" -> 1.5,
+    // round-7 batch 4: hubness rides the knn-graph pair stream plus a
+    // corpus left join (0.26 at 100x perturbed when added)
+    "q_knn_hubness" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
