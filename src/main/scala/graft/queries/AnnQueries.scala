@@ -584,7 +584,64 @@ object AnnQueries {
           / (col("d2q").cast("double") / S45d) * 1048576.0).cast("long").as("db_q"))
   }
 
+  /** Per-label centroid DRIFT between two deterministic corpus halves
+    * (vec_id parity = "snapshot A" vs "snapshot B") — the
+    * embedding-space drift monitor a re-embedding or model-update
+    * pipeline checks before mixing vectors from two encoder runs: a
+    * large squared centroid shift for a label means the two halves do
+    * NOT come from the same distribution and ANN indexes / SemDeDup
+    * thresholds tuned on A are stale for B. Same exactness recipe as
+    * `q_centroid_spread`: per-dim sums on the 2^52 integer grid, the
+    * one double division per (label, dim, half) in fixed op order,
+    * squared diffs floor-quantized to 2^45 then summed as BIGINTs.
+    * SCALE: one corpus reduce to labels x dims x 2 rows; all the diff
+    * algebra runs on that broadcast-sized table.
+    */
+  val embedDrift: QueryDef = QueryDef.sql(
+    "q_embed_drift",
+    s"""WITH ed AS (SELECT vec_id % 2 AS half, label, i,
+       |                   CAST(floor(embedding[i] * $S52) AS BIGINT) AS ix
+       |            FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)),
+       |c AS (SELECT label, i, half, CAST(sum(ix) AS DOUBLE) / $S52 / count(*) AS c
+       |      FROM ed GROUP BY label, i, half),
+       |cnt AS (SELECT label, vec_id % 2 AS half, CAST(count(*) AS BIGINT) AS n
+       |        FROM embeddings GROUP BY 1, 2),
+       |t AS (SELECT a.label,
+       |             CAST(floor((a.c - b.c) * (a.c - b.c) * $S45) AS BIGINT) AS tq
+       |      FROM c a JOIN c b ON a.label = b.label AND a.i = b.i
+       |       AND a.half = 0 AND b.half = 1)
+       |SELECT t.label, na.n AS n_a, nb.n AS n_b,
+       |       CAST(sum(t.tq) AS DOUBLE) / $S45 AS drift2
+       |FROM t JOIN cnt na ON na.label = t.label AND na.half = 0
+       |       JOIN cnt nb ON nb.label = t.label AND nb.half = 1
+       |GROUP BY t.label, na.n, nb.n""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val ed = emb
+      .select((col("vec_id") % 2).as("half"), col("label"),
+        posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("half"), col("label"), (col("i0") + 1).cast("long").as("i"),
+        floor(col("x") * S52d).cast("long").as("ix"))
+    val c = ed.groupBy("label", "i", "half")
+      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+    val cnt = emb.groupBy(col("label"), (col("vec_id") % 2).as("half"))
+      .agg(count(lit(1)).as("n"))
+    val a = c.filter(col("half") === 0)
+      .select(col("label").as("alabel"), col("i").as("ai"), col("c").as("ca"))
+    val b = c.filter(col("half") === 1)
+      .select(col("label").as("blabel"), col("i").as("bi"), col("c").as("cb"))
+    val t = a.join(b, col("alabel") === col("blabel") && col("ai") === col("bi"))
+      .select(col("alabel").as("label"),
+        floor((col("ca") - col("cb")) * (col("ca") - col("cb")) * S45d)
+          .cast("long").as("tq"))
+    val na = cnt.filter(col("half") === 0).select(col("label").as("nalabel"), col("n").as("n_a"))
+    val nb = cnt.filter(col("half") === 1).select(col("label").as("nblabel"), col("n").as("n_b"))
+    t.join(broadcast(na), col("nalabel") === col("label"))
+      .join(broadcast(nb), col("nblabel") === col("label"))
+      .groupBy(col("label"), col("n_a"), col("n_b"))
+      .agg((sum(col("tq")).cast("double") / S45d).as("drift2"))
+  }
+
   val all: Seq[QueryDef] = Seq(annTopk, centroids, centroidSpread, ivfTopk,
     ivfPruned, ivfNprobe, ivfKmeans, kmeans, centroidClassify, embedOutliers,
-    clusterSeparation)
+    clusterSeparation, embedDrift)
 }

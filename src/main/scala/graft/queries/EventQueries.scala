@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{log => lnf, _}
 import graft.{QueryDef, Tables}
 
 /** Time-series / event analytics over the `events` fixture: tumbling
@@ -468,7 +468,131 @@ object EventQueries {
       .agg(count(lit(1)).as("n_gaps"), countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Population Stability Index of the event value distribution between
+    * the first and second half of the day horizon — THE production
+    * feature-drift gate (credit-risk lineage; PSI < 0.1 stable, > 0.25
+    * act). Fixed-width value buckets (width 25, capped [0,19] — fixed
+    * edges, not data-derived quantiles, so the bucketing is reproducible
+    * across snapshots), add-one smoothing so empty buckets are defined,
+    * and the 20 per-bucket terms (p_a − p_b)·ln(p_a/p_b) — each ≥ 0 —
+    * floor-quantized to the 2^40 grid BEFORE summing (20 doubles summed
+    * in engine order would not be bit-stable; 20 BIGINTs are). One ln
+    * per bucket, immediately quantized — the `q_cooccur_pmi` budget.
+    * SCALE: one map-side (period, bucket) count reduces the corpus; the
+    * PSI algebra runs on the fixed 2x20 grid.
+    */
+  val psi: QueryDef = QueryDef.sql(
+    "q_psi",
+    """WITH d AS (SELECT CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day, value
+      |          FROM events WHERE value IS NOT NULL),
+      |sp AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d),
+      |b AS (SELECT CASE WHEN day < mid THEN 0 ELSE 1 END AS period,
+      |             least(greatest(CAST(floor(value / 25) AS BIGINT), 0), 19) AS bucket
+      |      FROM d, sp),
+      |c AS (SELECT period, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+      |g AS (SELECT p.period, k.bucket
+      |      FROM (SELECT unnest([0, 1]) AS period) p,
+      |           (SELECT unnest(range(0, 20)) AS bucket) k),
+      |cc AS (SELECT g.period, g.bucket, coalesce(c.c, 0) AS c
+      |       FROM g LEFT JOIN c ON c.period = g.period AND c.bucket = g.bucket),
+      |n AS (SELECT period, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY 1),
+      |t AS (SELECT CAST(floor((CAST(a.c + 1 AS DOUBLE) / CAST(na.n + 20 AS DOUBLE)
+      |                         - CAST(b.c + 1 AS DOUBLE) / CAST(nb.n + 20 AS DOUBLE))
+      |                        * ln((CAST(a.c + 1 AS DOUBLE) / CAST(na.n + 20 AS DOUBLE))
+      |                             / (CAST(b.c + 1 AS DOUBLE) / CAST(nb.n + 20 AS DOUBLE)))
+      |                        * 1099511627776.0) AS BIGINT) AS tq
+      |      FROM cc a JOIN cc b ON a.bucket = b.bucket AND a.period = 0 AND b.period = 1,
+      |           (SELECT n FROM n WHERE period = 0) na(n),
+      |           (SELECT n FROM n WHERE period = 1) nb(n))
+      |SELECT (SELECT n FROM n WHERE period = 0) AS n_a,
+      |       (SELECT n FROM n WHERE period = 1) AS n_b,
+      |       CAST(sum(tq) AS BIGINT) AS psi_q40
+      |FROM t""".stripMargin) { (spark, dir) =>
+    val d = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(expr("unix_timestamp(date_trunc('day', ts)) DIV 86400").as("day"), col("value"))
+    val sp = d.agg(expr("(min(day) + max(day) + 1) DIV 2").as("mid"))
+    val b = d.crossJoin(broadcast(sp))
+      .select(when(col("day") < col("mid"), 0L).otherwise(1L).as("period"),
+        least(greatest(floor(col("value") / 25).cast("long"), lit(0L)), lit(19L)).as("bucket"))
+    val c = b.groupBy("period", "bucket").agg(count(lit(1)).as("c"))
+    val g = spark.range(2).select(col("id").as("period"))
+      .crossJoin(spark.range(20).select(col("id").as("bucket")))
+    val cc = g.join(c, Seq("period", "bucket"), "left")
+      .select(col("period"), col("bucket"), coalesce(col("c"), lit(0L)).as("c"))
+    val n = cc.groupBy("period").agg(sum(col("c")).as("n"))
+    val na = n.filter(col("period") === 0).select(col("n").as("na"))
+    val nb = n.filter(col("period") === 1).select(col("n").as("nb"))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + 20).cast("double")
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + 20).cast("double")
+    val t = cc.filter(col("period") === 0).select(col("bucket"), col("c").as("ca"))
+      .join(cc.filter(col("period") === 1).select(col("bucket").as("bbucket"), col("c").as("cb")),
+        col("bbucket") === col("bucket"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(floor((pa - pb) * lnf(pa / pb) * lit(1099511627776.0)).cast("long").as("tq"))
+    t.agg(sum(col("tq")).cast("long").as("psi_q40"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("psi_q40"))
+  }
+
+  /** Frequent event-type PAIRS within 30-minute sessions — basket-style
+    * pattern mining on the session axis (which behaviors co-occur in one
+    * sitting), the association signal a funnel designer or bot classifier
+    * starts from. Sessions reuse `q_sessionize`'s 30-minute gap rule
+    * (Spark: native `session_window`; oracle: the lag + cumulative-sum
+    * replay — same boundary semantics, proven by that query's gate).
+    * Support = sessions containing BOTH types; lift = support·N/(s1·s2)
+    * on the 2^20 grid. The pair space is bounded by the event-type
+    * vocabulary (C(|types|,2)), NOT the corpus. SCALE: one session
+    * aggregate (state = the distinct-type set, vocabulary-bounded) and
+    * map-side pair emission from each session's ≤|types| set — the
+    * cooccur-pmi shape on the session axis; no corpus self-join.
+    */
+  val eventItemsets: QueryDef = QueryDef.sql(
+    "q_event_itemsets",
+    """WITH e AS (SELECT user_id, event_id, event_type, ts, epoch(ts) AS sec,
+      |                 lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |          FROM events),
+      |s AS (SELECT user_id, event_type,
+      |             sum(CASE WHEN prev IS NOT NULL AND sec - prev < 1800 THEN 0 ELSE 1 END)
+      |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM e),
+      |st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n
+      |       FROM (SELECT DISTINCT user_id, sid FROM st)),
+      |tf AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s1 FROM st GROUP BY 1),
+      |p AS (SELECT a.event_type AS t1, b.event_type AS t2, CAST(count(*) AS BIGINT) AS support
+      |      FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+      |       AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT p.t1, p.t2, p.support, ns.n AS n_sessions,
+      |       CAST(floor(CAST(p.support AS DOUBLE) * ns.n / (fa.s1 * fb.s1)
+      |                  * 1048576.0) AS BIGINT) AS lift_q20
+      |FROM p JOIN tf fa ON fa.event_type = p.t1
+      |       JOIN tf fb ON fb.event_type = p.t2, ns""".stripMargin) { (spark, dir) =>
+    val sess = Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(collect_set(col("event_type")).as("types"))
+      .select(array_sort(col("types")).as("types"))
+    val st = sess.select(explode(col("types")).as("event_type"))
+    val ns = sess.agg(count(lit(1)).as("n"))
+    val tf = st.groupBy("event_type").agg(count(lit(1)).as("s1"))
+    // map-side pair emission from each session's sorted type set
+    val ts2 = col("types")
+    val p = sess.select(explode(flatten(transform(sequence(lit(1), size(ts2)), i =>
+        transform(slice(ts2, i + 1, size(ts2)),
+          y => struct(element_at(ts2, i).as("t1"), y.as("t2")))))).as("pr"))
+      .select(col("pr.t1").as("t1"), col("pr.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("support"))
+    p.join(broadcast(tf.select(col("event_type").as("t1"), col("s1").as("sa"))), "t1")
+      .join(broadcast(tf.select(col("event_type").as("t2"), col("s1").as("sb"))), "t2")
+      .crossJoin(broadcast(ns))
+      .select(col("t1"), col("t2"), col("support"), col("n").as("n_sessions"),
+        floor(col("support").cast("double") * col("n") / (col("sa") * col("sb"))
+          * lit(1048576.0)).cast("long").as("lift_q20"))
+  }
+
   val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters,
     funnel, nullAudit, outliers, dauStickiness, madOutliers, autocorr, changepoint,
-    interarrival)
+    interarrival, psi, eventItemsets)
 }

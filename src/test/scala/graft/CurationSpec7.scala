@@ -210,6 +210,62 @@ class CurationSpec7 extends SparkSpec {
       "antihubs visible unless every node is referenced")
   }
 
+  test("embed_drift: halves partition each label, non-negative drift") {
+    val rows = graft.queries.AnnQueries.embedDrift.fn(spark, sf0001).collect()
+    val emb = Tables(spark, sf0001, "embeddings")
+    val byLabel = emb.groupBy("label").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(rows.length == byLabel.size, "one row per label")
+    for (r <- rows) {
+      assert(r.getLong(1) + r.getLong(2) == byLabel(r.getInt(0).toLong),
+        "n_a + n_b = label population")
+      assert(r.getDouble(3) >= 0.0)
+      // drift between halves of ONE distribution must stay below the
+      // cluster scale: bounded by 4 (cosine-normalized coords in [-1,1])
+      assert(r.getDouble(3) < 4.0 * 64)
+    }
+  }
+
+  test("psi: independent Scala recompute of the quantized bucket terms") {
+    val r = graft.queries.EventQueries.psi.fn(spark, sf0001).collect().head
+    val (nA, nB, psiQ) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val ev = graft.Tables.events(spark, sf0001).filter(col("value").isNotNull)
+    assert(nA + nB == ev.count(), "periods partition the events")
+    // recompute from raw (period, bucket) counts with the same formula
+    val d = ev.select(expr("unix_timestamp(date_trunc('day', ts)) DIV 86400").as("day"), col("value"))
+    val mid = d.agg(expr("(min(day) + max(day) + 1) DIV 2").as("m")).head().getLong(0)
+    val counts = d.select(when(col("day") < mid, 0L).otherwise(1L).as("p"),
+        least(greatest(floor(col("value") / 25).cast("long"), lit(0L)), lit(19L)).as("b"))
+      .groupBy("p", "b").agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val expected = (0L until 20L).map { b =>
+      val pa = (counts.getOrElse((0L, b), 0L) + 1).toDouble / (nA + 20)
+      val pb = (counts.getOrElse((1L, b), 0L) + 1).toDouble / (nB + 20)
+      math.floor((pa - pb) * math.log(pa / pb) * 1099511627776.0).toLong
+    }.sum
+    assert(psiQ == expected, s"psi_q40 $psiQ != recomputed $expected")
+    assert(psiQ >= 0, "PSI is a sum of non-negative terms")
+  }
+
+  test("event_itemsets: pair bounds against type vocabulary and session counts") {
+    val rows = graft.queries.EventQueries.eventItemsets.fn(spark, sf0001).collect()
+    val ev = graft.Tables.events(spark, sf0001)
+    val nTypes = ev.select("event_type").distinct().count()
+    assert(rows.length <= nTypes * (nTypes - 1) / 2, "pair space is vocabulary-bounded")
+    assert(rows.nonEmpty)
+    val nSessions = rows.head.getLong(3)
+    for (r <- rows) {
+      assert(r.getString(0) < r.getString(1), "pairs canonically ordered")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= nSessions, "support within session count")
+      assert(r.getLong(3) == nSessions, "n_sessions constant")
+      assert(r.getLong(4) >= 0)
+    }
+    // session count agrees with q_sessionize's per-user totals
+    val totalSessions = graft.queries.EventQueries.sessionize.fn(spark, sf0001)
+      .agg(sum(col("n_sessions"))).head().getLong(0)
+    assert(nSessions == totalSessions)
+  }
+
   test("cluster_separation: every label present, positive distances, spread conservation") {
     val rows = graft.queries.AnnQueries.clusterSeparation.fn(spark, sf0001).collect()
     val emb = Tables(spark, sf0001, "embeddings")

@@ -37,7 +37,10 @@ class DeterminismSpec extends SparkSpec {
     "q_semdedup_prune",      // apply step over the semdedup pair stream
     "q_autocorr",            // integer moment sums on the day axis
     "q_changepoint",         // pure-BIGINT CUSUM argmax, day tie-break
-    "q_interarrival")        // integer second gaps, minute buckets
+    "q_interarrival",        // integer second gaps, minute buckets
+    "q_embed_drift",         // 2^52 centroid sums, 2^45 diff terms
+    "q_psi",                 // per-bucket ln terms on the 2^40 grid
+    "q_event_itemsets")      // session sets + 2^20 lift grid
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
