@@ -519,6 +519,52 @@ object DedupQueries {
       .agg(count(col("nid")).as("n_edges"), count(col("ehit")).as("hits"))
   }
 
+  /** Near-dup THRESHOLD SENSITIVITY sweep — the tuning curve a dedup
+    * operator publishes before anyone picks "0.8": for each candidate
+    * similarity threshold (0.40–0.90 by 0.10), the surviving pair count
+    * and the documents a min-id-keeper pass would drop. One pass of the
+    * scale-safe sign-LSH pair stream feeds all six thresholds (the
+    * sweep re-buckets EXISTING pairs — it never regenerates candidates
+    * per threshold), so choosing a threshold costs one report, not six
+    * dedup runs. Thresholds with no qualifying pairs still report
+    * zeros. Similarity is floor-quantized to integer percent before
+    * comparison, so bucket edges are exact cross-engine. SCALE: pair
+    * stream × 6 broadcast threshold rows; the distinct-drop count is a
+    * hash aggregate per threshold over pair ids only.
+    */
+  val neardupSweep: QueryDef = QueryDef.sql(
+    "q_neardup_sweep",
+    s"""WITH $ScaledEmbCandCtes,
+       |prs AS (SELECT c.ida, c.idb, ${cosSimSql("pa.v", "pb.v")} AS sim
+       |        FROM cand c JOIN pv pa ON pa.vec_id = c.ida
+       |             JOIN pv pb ON pb.vec_id = c.idb
+       |        WHERE ${cosSimSql("pa.v", "pb.v")} >= 0.4),
+       |q AS (SELECT ida, idb, CAST(floor(sim * 100) AS BIGINT) AS sim_pct FROM prs),
+       |th AS (SELECT unnest([40, 50, 60, 70, 80, 90]) AS thr)
+       |SELECT CAST(th.thr AS BIGINT) AS thr,
+       |       CAST(count(q.ida) AS BIGINT) AS n_pairs,
+       |       CAST(count(DISTINCT q.idb) AS BIGINT) AS n_dropped
+       |FROM th LEFT JOIN q ON q.sim_pct >= th.thr
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val bits = Dedup.scaledBitsPerBand(emb.count())
+    val q = Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 4)
+      .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
+      .filter(col("sim") >= 0.4)
+      .select(col("ida"), col("idb"), floor(col("sim") * 100).cast("long").as("sim_pct"))
+    val th = spark.range(4, 10).select((col("id") * 10).as("thr"))
+    // inner theta-join with the 6-row threshold table broadcast (a left
+    // outer from th would force the PAIR side to build), zero rows
+    // re-attached from th after the aggregate
+    val agg = q.join(broadcast(th), col("sim_pct") >= col("thr"))
+      .groupBy("thr")
+      .agg(count(col("ida")).as("n_pairs"), countDistinct(col("idb")).as("n_dropped"))
+    th.join(agg, Seq("thr"), "left")
+      .select(col("thr"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** In-degree histogram of the [[knnGraph]] — the HUBNESS profile of
     * the embedding space. High-dimensional ANN structures concentrate:
     * a few "hub" vectors appear in many other nodes' top-k lists while
@@ -843,6 +889,6 @@ object DedupQueries {
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups, knnGraph,
-    knnRecall, knnHubness, semdedupRecall, sourceOverlap,
+    knnRecall, knnHubness, neardupSweep, semdedupRecall, sourceOverlap,
     dedupGroups, dupHistogram, dedupIncremental, corpusFilter, decontam)
 }

@@ -592,7 +592,54 @@ object EventQueries {
           * lit(1048576.0)).cast("long").as("lift_q20"))
   }
 
+  /** Top-5 burstiest hours vs their trailing-24-hour average — the
+    * spike report a rate-limiter or incident monitor starts from
+    * (`q_changepoint` finds the one level shift; this ranks transient
+    * spikes). Burst ratio n·24/S₂₄ ships on the 2^20 grid via INTEGRAL
+    * arithmetic — (n·24·2^20) DIV S₂₄ — so ranking and output are
+    * integer-exact; hours with incomplete 24-hour history are skipped
+    * (no partial-window false alarms), ties break on the earlier hour.
+    * Top-k rather than a fixed alarm threshold: the report is
+    * non-vacuous on any corpus and the threshold becomes the reader's
+    * choice. SCALE: one hour-keyed map-side count reduces the corpus;
+    * the trailing window runs on the hour table (RANGE over an integer
+    * hour index — horizon-bounded like `q_autocorr`'s day table, 8760
+    * rows/year, never corpus-sized).
+    */
+  val burstHours: QueryDef = QueryDef.sql(
+    "q_burst_hours",
+    """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,
+      |                 CAST(count(*) AS BIGINT) AS n
+      |          FROM events GROUP BY 1),
+      |w AS (SELECT hr, n,
+      |             CAST(sum(n) OVER tw AS BIGINT) AS s24,
+      |             CAST(count(*) OVER tw AS BIGINT) AS k24
+      |      FROM h WINDOW tw AS (ORDER BY hr RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |f AS (SELECT hr, n, s24, (n * 24 * 1048576) // s24 AS ratio_q20
+      |      FROM w WHERE k24 = 24 AND s24 > 0),
+      |r AS (SELECT *, row_number() OVER (ORDER BY ratio_q20 DESC, hr) AS rank FROM f)
+      |SELECT CAST(rank AS BIGINT) AS rank, hr * 3600 AS hour_ts, n, s24,
+      |       CAST(ratio_q20 AS BIGINT) AS ratio_q20
+      |FROM r WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(spark, dir)
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) DIV 3600").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    // hour-table window: RANGE over the integer hour index so GAPS in
+    // the horizon count as zero hours (a ROWS frame would silently
+    // stretch the "24 hours" across missing hours)
+    val tw = Window.orderBy(col("hr")).rangeBetween(-24, -1)
+    val f = h.select(col("hr"), col("n"),
+        sum(col("n")).over(tw).as("s24"), count(lit(1)).over(tw).as("k24"))
+      .filter(col("k24") === 24 && col("s24") > 0)
+      .withColumn("ratio_q20", expr("(n * 24 * 1048576) DIV s24"))
+    f.withColumn("rank", row_number().over(Window.orderBy(col("ratio_q20").desc, col("hr"))))
+      .filter(col("rank") <= 5)
+      .select(col("rank").cast("long").as("rank"), (col("hr") * 3600).as("hour_ts"),
+        col("n"), col("s24"), col("ratio_q20"))
+  }
+
   val all: Seq[QueryDef] = Seq(hourly, jsonExtract, sessionize, mapFuncs, heavyHitters,
     funnel, nullAudit, outliers, dauStickiness, madOutliers, autocorr, changepoint,
-    interarrival, psi, eventItemsets)
+    interarrival, psi, eventItemsets, burstHours)
 }

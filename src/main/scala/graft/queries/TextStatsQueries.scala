@@ -544,7 +544,71 @@ object TextStatsQueries {
           * lit(1099511627776.0)).cast("long"))).cast("long").as("nll_q40"))
   }
 
+  /** HELD-OUT perplexity under a train-split bigram LM — the CCNet-style
+    * LM quality filter, completing [[bigramLm]] (which scores in-sample):
+    * the LM is estimated ONLY on the deterministic train split (content
+    * hash < 80, the `q_decontam` split rule) and scores the disjoint
+    * test split (hash ≥ 90), so the score generalizes instead of
+    * memorizing — a near-dup of training text scores LOW nll (that is
+    * the filter's point: familiar = in-distribution). Unseen bigrams get
+    * add-one smoothing over the train w2-vocabulary + 1 OOV slot, so
+    * every test bigram has finite probability. Per-bigram ln is
+    * floor-quantized to the 2^40 grid BEFORE the per-doc sum (integer
+    * aggregation, order-independent). SCALE: the bigram table is
+    * corpus-linear, all joins hash-keyed on (w1, w2) / w1; the
+    * vocabulary scalar broadcasts.
+    */
+  val bigramPpl: QueryDef = QueryDef.sql(
+    "q_bigram_ppl",
+    s"""WITH sp AS (SELECT doc_id, ${polyHashSql("text")} % 100 AS bucket FROM documents),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |       FROM tk, unnest(range(1, len(toks))) t(i)),
+       |trb AS (SELECT bg.w1, bg.w2, CAST(count(*) AS BIGINT) AS cb
+       |        FROM bg JOIN sp USING (doc_id) WHERE sp.bucket < 80 GROUP BY 1, 2),
+       |tru AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM trb GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT w2) + 1 AS BIGINT) AS v FROM trb),
+       |te AS (SELECT bg.doc_id, bg.w1, bg.w2
+       |       FROM bg JOIN sp USING (doc_id) WHERE sp.bucket >= 90),
+       |sc AS (SELECT te.doc_id,
+       |              CAST(floor(ln(CAST(coalesce(trb.cb, 0) + 1 AS DOUBLE)
+       |                            / CAST(coalesce(tru.cu, 0) + v.v AS DOUBLE))
+       |                         * 1099511627776) AS BIGINT) AS lq
+       |       FROM te LEFT JOIN trb ON trb.w1 = te.w1 AND trb.w2 = te.w2
+       |               LEFT JOIN tru ON tru.w1 = te.w1, v)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(-sum(lq) AS BIGINT) AS nll_q40
+       |FROM sc GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{log => lnf}
+    val toks = col("toks")
+    val docs = Tables(spark, dir, "documents")
+    val sp = docs.select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val trb = bg.join(sp.filter(col("bucket") < 80), "doc_id")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val tru = trb.groupBy("w1").agg(sum(col("cb")).as("cu"))
+    val v = trb.agg((countDistinct(col("w2")) + 1).as("v"))
+    val te = bg.join(sp.filter(col("bucket") >= 90), "doc_id")
+      .select(col("doc_id"), col("w1"), col("w2"))
+    te.join(trb, Seq("w1", "w2"), "left")
+      .join(tru, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        floor(lnf((coalesce(col("cb"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("cu"), lit(0L)) + col("v")).cast("double"))
+          * lit(1099511627776.0)).cast("long").as("lq"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("lq"))).cast("long").as("nll_q40"))
+  }
+
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
     docFreq, seqPack, bpeTokens, bm25, hybridRrf, domainMix, repetition,
-    windowDecontam, keywords, bigramLm)
+    windowDecontam, keywords, bigramLm, bigramPpl)
 }

@@ -266,6 +266,50 @@ class CurationSpec7 extends SparkSpec {
     assert(nSessions == totalSessions)
   }
 
+  test("bigram_ppl: only test-split docs scored, positive nll, bigram counts exact") {
+    val rows = graft.queries.TextStatsQueries.bigramPpl.fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, sf0001, "documents")
+    val testDocs = docs
+      .select(col("doc_id"), (graft.functions.TextFunctions.polyHash(col("text")) % 100).as("b"),
+        size(split(col("text"), " ")).as("ntok"))
+      .filter(col("b") >= 90 && col("ntok") >= 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rows.length == testDocs.size, "every test doc with >=2 tokens scored")
+    for (r <- rows) {
+      assert(testDocs.contains(r.getLong(0)), "scored doc must be in the test split")
+      assert(r.getLong(1) == testDocs(r.getLong(0)) - 1, "n_bigrams = tokens - 1")
+      assert(r.getLong(2) > 0, "smoothed probabilities are < 1, so nll > 0")
+    }
+  }
+
+  test("burst_hours: contiguous ranks, descending exact integral ratios") {
+    val rows = graft.queries.EventQueries.burstHours.fn(spark, sf0001)
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    for (r <- rows) {
+      assert(r.getLong(1) % 3600 == 0, "hour_ts on hour boundaries")
+      assert(r.getLong(4) == r.getLong(2) * 24 * 1048576 / r.getLong(3),
+        "ratio_q20 is the exact integral quotient")
+    }
+    assert(rows.map(_.getLong(4)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "ratios descend with rank")
+  }
+
+  test("neardup_sweep: full threshold grid, monotone pair and drop counts") {
+    val rows = graft.queries.DedupQueries.neardupSweep.fn(spark, sf0001)
+      .orderBy("thr").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(40L, 50L, 60L, 70L, 80L, 90L))
+    for (r <- rows) assert(r.getLong(2) <= r.getLong(1), "dropped docs <= surviving pairs")
+    for (c <- Seq(1, 2))
+      assert(rows.map(_.getLong(c)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        "counts are non-increasing in the threshold")
+    // thr=40 matches the scaled near-dup pair stream's total
+    val total = graft.queries.DedupQueries.embedNearDupScaled.fn(spark, sf0001).count()
+    assert(rows.head.getLong(1) == total)
+  }
+
   test("cluster_separation: every label present, positive distances, spread conservation") {
     val rows = graft.queries.AnnQueries.clusterSeparation.fn(spark, sf0001).collect()
     val emb = Tables(spark, sf0001, "embeddings")

@@ -40,7 +40,10 @@ class DeterminismSpec extends SparkSpec {
     "q_interarrival",        // integer second gaps, minute buckets
     "q_embed_drift",         // 2^52 centroid sums, 2^45 diff terms
     "q_psi",                 // per-bucket ln terms on the 2^40 grid
-    "q_event_itemsets")      // session sets + 2^20 lift grid
+    "q_event_itemsets",      // session sets + 2^20 lift grid
+    "q_bigram_ppl",          // heldout ln terms on the 2^40 grid
+    "q_burst_hours",         // integral trailing-window ratios
+    "q_neardup_sweep")       // integer-percent threshold buckets
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
