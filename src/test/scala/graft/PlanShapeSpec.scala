@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Physical-plan shape gates for the round-7 time-series / sweep
+  * queries — the CI form of the PLANS.md scale arguments. Each test
+  * pins the property that makes the query 100-TB-safe, so a rewrite
+  * that silently reintroduces a corpus-sized window input or flips a
+  * broadcast build side breaks the build, not just the narrative.
+  * AQE is disabled per-test: these are static-plan assertions and the
+  * traversal should not stop at query-stage boundaries.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def staticPlan(mk: => DataFrame): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** Every Window operator must sit on an AGGREGATED input (the
+    * day/hour rollup) — i.e., somewhere below each window there is a
+    * hash aggregate, so the one unpartitioned sort only ever sees the
+    * horizon-bounded day/hour table, never the raw events corpus (the
+    * q_token_cdf lesson, asserted in-plan).
+    */
+  private def assertWindowsSeeAggregates(plan: SparkPlan, name: String): Unit = {
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"$name: expected at least one Window operator")
+    for (w <- windows)
+      assert(w.child.collectFirst { case h: HashAggregateExec => h }.nonEmpty,
+        s"$name: Window over a non-aggregated (corpus-sized) input:\n$w")
+  }
+
+  test("changepoint/autocorr/burst_hours: unpartitioned windows only see day/hour rollups") {
+    assertWindowsSeeAggregates(
+      staticPlan(graft.queries.EventQueries.changepoint.fn(spark, sf0001)), "q_changepoint")
+    assertWindowsSeeAggregates(
+      staticPlan(graft.queries.EventQueries.burstHours.fn(spark, sf0001)), "q_burst_hours")
+    // q_autocorr has no window, but its lag join must also run on the
+    // aggregated day table: no join input may be an un-aggregated scan
+    val ac = staticPlan(graft.queries.EventQueries.autocorr.fn(spark, sf0001))
+    val joins = ac.collect { case j if j.nodeName.contains("Join") => j }
+    assert(joins.nonEmpty)
+    for (j <- joins; c <- j.children)
+      assert(c.collectFirst { case h: HashAggregateExec => h }.nonEmpty,
+        s"q_autocorr: join input without an aggregate below:\n$c")
+  }
+
+  test("neardup_sweep: the 6-row threshold table is the broadcast build side") {
+    val plan = staticPlan(graft.queries.DedupQueries.neardupSweep.fn(spark, sf0001))
+    assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty,
+      "sweep must not plan a cartesian product")
+    val bnl = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnl.nonEmpty, "theta-join against thresholds should be a broadcast NLJ")
+    // the broadcast (build) side must be the Range-backed threshold table,
+    // never the pair stream: its subtree reads no parquet
+    for (b <- bnl) {
+      val build = b.buildSide.toString match {
+        case s if s.contains("Right") => b.right
+        case _ => b.left
+      }
+      assert(build.collectFirst {
+        case s if s.nodeName.contains("Scan") && s.toString.contains("parquet") => s
+      }.isEmpty, s"broadcast build side reads the corpus:\n$build")
+    }
+  }
+
+  test("media_batches: map-only measure — exactly one shuffle, no join") {
+    val plan = staticPlan(graft.queries.MultimodalQueries.mediaBatches.fn(spark, sf0001))
+    val shuffles = plan.collect { case e if e.nodeName.contains("Exchange") => e }
+    assert(shuffles.length == 1,
+      s"expected one exchange (final agg), got ${shuffles.length}")
+    assert(plan.collectFirst { case j if j.nodeName.contains("Join") => j }.isEmpty,
+      "media batch planning must not join")
+  }
+
+  test("bigram_ppl: LM joins are hash-keyed, never cartesian") {
+    val plan = staticPlan(graft.queries.TextStatsQueries.bigramPpl.fn(spark, sf0001))
+    assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty,
+      "perplexity scoring must not plan a cartesian product")
+    // the only nested-loop broadcast allowed is the 1-row vocabulary scalar
+    for (b <- plan.collect { case b: BroadcastNestedLoopJoinExec => b }) {
+      val build = if (b.buildSide.toString.contains("Right")) b.right else b.left
+      assert(build.collectFirst { case h: HashAggregateExec => h }.nonEmpty,
+        s"nested-loop build side is not the aggregated vocab scalar:\n$build")
+    }
+  }
+}
