@@ -75,4 +75,59 @@ object EventStreams {
     */
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
+
+  case class DriftScore(hour_ts: Long, n_events: Long, psi_q40: Long)
+
+  /** Streaming distribution-drift monitor — the streaming face of the
+    * batch `q_psi`: per event-hour, accumulate the fixed 20-bucket
+    * value histogram (width 25, capped — the q_psi grid) in keyed
+    * state, and emit ONE final add-one-smoothed PSI against a static
+    * baseline histogram when the watermark passes the hour's end
+    * (EVENT-TIME timeout — the finalize-on-watermark pattern, unlike
+    * [[runningTotals]]'s ever-updating NoTimeout state). Late events
+    * within the 2-hour watermark still land in their hour; after the
+    * timeout the key is removed, so state is bounded by the lateness
+    * horizon × 20 longs — never the stream length. The PSI fold runs
+    * in fixed bucket order with the same 2^40 floor-quantized terms as
+    * the batch query, so a drifted hour scores identically here and
+    * in the offline audit.
+    */
+  def driftScores(events: DataFrame, baseline: Seq[Long]): Dataset[DriftScore] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    val bTot = baseline.sum
+    val bSm = baseline.map(c => (c + 1).toDouble / (bTot + 20)).toArray
+    events
+      .withWatermark("ts", "2 hours")
+      // the watermarked ts column must flow INTO the stateful operator
+      // (event-time timeout is rejected if the projection drops it)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        least(greatest(floor(col("value") / 25).cast("int"), lit(0)), lit(19)).as("bucket"),
+        col("ts"))
+      .as[(Long, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], DriftScore](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hourTs: Long, rows: Iterator[(Long, Int, java.sql.Timestamp)],
+         state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            val n = counts.sum
+            val psi = (0 until 20).foldLeft(0L) { (acc, b) =>
+              val pw = (counts(b) + 1).toDouble / (n + 20)
+              acc + math.floor((pw - bSm(b)) * math.log(pw / bSm(b))
+                * 1099511627776.0).toLong
+            }
+            Iterator.single(DriftScore(hourTs, n, psi))
+          } else {
+            val counts = state.getOption.getOrElse(Array.fill(20)(0L))
+            rows.foreach(r => counts(r._2) += 1)
+            state.update(counts)
+            // finalize once the watermark passes this hour's end
+            state.setTimeoutTimestamp((hourTs + 3600) * 1000)
+            Iterator.empty
+          }
+      }
+  }
 }

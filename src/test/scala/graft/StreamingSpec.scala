@@ -165,6 +165,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: event-time-timeout PSI matches the batch formula") {
+    val (dir, schema) = batchEvents
+    val ev = Tables.events(spark, sf0001)
+    // baseline = the whole fixture's bucket histogram (a "trusted period")
+    val baseCounts = ev
+      .select(least(greatest(floor(col("value") / 25).cast("int"), lit(0)), lit(19)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val baseline = (0 until 20).map(b => baseCounts.getOrElse(b, 0L))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.driftScores(stream, baseline)
+      .writeStream.outputMode("append").format("memory").queryName("drift").start()
+    try {
+      q.processAllAvailable()
+      val scores = spark.sql("SELECT hour_ts, n_events, psi_q40 FROM drift")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // hours whose end precedes the final watermark (max ts - 2h) emit
+      assert(scores.nonEmpty, "no hours finalized — event-time timeout never fired")
+      // per emitted hour, recompute the PSI from batch counts
+      val perHour = ev
+        .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+          least(greatest(floor(col("value") / 25).cast("int"), lit(0)), lit(19)).as("b"))
+        .groupBy("h", "b").agg(count(lit(1)).as("c"))
+        .collect().groupBy(_.getLong(0))
+      val bTot = baseline.sum
+      for ((h, (nEvents, psiQ)) <- scores) {
+        val counts = (0 until 20).map { b =>
+          perHour(h).find(_.getInt(1) == b).map(_.getLong(2)).getOrElse(0L)
+        }
+        assert(counts.sum == nEvents, s"hour $h event count")
+        val expected = (0 until 20).foldLeft(0L) { (acc, b) =>
+          val pw = (counts(b) + 1).toDouble / (nEvents + 20)
+          val pb = (baseline(b) + 1).toDouble / (bTot + 20)
+          acc + math.floor((pw - pb) * math.log(pw / pb) * 1099511627776.0).toLong
+        }
+        assert(psiQ == expected, s"hour $h psi_q40 $psiQ != $expected")
+        assert(psiQ >= 0)
+      }
+      // every emitted hour is fully before the final watermark; the tail
+      // hours within the 2h lateness horizon must still be open
+      val maxHour = perHour.keys.max
+      assert(!scores.contains(maxHour), "the last hour cannot have finalized")
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: docs stream -> chunk+embed -> .vdb parts") {
     // the reference's build pipeline (R1->R2->R3->R4) as a stream: each
     // micro-batch of documents is chunked, mock-embedded, and APPENDED to
