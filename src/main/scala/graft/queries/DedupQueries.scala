@@ -565,6 +565,78 @@ object DedupQueries {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** Template-hub mining: 3-iteration integer PAGERANK over the
+    * near-dup graph — boilerplate/template pages sit at the center of
+    * dense duplicate neighborhoods, and link-analysis centrality finds
+    * them more robustly than raw degree (a hub of hubs outranks a node
+    * with the same degree in a sparse region). The whole computation is
+    * INTEGER-EXACT: pr₀ = 2^20, each per-edge contribution is
+    * (pr·85) DIV (100·deg) (the 0.85 damping as integral arithmetic),
+    * plus the floor(0.15·2^20) teleport — so three unrolled iterations
+    * agree bit-for-bit across engines with no quantization step. SCALE:
+    * the classic Pregel shape — each iteration is one hash join of the
+    * edge list with the rank vector and one keyed sum (graph-sized
+    * shuffles, never corpus²); the edge list is `localCheckpoint`ed so
+    * three iterations don't re-run candidate generation (executor-local
+    * lineage truncation — the q_ivf_kmeans trade, re-derivable on loss).
+    */
+  val pagerank: QueryDef = {
+    def iterSql(prev: String, next: String): String =
+      s"""$next AS (SELECT e.dst AS id,
+         |       CAST(157286 + sum((p.pr * 85) // (100 * dg.d)) AS BIGINT) AS pr
+         |       FROM ed e JOIN $prev p ON p.id = e.src
+         |            JOIN deg dg ON dg.src = e.src
+         |       GROUP BY 1)""".stripMargin
+    QueryDef.sql(
+      "q_pagerank",
+      s"""WITH $ScaledEmbCandCtes,
+         |prs AS (SELECT c.ida, c.idb
+         |        FROM cand c JOIN pv pa ON pa.vec_id = c.ida
+         |             JOIN pv pb ON pb.vec_id = c.idb
+         |        WHERE ${cosSimSql("pa.v", "pb.v")} >= 0.4),
+         |ed AS (SELECT ida AS src, idb AS dst FROM prs
+         |       UNION ALL SELECT idb, ida FROM prs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY 1),
+         |p0 AS (SELECT src AS id, CAST(1048576 AS BIGINT) AS pr FROM deg),
+         |${iterSql("p0", "p1")},
+         |${iterSql("p1", "p2")},
+         |${iterSql("p2", "p3")},
+         |r AS (SELECT id, pr, row_number() OVER (ORDER BY pr DESC, id) AS rank FROM p3)
+         |SELECT CAST(r.rank AS BIGINT) AS rank, r.id AS vec_id, deg.d AS degree,
+         |       r.pr AS pr_q20
+         |FROM r JOIN deg ON deg.src = r.id
+         |WHERE r.rank <= 20""".stripMargin) { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val bits = Dedup.scaledBitsPerBand(emb.count())
+      val prs = Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding", bits, 4)
+        .withColumn("sim", cosineSimilarity(col("va"), col("vb")))
+        .filter(col("sim") >= 0.4)
+        .select(col("ida"), col("idb"))
+      // three iterations re-read the edges: truncate the candidate-gen
+      // lineage once instead of re-running the banded join per iteration
+      val ed = prs.select(col("ida").as("src"), col("idb").as("dst"))
+        .unionAll(prs.select(col("idb").as("src"), col("ida").as("dst")))
+        .localCheckpoint()
+      val deg = ed.groupBy("src").agg(count(lit(1)).as("d"))
+      var pr = deg.select(col("src").as("id"), lit(1048576L).as("pr"))
+      for (_ <- 1 to 3) {
+        pr = ed.join(pr, col("id") === col("src")).drop("id")
+          .join(deg.select(col("src").as("dsrc"), col("d")), col("dsrc") === col("src"))
+          .groupBy(col("dst"))
+          .agg((lit(157286L) + sum(expr("(pr * 85) DIV (100 * d)"))).as("pr"))
+          .select(col("dst").as("id"), col("pr"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pr").desc, col("id"))
+      // rank window runs on the graph's node set (pair-bounded), not the corpus
+      pr.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .join(deg, col("src") === col("id"))
+        .select(col("rank").cast("long").as("rank"), col("id").as("vec_id"),
+          col("d").as("degree"), col("pr").as("pr_q20"))
+    }
+  }
+
   /** In-degree histogram of the [[knnGraph]] — the HUBNESS profile of
     * the embedding space. High-dimensional ANN structures concentrate:
     * a few "hub" vectors appear in many other nodes' top-k lists while
@@ -889,6 +961,6 @@ object DedupQueries {
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups, knnGraph,
-    knnRecall, knnHubness, neardupSweep, semdedupRecall, sourceOverlap,
+    knnRecall, knnHubness, neardupSweep, pagerank, semdedupRecall, sourceOverlap,
     dedupGroups, dupHistogram, dedupIncremental, corpusFilter, decontam)
 }

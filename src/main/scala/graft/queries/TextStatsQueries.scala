@@ -608,7 +608,49 @@ object TextStatsQueries {
         (-sum(col("lq"))).cast("long").as("nll_q40"))
   }
 
+  /** Weighted sampling WITHOUT replacement — the Efraimidis–Spirakis
+    * A-Res scheme, THE one-pass distributed algorithm for "sample 100
+    * docs proportional to length/quality": each doc draws key
+    * −ln(u)/w and the k SMALLEST keys are the sample (equivalent to
+    * the classic u^(1/w) max-key form; this orientation keeps floor
+    * quantization order-preserving). u is hash-derived (salted polyhash
+    * onto a 2^20 grid, +1 so u>0) — deterministic, re-shard-stable,
+    * RNG-free like `q_sample_split`. The key is quantized to 2^40 only
+    * for OUTPUT/tie purposes; selection order uses the same quantized
+    * value in both engines so the sample set is bit-identical. SCALE:
+    * map-only key computation + top-k (TakeOrderedAndProject — the
+    * per-partition-heap shape); the rank window runs on the 100-row
+    * result, never the corpus.
+    */
+  val weightedSample: QueryDef = QueryDef.sql(
+    "q_weighted_sample",
+    s"""WITH w AS (SELECT doc_id, greatest(n_chars, 1) AS w,
+       |                 ${polyHashSql("text || 'samp'")} % 1048576 + 1 AS uq
+       |          FROM documents),
+       |k AS (SELECT doc_id, w,
+       |             CAST(floor(-ln(uq / 1048577.0) * 1099511627776.0
+       |                        / CAST(w AS DOUBLE)) AS BIGINT) AS key_q40
+       |      FROM w),
+       |top AS (SELECT * FROM k ORDER BY key_q40, doc_id LIMIT 100)
+       |SELECT CAST(row_number() OVER (ORDER BY key_q40, doc_id) AS BIGINT) AS rank,
+       |       doc_id, w, key_q40
+       |FROM top""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{log => lnf}
+    val k = Tables(spark, dir, "documents")
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"),
+        (polyHash(concat(col("text"), lit("samp"))) % 1048576 + 1).as("uq"))
+      .select(col("doc_id"), col("w"),
+        floor(-lnf(col("uq") / lit(1048577.0)) * lit(1099511627776.0)
+          / col("w").cast("double")).cast("long").as("key_q40"))
+    val top = k.orderBy(col("key_q40"), col("doc_id")).limit(100)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key_q40"), col("doc_id"))
+    // rank window over the 100-row limit result, never the corpus
+    top.withColumn("rank", row_number().over(win).cast("long"))
+      .select(col("rank"), col("doc_id"), col("w"), col("key_q40"))
+  }
+
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
     docFreq, seqPack, bpeTokens, bm25, hybridRrf, domainMix, repetition,
-    windowDecontam, keywords, bigramLm, bigramPpl)
+    windowDecontam, keywords, bigramLm, bigramPpl, weightedSample)
 }

@@ -310,6 +310,49 @@ class CurationSpec7 extends SparkSpec {
     assert(rows.head.getLong(1) == total)
   }
 
+  test("pagerank: independent Scala recompute of the 3-iteration integer ranks") {
+    val rows = graft.queries.DedupQueries.pagerank.fn(spark, sf0001)
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // rebuild the graph from the scaled pair stream and iterate in Scala
+    val prs = graft.queries.DedupQueries.embedNearDupScaled.fn(spark, sf0001)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = prs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var pr = deg.keys.map(_ -> 1048576L).toMap
+    for (_ <- 1 to 3)
+      pr = edges.groupBy(_._2).view.mapValues { in =>
+        157286L + in.map { case (src, _) => pr(src) * 85 / (100 * deg(src)) }.sum
+      }.toMap
+    val expect = pr.toSeq.sortBy { case (id, p) => (-p, id) }.take(20)
+    assert(rows.map(r => (r.getLong(1), r.getLong(3))).toSeq == expect,
+      "top-20 (vec_id, pr_q20) must match the Scala power iteration")
+    for (r <- rows) assert(r.getLong(2) == deg(r.getLong(1)), "degree column")
+  }
+
+  test("weighted_sample: keys recomputed exactly; selection is the global min-key set") {
+    val rows = graft.queries.TextStatsQueries.weightedSample.fn(spark, sf0001)
+      .orderBy("rank").collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 100L).toSeq)
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // recompute every doc's key in Scala (hash grid from the engine, ln local)
+    val all = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"),
+        (graft.functions.TextFunctions.polyHash(concat(col("text"), lit("samp")))
+          % 1048576 + 1).as("uq"))
+      .collect().map { r =>
+        val key = math.floor(-math.log(r.getLong(2) / 1048577.0) * 1099511627776.0
+          / r.getLong(1).toDouble).toLong
+        (r.getLong(0), r.getLong(1), key)
+      }
+    val expect = all.sortBy { case (id, _, k) => (k, id) }.take(100)
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == expect.toSeq,
+      "the sample must be exactly the 100 globally smallest keys")
+  }
+
   test("cluster_separation: every label present, positive distances, spread conservation") {
     val rows = graft.queries.AnnQueries.clusterSeparation.fn(spark, sf0001).collect()
     val emb = Tables(spark, sf0001, "embeddings")

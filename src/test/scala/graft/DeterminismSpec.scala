@@ -43,7 +43,9 @@ class DeterminismSpec extends SparkSpec {
     "q_event_itemsets",      // session sets + 2^20 lift grid
     "q_bigram_ppl",          // heldout ln terms on the 2^40 grid
     "q_burst_hours",         // integral trailing-window ratios
-    "q_neardup_sweep")       // integer-percent threshold buckets
+    "q_neardup_sweep",       // integer-percent threshold buckets
+    "q_pagerank",            // pure-integral damping arithmetic
+    "q_weighted_sample")     // hash-grid keys, one quantized ln
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")

@@ -54,7 +54,12 @@ class ScaleSlopeSpec extends SparkSpec {
     "q_semdedup_prune" -> 1.5,
     // round-7 batch 4: hubness rides the knn-graph pair stream plus a
     // corpus left join (0.26 at 100x perturbed when added)
-    "q_knn_hubness" -> 1.5)
+    "q_knn_hubness" -> 1.5,
+    // round-7 batch 7: 3 Pregel iterations over the near-dup graph —
+    // cost tracks emitted pair mass (0.42 at 100x perturbed when
+    // added, the round's heaviest); pinned so an iteration can't
+    // silently become corpus-squared
+    "q_pagerank" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
