@@ -637,6 +637,77 @@ object DedupQueries {
     }
   }
 
+  /** SORTED-NEIGHBORHOOD blocking (the SNM record-linkage classic) — a
+    * candidate-generation family the LSH/SimHash/embedding detectors
+    * don't cover: documents are ranked by a cheap sort key (their
+    * first-3-token prefix, ties by doc_id) and every pair within w=4
+    * rank positions becomes a candidate, then verified by the shared
+    * shingle-Jaccard fragment at 0.2 (identical machinery to
+    * `q_minhash_lsh_pairs`, so the two blockers' outputs are directly
+    * comparable). Sorted neighborhoods catch prefix-anchored near-dups
+    * (templated openings, shared headers) that hash-bucket blockers
+    * only find probabilistically.
+    *
+    * SCALE — global rank WITHOUT a global window (the `q_token_cdf`
+    * lesson): rank = broadcast histogram offset of the sort-key bucket
+    * + row_number PARTITIONED by bucket; the within-w pair join bands
+    * on `rank DIV w` (each right row carries 2 band keys), so
+    * candidates come from an equi-join producing ≤ w rows per document
+    * — corpus-linear, no range join, no one-task sort. At 1000
+    * executors the sort key's bucket histogram is vocab³-bounded and
+    * broadcast; everything else shuffles on bucket or band keys.
+    */
+  val snmBlocking: QueryDef = QueryDef.sql(
+    "q_snm_blocking",
+    s"""WITH $ShCte,
+       |$HsCte,
+       |skt AS (SELECT doc_id,
+       |               array_to_string((string_split(text, ' '))[1 : 3], ' ') AS sk
+       |        FROM documents),
+       |hist AS (SELECT sk, count(*) AS c FROM skt GROUP BY sk),
+       |bef AS (SELECT sk,
+       |               CAST(sum(c) OVER (ORDER BY sk ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS bfr
+       |        FROM hist),
+       |rnk AS (SELECT s.doc_id,
+       |               bfr + row_number() OVER (PARTITION BY s.sk ORDER BY s.doc_id) AS rn
+       |        FROM skt s JOIN bef USING (sk)),
+       |${interJaccardCtes(
+        """cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+          |                CAST(b.rn - a.rn AS BIGINT) AS d
+          |         FROM rnk a JOIN rnk b ON b.rn BETWEEN a.rn + 1 AND a.rn + 4)""".stripMargin,
+        0.2)}
+       |SELECT p.ida, p.idb, c.d AS rank_dist, p.jaccard
+       |FROM prs p JOIN cand c ON c.ida = p.ida AND c.idb = p.idb""".stripMargin) {
+    (spark, dir) =>
+      val docs = Tables(spark, dir, "documents")
+      val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+      val skt = docs.select(col("doc_id"),
+        array_join(slice(tokens(col("text")), 1, 3), " ").as("sk"))
+      val hist = skt.groupBy("sk").agg(count(lit(1)).as("c"))
+      // cumulative offsets over the BUCKET table (vocab-bounded), not the corpus
+      val wcum = org.apache.spark.sql.expressions.Window
+        .orderBy("sk").rowsBetween(Long.MinValue, 0)
+      val bef = hist.withColumn("bfr", sum("c").over(wcum) - col("c"))
+        .select("sk", "bfr")
+      val rnk = skt.join(broadcast(bef), "sk")
+        .withColumn("rwithin", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sk").orderBy("doc_id")))
+        .select(col("doc_id"), (col("bfr") + col("rwithin")).as("rn"))
+      // banded within-w join: left row keyed by rn DIV 4; right row carries
+      // band and band-1, so each qualifying pair matches on exactly one key
+      val a = rnk.select(col("doc_id").as("ida"), col("rn").as("ra"),
+        expr("rn DIV 4").as("g"))
+      val b = rnk.select(col("doc_id").as("idb"), col("rn").as("rb"),
+          explode(array(expr("rn DIV 4"), expr("rn DIV 4 - 1"))).as("g"))
+      val cand = a.join(b, "g")
+        .filter((col("rb") - col("ra")).between(1, 4))
+        .select(col("ida"), col("idb"), (col("rb") - col("ra")).as("d"))
+      Dedup.jaccardForPairs(cand.select("ida", "idb"), hs, "doc_id")
+        .filter(col("jaccard") >= 0.2)
+        .join(cand, Seq("ida", "idb"))
+        .select(col("ida"), col("idb"), col("d").as("rank_dist"), col("jaccard"))
+  }
+
   /** In-degree histogram of the [[knnGraph]] — the HUBNESS profile of
     * the embedding space. High-dimensional ANN structures concentrate:
     * a few "hub" vectors appear in many other nodes' top-k lists while
@@ -961,6 +1032,6 @@ object DedupQueries {
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups, knnGraph,
-    knnRecall, knnHubness, neardupSweep, pagerank, semdedupRecall, sourceOverlap,
+    knnRecall, knnHubness, neardupSweep, pagerank, semdedupRecall, snmBlocking, sourceOverlap,
     dedupGroups, dupHistogram, dedupIncremental, corpusFilter, decontam)
 }

@@ -45,7 +45,12 @@ class DeterminismSpec extends SparkSpec {
     "q_burst_hours",         // integral trailing-window ratios
     "q_neardup_sweep",       // integer-percent threshold buckets
     "q_pagerank",            // pure-integral damping arithmetic
-    "q_weighted_sample")     // hash-grid keys, one quantized ln
+    "q_weighted_sample",     // hash-grid keys, one quantized ln
+    // round-7 batch 8: layout planning and rank blocking must be
+    // invariant to the very sharding they reason about
+    "q_zorder_layout",       // Morton bit algebra + zone-map envelopes
+    "q_snm_blocking",        // histogram-offset global ranks, banded join
+    "q_repeated_spans")      // island merge over per-doc position windows
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")

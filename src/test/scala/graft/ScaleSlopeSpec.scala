@@ -59,7 +59,13 @@ class ScaleSlopeSpec extends SparkSpec {
     // cost tracks emitted pair mass (0.42 at 100x perturbed when
     // added, the round's heaviest); pinned so an iteration can't
     // silently become corpus-squared
-    "q_pagerank" -> 1.5)
+    "q_pagerank" -> 1.5,
+    // round-7 batch 8: per-position fingerprints + island merge (0.38
+    // at 100x perturbed when added) and the banded within-w SNM join
+    // (0.21 at 100x) — pinned so neither pair generator regresses to a
+    // range join or a corpus-global window
+    "q_repeated_spans" -> 1.5,
+    "q_snm_blocking" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
