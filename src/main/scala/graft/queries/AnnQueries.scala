@@ -641,7 +641,85 @@ object AnnQueries {
       .agg((sum(col("tq")).cast("double") / S45d).as("drift2"))
   }
 
-  val all: Seq[QueryDef] = Seq(annTopk, centroids, centroidSpread, ivfTopk,
+  /** Quantized 1/log2(r+1) DCG weights for ranks 1..10 (×2^40) and
+    * their sum (the ideal DCG for 10 binary-relevant results). FIXED
+    * literals — no runtime libm call, so both engines share them by
+    * construction.
+    */
+  private val DcgW = Seq(1099511627776L, 693714600361L, 549755813888L,
+    473533883412L, 425349159792L, 391653944122L, 366503875925L,
+    346857300180L, 330985980541L, 317830137717L)
+  private val Idcg = DcgW.sum // 4995696323714
+
+  /** RANKING-QUALITY eval of the 1-probe IVF search: nDCG@10 and MRR
+    * against the exact brute-force top-10 per query — the standard
+    * retrieval metrics next to the recall evals (`q_knn_recall`,
+    * `q_pq_recall` measure set overlap; nDCG/MRR grade the ORDER the
+    * approximate index returns). Relevance is binary (∈ exact top-10);
+    * DCG terms use a fixed 2^40-quantized 1/log2(r+1) weight table, so
+    * the whole metric is integer arithmetic — ndcg_bp = dcg·10⁴ DIV
+    * ideal-DCG, rr_q20 = 2^20 DIV first-relevant-rank.
+    *
+    * SCALE: truth is the `q_ann_topk` brute-force shape (tiny query
+    * batch broadcast, rank-limit pushed via WindowGroupLimit); the
+    * approximate side touches only the probed label partition through
+    * an equi-join. The metric join runs on ≤ 10×10 result rows.
+    */
+  val annNdcg: QueryDef = QueryDef.sql(
+    "q_ann_ndcg",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+       |tr AS (SELECT qid, vec_id AS nid,
+       |              row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY ${cosDistSql("v", "qv")}, vec_id) AS rank
+       |       FROM e, q WHERE vec_id <> qid),
+       |t AS (SELECT qid, nid FROM tr WHERE rank <= 10),
+       |ar AS (SELECT q.qid, e.vec_id AS nid,
+       |              row_number() OVER (PARTITION BY q.qid
+       |                                 ORDER BY ${cosDistSql("e.v", "q.qv")}, e.vec_id) AS rank
+       |       FROM e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.qid),
+       |a10 AS (SELECT * FROM ar WHERE rank <= 10),
+       |rel AS (SELECT a.qid, a.rank,
+       |               CASE WHEN t.nid IS NULL THEN 0 ELSE 1 END AS rel
+       |        FROM a10 a LEFT JOIN t ON t.qid = a.qid AND t.nid = a.nid),
+       |m AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel,
+       |             CAST(sum(rel * ([${DcgW.mkString(", ")}])[rank]) AS BIGINT) AS dcg,
+       |             CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), 0) AS BIGINT) AS fr
+       |      FROM rel GROUP BY qid)
+       |SELECT qid, n_rel,
+       |       CAST((dcg * 10000) // $Idcg AS BIGINT) AS ndcg_bp,
+       |       CAST(CASE WHEN fr = 0 THEN 0 ELSE 1048576 // fr END AS BIGINT) AS rr_q20
+       |FROM m""".stripMargin) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("nid").asc)
+    val t = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosineDistance(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("qid").as("tqid"), col("nid").as("tnid"))
+    val a10 = e.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosineDistance(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+    val wlit = array(DcgW.map(lit): _*)
+    val rel = a10.join(t, col("tqid") === col("qid") && col("tnid") === col("nid"), "left")
+      .select(col("qid"), col("rank"),
+        when(col("tnid").isNull, 0L).otherwise(1L).as("rel"))
+    rel.groupBy("qid").agg(
+        sum("rel").cast("long").as("n_rel"),
+        sum(col("rel") * element_at(wlit, col("rank"))).cast("long").as("dcg"),
+        coalesce(min(when(col("rel") === 1, col("rank"))), lit(0)).cast("long").as("fr"))
+      .select(col("qid"), col("n_rel"),
+        expr(s"CAST((dcg * 10000) DIV $Idcg AS BIGINT)").as("ndcg_bp"),
+        expr("CAST(CASE WHEN fr = 0 THEN 0 ELSE 1048576 DIV fr END AS BIGINT)").as("rr_q20"))
+  }
+
+  val all: Seq[QueryDef] = Seq(annTopk, annNdcg, centroids, centroidSpread, ivfTopk,
     ivfPruned, ivfNprobe, ivfKmeans, kmeans, centroidClassify, embedOutliers,
     clusterSeparation, embedDrift)
 }

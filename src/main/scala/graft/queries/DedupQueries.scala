@@ -637,6 +637,70 @@ object DedupQueries {
     }
   }
 
+  /** SPLIT-LEAKAGE audit — the eval-contamination check a pipeline runs
+    * right after `q_sample_split`: verified near-dup pairs (the
+    * `q_minhash_lsh_pairs` stream, identical machinery) classified by
+    * the split assignments of their two ends. A `train/test` or
+    * `train/val` row is leakage: the eval set contains near-copies of
+    * training documents, inflating every downstream metric. Reported
+    * per unordered split-class: pair count and distinct documents
+    * involved.
+    *
+    * SCALE: rides the banded LSH pair stream (never all-pairs); the
+    * split label is a map-side hash; classification adds two hash
+    * joins of the pair stream against the corpus-keyed split table and
+    * a 6-class aggregate.
+    */
+  val splitLeakage: QueryDef = QueryDef.sql(
+    "q_split_leakage",
+    s"""WITH $ShCte,
+       |$HsCte,
+       |$SigCte,
+       |$BandsCte,
+       |${interJaccardCtes(BandCandCte, 0.2)},
+       |spl AS (SELECT doc_id,
+       |               CASE WHEN ${polyHashSql("text")} % 100 < 80 THEN 'train'
+       |                    WHEN ${polyHashSql("text")} % 100 < 90 THEN 'val'
+       |                    ELSE 'test' END AS split
+       |        FROM documents),
+       |cls AS (SELECT least(sa.split, sb.split) AS split_a,
+       |               greatest(sa.split, sb.split) AS split_b, p.ida, p.idb
+       |        FROM prs p JOIN spl sa ON sa.doc_id = p.ida
+       |                   JOIN spl sb ON sb.doc_id = p.idb),
+       |np AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |       FROM cls GROUP BY 1, 2),
+       |dd AS (SELECT split_a, split_b, ida AS d FROM cls
+       |       UNION ALL SELECT split_a, split_b, idb FROM cls),
+       |nd AS (SELECT split_a, split_b, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+       |       FROM dd GROUP BY 1, 2)
+       |SELECT np.split_a, np.split_b, np.n_pairs, nd.n_docs
+       |FROM np JOIN nd USING (split_a, split_b)""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(hs, "doc_id")
+    val cand = Dedup.lshCandidates(sig, "doc_id")
+    val prs = Dedup.jaccardForPairs(cand, hs, "doc_id")
+      .filter(col("jaccard") >= 0.2).select("ida", "idb")
+    val spl = docs
+      .select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+    val cls = prs
+      .join(spl.select(col("doc_id").as("ida"), col("split").as("sa")), "ida")
+      .join(spl.select(col("doc_id").as("idb"), col("split").as("sb")), "idb")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"), col("ida"), col("idb"))
+    val np = cls.groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+    val nd = cls
+      .select(col("split_a"), col("split_b"),
+        explode(array(col("ida"), col("idb"))).as("d"))
+      .groupBy("split_a", "split_b").agg(countDistinct("d").as("n_docs"))
+    np.join(nd, Seq("split_a", "split_b"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"), col("n_docs"))
+  }
+
   /** SORTED-NEIGHBORHOOD blocking (the SNM record-linkage classic) — a
     * candidate-generation family the LSH/SimHash/embedding detectors
     * don't cover: documents are ranked by a cheap sort key (their
@@ -1032,6 +1096,7 @@ object DedupQueries {
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
     simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups, knnGraph,
-    knnRecall, knnHubness, neardupSweep, pagerank, semdedupRecall, snmBlocking, sourceOverlap,
+    knnRecall, knnHubness, neardupSweep, pagerank, semdedupRecall, snmBlocking,
+    splitLeakage, sourceOverlap,
     dedupGroups, dupHistogram, dedupIncremental, corpusFilter, decontam)
 }

@@ -130,4 +130,40 @@ object EventStreams {
           }
       }
   }
+
+  case class HeavyHitter(shard: Int, user_id: Long, cnt_lb: Long)
+
+  /** Streaming MISRA-GRIES heavy hitters — the bounded-state frequent-
+    * items summary (the deterministic counterpart of count-min): each of
+    * 32 hash shards keeps at most k counters; an unseen item either
+    * claims a free counter or decrements all k (the MG step). State is
+    * 32×k longs FOREVER — never stream-length — and each shard's
+    * summary carries the classic guarantee: any item with true shard
+    * frequency > n_shard/(k+1) is present, with count estimate low by
+    * at most n_shard/(k+1). Summaries are emitted every micro-batch
+    * (Update mode) and are MERGEABLE downstream (sum matching counters,
+    * then MG-compress) — the property that makes the sketch fleet-
+    * scalable: 1000 executors each summarize their shards, a final
+    * reduce merges 32 tiny maps.
+    */
+  def heavyHitters(events: DataFrame, k: Int): Dataset[HeavyHitter] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .select(pmod(col("user_id"), lit(32)).cast("int").as("shard"), col("user_id"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], HeavyHitter](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, Long)], state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          for ((_, uid) <- rows) {
+            if (m.contains(uid)) m = m.updated(uid, m(uid) + 1)
+            else if (m.size < k) m = m.updated(uid, 1L)
+            else m = m.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+          }
+          state.update(m)
+          m.iterator.map { case (u, c) => HeavyHitter(shard, u, c) }
+      }
+  }
 }

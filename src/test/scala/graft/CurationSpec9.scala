@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the ninth batch: ranking-quality metrics recomputed
+  * from raw embeddings, and the split-leakage audit cross-checked
+  * against the queries it composes.
+  */
+class CurationSpec9 extends SparkSpec {
+
+  private def dist(a: Seq[Double], b: Seq[Double]): Double = {
+    def dot(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (u, v)) => acc + u * v }
+    1 - dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  test("ann_ndcg: metrics recomputed from raw embeddings in Scala") {
+    val rows = graft.queries.AnnQueries.annNdcg.fn(spark, sf0001)
+      .orderBy("qid").collect()
+    assert(rows.length == 10)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1),
+        r.get(2).asInstanceOf[Number].longValue))
+    val w = Seq(1099511627776L, 693714600361L, 549755813888L, 473533883412L,
+      425349159792L, 391653944122L, 366503875925L, 346857300180L,
+      330985980541L, 317830137717L)
+    for (r <- rows) {
+      val qid = r.getLong(0)
+      val (qv, qlabel) = emb.find(_._1 == qid).map(e => (e._2, e._3)).get
+      val truth = emb.filter(_._1 != qid)
+        .map { case (id, v, _) => (id, dist(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val approx = emb.filter(e => e._1 != qid && e._3 == qlabel)
+        .map { case (id, v, _) => (id, dist(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+      val rels = approx.zipWithIndex.map { case (id, i) => (i + 1, truth(id)) }
+      val nRel = rels.count(_._2)
+      val dcg = rels.collect { case (rk, true) => w(rk - 1) }.sum
+      val fr = rels.collectFirst { case (rk, true) => rk }.getOrElse(0)
+      assert(r.getLong(1) == nRel, s"n_rel qid $qid")
+      assert(r.getLong(2) == dcg * 10000 / w.sum, s"ndcg_bp qid $qid")
+      assert(r.getLong(3) == (if (fr == 0) 0L else 1048576L / fr), s"rr_q20 qid $qid")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 10000)
+    }
+  }
+
+  test("split_leakage: consistent with the lsh-pair stream and split assignment") {
+    val rows = graft.queries.DedupQueries.splitLeakage.fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val pairs = graft.queries.DedupQueries.minhashLshPairs.fn(spark, sf0001)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val split = graft.queries.TextStatsQueries.sampleSplit.fn(spark, sf0001)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val classes = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }
+    assert(rows.length == classes.size)
+    for (r <- rows) {
+      val key = (r.getString(0), r.getString(1))
+      val ps = classes(key)
+      assert(r.getLong(2) == ps.length, s"n_pairs $key")
+      assert(r.getLong(3) == ps.flatMap(p => Seq(p._1, p._2)).distinct.length,
+        s"n_docs $key")
+    }
+    // pair conservation: class counts partition the verified pair stream
+    assert(rows.map(_.getLong(2)).sum == pairs.length)
+  }
+}

@@ -50,7 +50,10 @@ class DeterminismSpec extends SparkSpec {
     // invariant to the very sharding they reason about
     "q_zorder_layout",       // Morton bit algebra + zone-map envelopes
     "q_snm_blocking",        // histogram-offset global ranks, banded join
-    "q_repeated_spans")      // island merge over per-doc position windows
+    "q_repeated_spans",      // island merge over per-doc position windows
+    // round-7 batch 9: fixed-literal DCG weights; pair-stream classes
+    "q_ann_ndcg",            // 2^40 weight table, integral ndcg/rr ratios
+    "q_split_leakage")       // lsh pair stream x salted-hash splits
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")

@@ -65,7 +65,10 @@ class ScaleSlopeSpec extends SparkSpec {
     // (0.21 at 100x) — pinned so neither pair generator regresses to a
     // range join or a corpus-global window
     "q_repeated_spans" -> 1.5,
-    "q_snm_blocking" -> 1.5)
+    "q_snm_blocking" -> 1.5,
+    // round-7 batch 9: leakage classification rides the lsh pair
+    // stream (0.24 perturbed at 10x when added)
+    "q_split_leakage" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)

@@ -210,6 +210,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries heavy hitters: MG bounds hold per shard") {
+    val (dir, schema) = batchEvents
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val k = 8
+    val q = EventStreams.heavyHitters(stream, k)
+      .writeStream.outputMode("update").format("memory").queryName("hh").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT shard, user_id, cnt_lb FROM hh").collect()
+      assert(rows.nonEmpty)
+      val exact = Tables.events(spark, sf0001)
+        .groupBy(pmod(col("user_id"), lit(32)).cast("int").as("shard"), col("user_id"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      val shardN = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      // the parquet source delivers the fixture as ONE micro-batch, so
+      // the memory table holds exactly the final per-shard summaries
+      val perShard = rows.groupBy(_.getInt(0))
+      for ((s, rs) <- perShard) assert(rs.length <= k, s"shard $s summary over k")
+      for (r <- rows) {
+        val key = (r.getInt(0), r.getLong(1))
+        val (t, n) = (exact(key), shardN(key._1))
+        assert(r.getLong(2) <= t, s"MG estimate above true count for $key")
+        assert(r.getLong(2) >= t - n / (k + 1), s"MG estimate below bound for $key")
+      }
+      // guarantee: every item with true shard frequency > n/(k+1) survives
+      val got = rows.map(r => (r.getInt(0), r.getLong(1))).toSet
+      for (((s, u), t) <- exact if t > shardN(s).toDouble / (k + 1))
+        assert(got.contains((s, u)), s"heavy item ($s, $u) missing from summary")
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: docs stream -> chunk+embed -> .vdb parts") {
     // the reference's build pipeline (R1->R2->R3->R4) as a stream: each
     // micro-batch of documents is chunked, mock-embedded, and APPENDED to
