@@ -48,6 +48,19 @@ object TextFunctions {
   /** Whitespace tokens (single-space split — the corpus separator). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Greedy LEFT-TO-RIGHT non-overlapping application of one BPE merge
+    * (l, r) over a token array — real BPE's overlap parity: "a a a"
+    * under (a, a) yields ["a a", "a"]. A strict sequential fold, so the
+    * DuckDB `list_reduce` twin resolves overlaps identically.
+    */
+  def bpeMergeApply(toks: Column, l: String, r: String): Column =
+    aggregate(toks, array().cast("array<string>"),
+      (acc, t) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && t === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat_ws(" ", element_at(acc, -1), t))))
+        .otherwise(concat(acc, array(t))))
+
   /** Distinct n-token shingles, joined by a single space. Fewer than n
     * tokens → empty set (guarded: Spark's `sequence` runs DESCENDING when
     * stop < start, which would fabricate shingles).

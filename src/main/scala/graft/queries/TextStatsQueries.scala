@@ -650,7 +650,82 @@ object TextStatsQueries {
       .select(col("rank"), col("doc_id"), col("w"), col("key_q40"))
   }
 
+  /** BPE MERGE LEARNING — five rounds of the byte-pair-encoding
+    * training loop at token granularity (the tokenizer-training core a
+    * data pipeline runs over its own corpus): per round, count adjacent
+    * token pairs corpus-wide, pick the most frequent (ties: count DESC,
+    * then lexicographic — fully deterministic), and APPLY the merge
+    * with the greedy LEFT-TO-RIGHT non-overlapping semantics of real
+    * BPE ("a a a" under merge (a,a) yields ["a a", "a"], not two
+    * overlapping merges — the parity trap). The apply step is a strict
+    * sequential fold in BOTH engines (Spark `aggregate` HOF / DuckDB
+    * `list_reduce` over single-element lists), so overlap resolution is
+    * identical by construction. Output per round: the learned merge,
+    * its pre-merge pair count, and the corpus token count after
+    * application (n_pair ≥ tokens removed, strictly, whenever overlaps
+    * occurred). Pure string/count arithmetic — no doubles anywhere.
+    *
+    * SCALE: each round is one corpus-shaped pair-count shuffle
+    * (map-side combine), a 1-row argmax (TakeOrderedAndProject), and a
+    * map-only fold apply; the per-round driver collect is a single row
+    * — the `q_ivf_kmeans` codebook pattern. `localCheckpoint` truncates
+    * the per-round fold lineage so round k doesn't re-run folds 1..k-1
+    * (executor-local truncation, re-derivable on loss). The fold
+    * rebuilds a per-document list (cost bounded by DOCUMENT length,
+    * never corpus size) — corpus-linear per round.
+    */
+  val bpeLearn: QueryDef = {
+    val iters = 5
+    def pairCte(i: Int) =
+      s"""p$i AS (SELECT toks[pos] AS l, toks[pos + 1] AS r, count(*) AS cnt
+         |        FROM t${i - 1}, unnest(range(1, len(toks))) u(pos)
+         |        GROUP BY 1, 2)""".stripMargin
+    def bestCte(i: Int) =
+      s"b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)"
+    def applyCte(i: Int) =
+      s"""t$i AS (SELECT doc_id, list_reduce(
+         |          list_prepend(CAST([] AS VARCHAR[]), list_transform(toks, t -> [t])),
+         |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b$i.l
+         |                                AND x[1] = b$i.r
+         |                      THEN acc[1:len(acc)-1] || [acc[len(acc)] || ' ' || x[1]]
+         |                      ELSE acc || x END) AS toks
+         |       FROM t${i - 1}, b$i)""".stripMargin
+    val rounds = (1 to iters).map(i =>
+      s"${pairCte(i)},\n${bestCte(i)},\n${applyCte(i)}").mkString(",\n")
+    val unions = (1 to iters).map(i =>
+      s"""SELECT $i AS iter, l AS merge_l, r AS merge_r, cnt,
+         |       (SELECT sum(len(toks)) FROM t$i) AS nt FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    QueryDef.sql(
+      "q_bpe_learn",
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |$rounds
+         |SELECT CAST(iter AS BIGINT) AS iter, merge_l, merge_r,
+         |       CAST(cnt AS BIGINT) AS n_pair, CAST(nt AS BIGINT) AS n_tokens
+         |FROM ($unions)""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      var toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val out = collection.mutable.Buffer.empty[(Long, String, String, Long, Long)]
+      for (i <- 1 to iters) {
+        val top = toks.filter(size(col("toks")) >= 2)
+          .select(col("toks"), explode(sequence(lit(1), size(col("toks")) - 1)).as("pos"))
+          .select(element_at(col("toks"), col("pos")).as("l"),
+            element_at(col("toks"), col("pos") + 1).as("r"))
+          .groupBy("l", "r").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+          .head()
+        val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        toks = toks.withColumn("toks", bpeMergeApply(col("toks"), l, r))
+          .localCheckpoint()
+        val nt = toks.agg(sum(size(col("toks"))).cast("long")).head().getLong(0)
+        out += ((i.toLong, l, r, cnt, nt))
+      }
+      out.toSeq.toDF("iter", "merge_l", "merge_r", "n_pair", "n_tokens")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
     docFreq, seqPack, bpeTokens, bm25, hybridRrf, domainMix, repetition,
-    windowDecontam, keywords, bigramLm, bigramPpl, weightedSample)
+    windowDecontam, keywords, bigramLm, bigramPpl, weightedSample, bpeLearn)
 }

@@ -45,6 +45,53 @@ class CurationSpec9 extends SparkSpec {
     }
   }
 
+  test("bpe merge apply: greedy left-to-right overlap parity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "a", "a", "b", "a", "a")),
+      (2L, Seq("a", "a", "a", "a")),
+      (3L, Seq("b")),
+      (4L, Seq.empty[String])).toDF("id", "toks")
+    val got = df.select(col("id"),
+        graft.functions.TextFunctions.bpeMergeApply(col("toks"), "a", "a").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a a", "a", "b", "a a"))
+    assert(got(2L) == Seq("a a", "a a"))
+    assert(got(3L) == Seq("b"))
+    assert(got(4L) == Seq.empty[String])
+  }
+
+  test("bpe_learn: all five rounds recomputed in Scala from raw documents") {
+    val rows = graft.queries.TextStatsQueries.bpeLearn.fn(spark, sf0001)
+      .orderBy("iter").collect()
+    assert(rows.length == 5)
+    var corpus = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getString(1).split(" ", -1).toSeq)
+    def applyMerge(toks: Seq[String], l: String, r: String): Seq[String] =
+      toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == l && t == r)
+          acc.init :+ (acc.last + " " + t)
+        else acc :+ t
+      }
+    for (row <- rows) {
+      val pairs = corpus.flatMap(tk => tk.zip(tk.drop(1)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      val (l, r) = pairs.maxBy { case ((pl, pr), c) => (c, ReverseStr(pl), ReverseStr(pr)) }._1
+      val cnt = pairs.toMap.apply((l, r))
+      corpus = corpus.map(applyMerge(_, l, r))
+      assert(row.getString(1) == l && row.getString(2) == r, s"round ${row.getLong(0)} merge")
+      assert(row.getLong(3) == cnt, s"round ${row.getLong(0)} n_pair")
+      assert(row.getLong(4) == corpus.map(_.length.toLong).sum, s"round ${row.getLong(0)} n_tokens")
+    }
+  }
+
+  // orders strings DESCENDING inside maxBy (count ASC, string DESC ⇒
+  // argmax = highest count, lexicographically smallest pair)
+  private case class ReverseStr(s: String) extends Ordered[ReverseStr] {
+    def compare(that: ReverseStr): Int = that.s.compareTo(s)
+  }
+
   test("split_leakage: consistent with the lsh-pair stream and split assignment") {
     val rows = graft.queries.DedupQueries.splitLeakage.fn(spark, sf0001).collect()
     assert(rows.nonEmpty)

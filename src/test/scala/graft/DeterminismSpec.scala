@@ -53,7 +53,8 @@ class DeterminismSpec extends SparkSpec {
     "q_repeated_spans",      // island merge over per-doc position windows
     // round-7 batch 9: fixed-literal DCG weights; pair-stream classes
     "q_ann_ndcg",            // 2^40 weight table, integral ndcg/rr ratios
-    "q_split_leakage")       // lsh pair stream x salted-hash splits
+    "q_split_leakage",       // lsh pair stream x salted-hash splits
+    "q_bpe_learn")           // count-DESC/lex argmax + sequential fold
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
