@@ -28,20 +28,30 @@ object Bench {
     }
     // two timed passes, per-query MIN: machine-load contention swings a
     // single-pass total 2-3x on a shared box; the min of two runs is the
-    // steady-state number the engine actually delivers
+    // steady-state number the engine actually delivers.
+    // A query that throws must NOT book its time-to-exception as a timing
+    // (round-7 postmortem: four analysis-broken queries printed as fake
+    // 8-13x "speedups") — failed queries go to a "failed" list and are
+    // excluded from the per-query map and the total.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      try run(name) catch { case e: Throwable =>
+        if (failed.add(name))
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val pass1 = names.map(n => n -> timed(n)).toMap
     val results = names.map(n => n -> math.min(pass1(n), timed(n)))
+      .filterNot { case (n, _) => failed.contains(n) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // the driver captures a bounded stdout tail, which has truncated the
     // per-query map in past rounds — persist the full line as an artifact

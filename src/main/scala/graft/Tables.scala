@@ -17,10 +17,13 @@ object Tables {
     apply(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"), col("label"))
 
-  /** events, with the TIMESTAMP(NANOS) parquet column (which Spark 4
-    * rejects by default) read as long nanos and truncated to µs — the
-    * same truncation DuckDB applies, so both engines see identical
-    * timestamps.
+  /** events, with `ts` normalized to TimestampType regardless of how the
+    * driver encoded the parquet column — the fixture has drifted across
+    * rounds (TIMESTAMP(NANOS) → `timestamp[us]` no-tz, which Spark 4 reads
+    * as TIMESTAMP_NTZ), and every downstream consumer (`unix_micros`,
+    * `withWatermark`) requires TIMESTAMP. The NTZ→TIMESTAMP cast is
+    * value-preserving under the UTC session the harness sets, matching
+    * what DuckDB sees on the same file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -28,7 +31,9 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-as-long source
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // already a (µs) timestamp, e.g. re-encoded replicas
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already a (µs) TIMESTAMP, e.g. re-encoded replicas
     }
   }
 }

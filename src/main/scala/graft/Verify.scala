@@ -24,6 +24,11 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // a query that throws must be LOUD in the artifact, not silently absent
+    // (round-7 postmortem: five analysis-broken queries vanished from the
+    // driver ledger because no parquet dir appeared) — record every failure
+    // and mirror it into errors.json next to the parquet dumps
+    val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -32,6 +37,7 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failures.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       }
     }
@@ -54,6 +60,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    import scala.jdk.CollectionConverters._
+    val errJson = failures.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (!failures.isEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keySet.asScala.toSeq.sorted.mkString(", "))
     spark.stop()
   }
 }

@@ -62,6 +62,37 @@ object HashKernels {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** All ordered pairs (a < b) of an id array as struct<ida,idb> rows,
+    * built in one tight loop over a sorted primitive copy. Replaces the
+    * `sort_array` + nested transform/slice/flatten HOF pipeline, which
+    * allocated O(n²) intermediate ARRAYS per group (each `slice` copies
+    * the tail) plus a lambda frame per element; this emits exactly one
+    * 2-field row per pair. Ids are arbitrary longs — no range
+    * assumption, because scale replicas remap ids by copy-index steps
+    * of 1e8..1e11 (a 32-bit packed-long scheme was tried first and
+    * failed exactly on the 100x probe it existed to speed up).
+    */
+  def orderedPairs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val a = ids.toLongArray()
+    java.util.Arrays.sort(a)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val ai = a(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ai, a(j)))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** polyHash(string) as a codegen expression. */
@@ -84,9 +115,25 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All a<b pairs of an id array, as array<struct<ida,idb>>. */
+case class OrderedPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ida", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("idb", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.orderedPairs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.orderedPairs($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashExpressions {
   def polyHashFast(c: Column): Column =
     GraftShim.column(PolyHashExpr(GraftShim.expression(c)))
   def shingleHashesFast(toks: Column, n: Int): Column =
     GraftShim.column(ShingleHashesExpr(GraftShim.expression(toks), n))
+  def orderedPairsFast(ids: Column): Column =
+    GraftShim.column(OrderedPairsExpr(GraftShim.expression(ids)))
 }

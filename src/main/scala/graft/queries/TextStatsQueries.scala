@@ -672,7 +672,11 @@ object TextStatsQueries {
     * the per-round fold lineage so round k doesn't re-run folds 1..k-1
     * (executor-local truncation, re-derivable on loss). The fold
     * rebuilds a per-document list (cost bounded by DOCUMENT length,
-    * never corpus size) — corpus-linear per round.
+    * never corpus size) — corpus-linear per round. The post-merge
+    * `n_tokens` rides an `Observation` on the checkpoint
+    * materialization job (the `q_dedup_groups` convergence pattern,
+    * `ConnectedComponents.scala`) instead of a separate recount job —
+    * two jobs per round (pair-argmax + observed apply), not three.
     */
   val bpeLearn: QueryDef = {
     val iters = 5
@@ -716,9 +720,11 @@ object TextStatsQueries {
           .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
           .head()
         val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        val obs = new org.apache.spark.sql.Observation(s"bpe_nt_$i")
         toks = toks.withColumn("toks", bpeMergeApply(col("toks"), l, r))
-          .localCheckpoint()
-        val nt = toks.agg(sum(size(col("toks"))).cast("long")).head().getLong(0)
+          .observe(obs, sum(size(col("toks"))).cast("long").as("nt"))
+          .localCheckpoint(true)
+        val nt = obs.get("nt").asInstanceOf[Long]
         out += ((i.toLong, l, r, cnt, nt))
       }
       out.toSeq.toDF("iter", "merge_l", "merge_r", "n_pair", "n_tokens")

@@ -68,7 +68,12 @@ class ScaleSlopeSpec extends SparkSpec {
     "q_snm_blocking" -> 1.5,
     // round-7 batch 9: leakage classification rides the lsh pair
     // stream (0.24 perturbed at 10x when added)
-    "q_split_leakage" -> 1.5)
+    "q_split_leakage" -> 1.5,
+    // round-8: the OTHER tokenize-twice plan (q_token_cdf is pinned
+    // above) — both carry a measured ~0.6 slope from a double corpus
+    // scan feeding a broadcast side; gated so a third tokenize consumer
+    // can't silently appear and push the family super-linear
+    "q_vocab_coverage" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
