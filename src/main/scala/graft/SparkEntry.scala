@@ -37,6 +37,7 @@ object SparkEntry {
       graft.queries.CurationQueries6.all ++
       graft.queries.CurationQueries7.all ++
       graft.queries.CurationQueries8.all ++
+      graft.queries.CurationQueries9.all ++
       graft.queries.PqQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
