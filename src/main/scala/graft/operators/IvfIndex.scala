@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.QuantizedL2Expr
 
@@ -36,38 +35,49 @@ object IvfIndex {
     * approximation. Every argmin orders (d2, id) — deterministic.
     */
   def twoLevelAssign(emb: DataFrame, seeds: DataFrame, k1: Long): DataFrame = {
+    // Every argmin below is a groupBy + min(struct(d2, cell)) — struct
+    // ordering IS (d2 asc, cell asc), the repo's tie rule — NOT a
+    // row_number window: after the broadcast join fans each vector out
+    // to its candidate seeds, a window would SHUFFLE all N·candidates
+    // rows (the 1000x decade probe measured this as the dominant term),
+    // while hash-aggregate partial ARGMIN collapses them to one row per
+    // vector map-side, before the exchange. Only N collapsed rows ever
+    // cross the wire — the broadcast-assign contract the Scaladoc
+    // promises. (The N·(k1 + k/k1) quantized-L2 evaluations themselves
+    // are inherent to two-level routing and stay map-side.)
     val coarse = seeds.filter(col("cluster") < k1)
       .select(col("cluster").as("ccell"), col("cv").as("gv"))
-    val wp = Window.partitionBy(col("cluster")).orderBy(col("pd2").asc, col("ccell").asc)
     val parent = seeds.crossJoin(broadcast(coarse))
-      .select(col("cluster"), col("cv"), col("ccell"),
-        QuantizedL2Expr.column(col("cv"), col("gv"), 45).as("pd2"))
-      .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
-      .select(col("cluster"), col("cv"), col("ccell").as("parent"))
-    val wc = Window.partitionBy(col("vec_id")).orderBy(col("cd2").asc, col("ccell").asc)
+      .select(col("cluster"), col("cv"),
+        struct(QuantizedL2Expr.column(col("cv"), col("gv"), 45).as("d2"),
+          col("ccell").as("cell")).as("dc"))
+      .groupBy("cluster").agg(min("dc").as("m"), first("cv").as("cv"))
+      .select(col("cluster"), col("cv"), col("m.cell").as("parent"))
     val vc = emb.crossJoin(broadcast(coarse))
-      .select(col("vec_id"), col("embedding"), col("ccell"),
-        QuantizedL2Expr.column(col("embedding"), col("gv"), 45).as("cd2"))
-      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("ccell"))
-    val wf = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster").asc)
+      .select(col("vec_id"), col("embedding"),
+        struct(QuantizedL2Expr.column(col("embedding"), col("gv"), 45).as("d2"),
+          col("ccell").as("cell")).as("dc"))
+      .groupBy("vec_id").agg(min("dc").as("m"), first("embedding").as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.cell").as("ccell"))
     vc.join(broadcast(parent), col("parent") === col("ccell"))
-      .select(col("vec_id"), col("cluster"),
-        QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"))
-      .withColumn("rn", row_number().over(wf)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"))
+      .select(col("vec_id"),
+        struct(QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"),
+          col("cluster").as("cell")).as("dc"))
+      .groupBy("vec_id").agg(min("dc").as("m"))
+      .select(col("vec_id"), col("m.cell").as("cluster"))
   }
 
-  /** Nearest-seed assignment for every vector: (vec_id, cluster). */
-  def assign(emb: DataFrame, seeds: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster").asc)
+  /** Nearest-seed assignment for every vector: (vec_id, cluster).
+    * Same partial-aggregated argmin as [[twoLevelAssign]] — the
+    * N·k fan-out collapses map-side; no window shuffle.
+    */
+  def assign(emb: DataFrame, seeds: DataFrame): DataFrame =
     emb.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("cluster"),
-        QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"))
-  }
+      .select(col("vec_id"),
+        struct(QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"),
+          col("cluster").as("cell")).as("dc"))
+      .groupBy("vec_id").agg(min("dc").as("m"))
+      .select(col("vec_id"), col("m.cell").as("cluster"))
 
   /** Build the physical index: vectors + assignment, partitioned by
     * cluster. One broadcast assignment + one partitioned write.
