@@ -73,7 +73,12 @@ class ScaleSlopeSpec extends SparkSpec {
     // above) — both carry a measured ~0.6 slope from a double corpus
     // scan feeding a broadcast side; gated so a third tokenize consumer
     // can't silently appear and push the family super-linear
-    "q_vocab_coverage" -> 1.5)
+    "q_vocab_coverage" -> 1.5,
+    // round-8 batch 9: DSIR's bigram stream feeds a 1024-bucket
+    // aggregate + a broadcast weight join + a doc-keyed sum — all
+    // corpus-linear; pinned so the weight join can't regress to a
+    // shuffle join or the bucket table to a corpus-sized key space
+    "q_dsir" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
