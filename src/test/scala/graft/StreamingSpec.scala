@@ -242,6 +242,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL: final registers equal the batch registers (max-merge order-independence)") {
+    val (dir, schema) = batchEvents
+    // write the fixture as MANY small files so the stream really runs
+    // multi-batch: order-independence is the property under test
+    val manydir = Files.createTempDirectory("events-hll").toString
+    spark.read.parquet(dir).repartition(8).write.mode("overwrite").parquet(manydir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(manydir)
+    val q = graft.streaming.SketchStreams.hllRegisters(stream)
+      .writeStream.outputMode("update").format("memory").queryName("hllreg").start()
+    try {
+      q.processAllAvailable()
+      // registers only grow, so the max over all Update emissions IS the
+      // final snapshot
+      val streamed = spark.sql(
+        "SELECT event_type, idx, max(m) AS m FROM hllreg GROUP BY 1, 2")
+      val batch = graft.streaming.SketchStreams
+        .hllPrep(Tables.events(spark, sf0001))
+        .groupBy("event_type", "idx").agg(max("rho").as("m"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streaming HLL registers differ from the one-pass batch registers")
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: docs stream -> chunk+embed -> .vdb parts") {
     // the reference's build pipeline (R1->R2->R3->R4) as a stream: each
     // micro-batch of documents is chunked, mock-embedded, and APPENDED to
