@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.{polyHashSql, shinglesSql, tokens}
+import graft.operators.Dedup
+
+/** Eleventh curation batch: graph structure of the near-dup graph
+  * (triangle count / global clustering — template families close
+  * triangles, chance collisions don't), recursive smoothing over the
+  * event stream (integer EWMA — the alerting baseline), the dedup
+  * COST report (what each tier would actually delete, in documents
+  * and tokens — the number a storage owner asks for first), and the
+  * language-ID confusion matrix (per-pair counts + per-label recall —
+  * the eval that decides whether the heuristic is shippable).
+  */
+object CurationQueries11 {
+
+  /** TRIANGLE COUNT + global clustering coefficient over the SimHash
+    * near-dup graph (hamming ≤ 1 pairs, the `q_simhash_pairs` edge
+    * set). Edges are oriented ida < idb, so each triangle a<b<c is
+    * counted exactly once by the two-join path a→b→c ∧ a→c; wedges
+    * come from the degree table (Σ d·(d−1)/2), and GCC = 3·Δ/wedges
+    * in basis points. A high GCC says near-dup pairs come in CLIQUES
+    * (template families) rather than chains — which is what makes the
+    * min-id-keeper collapse safe. SCALE: two joins on a band-bounded
+    * edge set (the LSH cap bounds degree, so path mass is Σd² — the
+    * same bound as the pair generators); degree table is node-sized.
+    */
+  val triangleCount: QueryDef = QueryDef.sql(
+    "q_triangle_count",
+    s"""WITH ${DedupQueries.SimhashCte},
+       |bands AS (${(0 until 2).map(b =>
+        s"SELECT doc_id, $b AS band, (simhash >> ${15 * b}) & 32767 AS key, simhash FROM sim")
+        .mkString(" UNION ALL ")}),
+       |e AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |      FROM bands a JOIN bands b
+       |        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+       |tri AS (SELECT count(*) AS t
+       |        FROM e e1 JOIN e e2 ON e2.ida = e1.idb
+       |                  JOIN e e3 ON e3.ida = e1.ida AND e3.idb = e2.idb),
+       |deg AS (SELECT id, count(*) AS d
+       |        FROM (SELECT ida AS id FROM e UNION ALL SELECT idb FROM e)
+       |        GROUP BY 1),
+       |w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |             CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS wedges FROM deg),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+       |SELECT n_nodes, n_edges, CAST(t AS BIGINT) AS n_triangles,
+       |       CAST((3 * t * 10000) // greatest(wedges, 1) AS BIGINT) AS gcc_bp
+       |FROM w, ne, tri""".stripMargin) { (spark, dir) =>
+    val sig = Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text")
+    val e = Dedup.simhashPairs(sig, "doc_id", 1)
+      .select(col("ida"), col("idb")).distinct()
+    val e1 = e
+    val e2 = e.select(col("ida").as("idb"), col("idb").as("idc"))
+    val e3 = e.select(col("ida").as("ida3"), col("idb").as("idc3"))
+    val tri = e1.join(e2, "idb")
+      .join(e3, col("ida") === col("ida3") && col("idc") === col("idc3"))
+      .agg(count(lit(1)).as("t"))
+    val deg = e.select(col("ida").as("id")).unionAll(e.select(col("idb").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val w = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(d * (d - 1)) DIV 2")).cast("long").as("wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    w.crossJoin(ne).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("t").as("n_triangles"),
+        expr("3 * t * 10000 DIV greatest(wedges, 1)").as("gcc_bp"))
+  }
+
+  /** Integer EWMA over per-type hourly event counts — the recursive
+    * smoother an alerting baseline runs (α = 1/8, the classic
+    * power-of-two choice): s₀ = c₀·2^20, sₜ = (7·sₜ₋₁ + cₜ·2^20) DIV 8.
+    * Integer floor division makes every step exact in both engines —
+    * recursion order is pinned by sorting hours, and the fold is a
+    * strict sequential `aggregate` HOF / `list_reduce` (the
+    * q_bpe_learn parity pattern for inherently-sequential state).
+    * SCALE: one hour-keyed count (map-side combine), then the fold
+    * runs per type over a HORIZON-bounded array (hours, not events) —
+    * the recursion never touches corpus-sized data.
+    */
+  val ewma: QueryDef = QueryDef.sql(
+    "q_ewma",
+    """WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      |           FROM events GROUP BY 1, 2),
+      |arr AS (SELECT event_type, list(c ORDER BY h) AS cs, count(*) AS nh
+      |        FROM hc GROUP BY 1)
+      |SELECT event_type, CAST(nh AS BIGINT) AS n_hours,
+      |       CAST(cs[len(cs)] AS BIGINT) AS last_cnt,
+      |       CAST(list_reduce(list_prepend(CAST(cs[1] * 1048576 AS BIGINT), cs[2:]),
+      |                        (acc, c) -> (acc * 7 + c * 1048576) // 8) AS BIGINT)
+      |         AS ewma_q20
+      |FROM arr""".stripMargin) { (spark, dir) =>
+    val hc = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    hc.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("h"), col("c")))).as("hs"))
+      .select(col("event_type"), expr("transform(hs, x -> x.c)").as("cs"))
+      .select(col("event_type"),
+        size(col("cs")).cast("long").as("n_hours"),
+        expr("cs[size(cs) - 1]").as("last_cnt"),
+        expr("aggregate(slice(cs, 2, size(cs) - 1), cs[0] * CAST(1048576 AS BIGINT)," +
+          " (acc, c) -> (acc * 7 + c * 1048576) DIV 8)").as("ewma_q20"))
+  }
+
+  /** DEDUP COST REPORT — what each tier would delete under the
+    * min-id-keeper rule, in documents, tokens, and token share (bp):
+    * exact (same text), near (shingle Jaccard ≥ 0.5), containment
+    * (≥ 0.8). The three drop sets ride the SAME df-capped shingle
+    * pair stream (`Dedup.ngramJaccardPairs` at threshold 0, scored
+    * both ways), so the report costs one pair pass + three
+    * broadcast-sized joins against per-doc token counts — the
+    * storage-owner view of the whole dedup family.
+    */
+  val dedupCost: QueryDef = QueryDef.sql(
+    "q_dedup_cost",
+    s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql("string_split(text, ' ')", 3)}) AS s
+       |            FROM documents),
+       |hs AS (SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM sh),
+       |kept AS (SELECT h FROM hs GROUP BY h HAVING count(*) <= 64),
+       |hsk AS (SELECT hs.doc_id, hs.h FROM hs JOIN kept ON kept.h = hs.h),
+       |cardk AS (SELECT doc_id, count(*) AS c FROM hsk GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+       |          FROM hsk a JOIN hsk b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jp AS (SELECT i.ida, i.idb,
+       |              CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS j,
+       |              CAST(i.i AS DOUBLE) / least(ca.c, cb.c) AS cont
+       |       FROM inter i JOIN cardk ca ON ca.doc_id = i.ida
+       |                    JOIN cardk cb ON cb.doc_id = i.idb),
+       |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+       |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS t FROM tok),
+       |exact_drop AS (SELECT d.doc_id FROM documents d
+       |               JOIN (SELECT text, min(doc_id) AS m FROM documents GROUP BY text) k
+       |                 ON k.text = d.text WHERE d.doc_id > k.m),
+       |near_drop AS (SELECT DISTINCT idb AS doc_id FROM jp WHERE j >= 0.5),
+       |cont_drop AS (SELECT DISTINCT idb AS doc_id FROM jp WHERE cont >= 0.8),
+       |tiers AS (SELECT 'exact' AS tier, doc_id FROM exact_drop
+       |          UNION ALL SELECT 'near_jaccard', doc_id FROM near_drop
+       |          UNION ALL SELECT 'containment', doc_id FROM cont_drop)
+       |SELECT t.tier, CAST(count(*) AS BIGINT) AS n_dropped,
+       |       CAST(sum(tok.nt) AS BIGINT) AS tokens_dropped,
+       |       CAST((sum(tok.nt) * 10000) // max(tot.t) AS BIGINT) AS token_share_bp
+       |FROM tiers t JOIN tok USING (doc_id), tot
+       |GROUP BY t.tier""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val jp = Dedup.ngramJaccardPairs(hs, "doc_id", 0.0)
+      .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
+    val tok = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("nt"))
+    val tot = tok.agg(sum("nt").cast("long").as("t"))
+    val exactDrop = docs
+      .join(docs.groupBy("text").agg(min("doc_id").as("m")), "text")
+      .filter(col("doc_id") > col("m")).select(col("doc_id"))
+    val nearDrop = jp.filter(col("jaccard") >= 0.5)
+      .select(col("idb").as("doc_id")).distinct()
+    val contDrop = jp.filter(col("cont") >= 0.8)
+      .select(col("idb").as("doc_id")).distinct()
+    val tiers = exactDrop.withColumn("tier", lit("exact"))
+      .unionAll(nearDrop.withColumn("tier", lit("near_jaccard")))
+      .unionAll(contDrop.withColumn("tier", lit("containment")))
+    tiers.join(tok, "doc_id").crossJoin(broadcast(tot))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_dropped"),
+        sum("nt").cast("long").as("tokens_dropped"),
+        expr("CAST(sum(nt) * 10000 DIV max(t) AS BIGINT)").as("token_share_bp"))
+  }
+
+  /** Language-ID CONFUSION MATRIX — the eval for `q_lang_id`'s marker
+    * heuristic: per (labeled, predicted) counts plus per-label recall
+    * in basis points. Composes the existing query (same Spark fn, same
+    * oracle SQL as a subquery), so classifier and eval can never
+    * drift apart. SCALE: a (langs × langs)-bounded aggregate over the
+    * classifier's map-side output.
+    */
+  val langidConfusion: QueryDef = QueryDef.sql(
+    "q_langid_confusion",
+    s"""WITH pred AS (${TextStatsQueries.langId.oracle.get}),
+       |cm AS (SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |       FROM pred GROUP BY 1, 2),
+       |lt AS (SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS lab_total FROM cm GROUP BY 1)
+       |SELECT cm.labeled_lang, cm.pred_lang, cm.n,
+       |       CAST((cm.n * 10000) // lt.lab_total AS BIGINT) AS recall_bp
+       |FROM cm JOIN lt USING (labeled_lang)""".stripMargin) { (spark, dir) =>
+    val pred = TextStatsQueries.langId.fn(spark, dir)
+    val cm = pred.groupBy("labeled_lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val lt = cm.groupBy("labeled_lang").agg(sum("n").cast("long").as("lab_total"))
+    cm.join(broadcast(lt), "labeled_lang")
+      .select(col("labeled_lang"), col("pred_lang"), col("n"),
+        expr("n * 10000 DIV lab_total").as("recall_bp"))
+  }
+
+  val all: Seq[QueryDef] = Seq(triangleCount, ewma, dedupCost, langidConfusion)
+}

@@ -275,7 +275,9 @@ object DedupQueries {
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
-  private val SimhashCte = {
+  // package-visible: CurationQueries11's triangle count builds its edge
+  // set from the same simhash-pair definition
+  private[queries] val SimhashCte = {
     val bits = 30
     val sums = (0 until bits).map(i => s"sum((h >> $i) & 1) AS c$i").mkString(", ")
     val fold = (0 until bits).map(i =>
