@@ -78,7 +78,15 @@ class ScaleSlopeSpec extends SparkSpec {
     // aggregate + a broadcast weight join + a doc-keyed sum — all
     // corpus-linear; pinned so the weight join can't regress to a
     // shuffle join or the bucket table to a corpus-sized key space
-    "q_dsir" -> 1.5)
+    "q_dsir" -> 1.5,
+    // round-8 batches 11-12: the three NEW pair generators — triangles
+    // on the band-bounded simhash edges, the shared-pair-pass dedup
+    // cost report, and the UNCAPPED prefix-filtered ppjoin (rare-first
+    // ordering is the only thing standing between it and hot-shingle
+    // quadratics — exactly what this gate would catch)
+    "q_triangle_count" -> 1.5,
+    "q_dedup_cost" -> 1.5,
+    "q_ppjoin" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
