@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.CurationQueries10.all ++
       graft.queries.CurationQueries11.all ++
       graft.queries.CurationQueries12.all ++
+      graft.queries.CurationQueries13.all ++
       graft.queries.PqQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

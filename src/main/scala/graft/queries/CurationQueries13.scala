@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.{polyHashSql, shinglesSql}
+import graft.operators.Dedup
+
+/** Thirteenth batch: closes two loops opened earlier in the round —
+  * a PRODUCTION path for containment (the one pairwise tier that was
+  * exact-only), and the HLL merge law proven inside the ORACLE gate
+  * (the streaming spec asserts it; this makes the driver's
+  * hash-compare assert it too).
+  */
+object CurationQueries13 {
+
+  /** OVERLAP-JOIN prefix filtering for CONTAINMENT ≥ 0.8 — the
+    * production path for the asymmetric tier (`q_containment` is the
+    * df-capped oracle tier; this is UNCAPPED and exact): if
+    * |a∩b| ≥ 0.8·min(|a|,|b|), the smaller side can miss fewer than
+    * |s| − ⌈0.8·|s|⌉ + 1 of its own tokens from the intersection, so
+    * its rare-first prefix of that size must contain a SHARED token
+    * (pigeonhole) — and a shared token lies in the other side's FULL
+    * set. Candidates are therefore prefix(d) ⋈ full(e), normalized to
+    * ida < idb; exact containment verifies each. The ORACLE is naive
+    * full blocking at the same threshold, so no-false-negatives is
+    * hash-verified like `q_ppjoin`.
+    *
+    * SCALE: prefix mass is rare-token mass (hot shingles sort last,
+    * never enter prefixes), and the prefix×full join costs
+    * Σ_{h∈prefixes} df(h) — bounded by rare-token collisions, not
+    * df². No length filter exists for containment (any size pair is
+    * admissible), which is exactly why the prefix must come from the
+    * SMALLER side — this formulation gets that for free by emitting
+    * every doc's prefix and joining against full sets both ways.
+    */
+  val overlapJoin: QueryDef = QueryDef.sql(
+    "q_overlap_join",
+    s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql("string_split(text, ' ')", 3)}) AS s
+       |            FROM documents),
+       |hs AS (SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM sh),
+       |card AS (SELECT doc_id, count(*) AS c FROM hs GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+       |          FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT i.ida, i.idb,
+       |       CAST(i.i AS DOUBLE) / least(ca.c, cb.c) AS containment
+       |FROM inter i JOIN card ca ON ca.doc_id = i.ida
+       |             JOIN card cb ON cb.doc_id = i.idb
+       |WHERE CAST(i.i AS DOUBLE) / least(ca.c, cb.c) >= 0.8""".stripMargin) {
+    (spark, dir) =>
+      val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+      val df_ = hs.groupBy("h").agg(count(lit(1)).as("df"))
+      val sorted = hs.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"))
+      // prefix size |d| - ceil(0.8|d|) + 1; ceil(8n/10) = (8n+9) DIV 10
+      val pref = sorted.select(col("doc_id"),
+        explode(expr("slice(sh, 1, CAST(size(sh) - (8 * size(sh) + 9) DIV 10 + 1 AS INT))"))
+          .as("p"))
+        .select(col("doc_id").as("pid"), col("p.h").as("h"))
+      val cand = pref.join(hs.select(col("doc_id").as("fid"), col("h")), "h")
+        .filter(col("pid") =!= col("fid"))
+        .select(least(col("pid"), col("fid")).as("ida"),
+          greatest(col("pid"), col("fid")).as("idb"))
+        .distinct()
+      Dedup.jaccardForPairs(cand, hs, "doc_id")
+        .withColumn("containment", col("i").cast("double") / least(col("ca"), col("cb")))
+        .filter(col("containment") >= 0.8)
+        .select(col("ida"), col("idb"), col("containment"))
+  }
+
+  /** HLL MERGE LAW in the oracle gate: split events into halves by
+    * event_id parity, build the q_hll_sketch registers for each half
+    * and for the whole stream, max-merge the halves, and report the
+    * per-type register diff count against the whole — ZERO rows of
+    * disagreement is the mergeability theorem (max is commutative /
+    * associative / idempotent) as a driver-verified number, plus the
+    * estimate from the whole for context. SCALE: three
+    * (type × 256)-bounded register builds + a 256-key merge; this is
+    * the exact reduce a 1000-executor fleet runs, priced at
+    * aggregate-only cost.
+    */
+  val hllMerge: QueryDef = QueryDef.sql(
+    "q_hll_merge",
+    s"""WITH k AS (SELECT event_type, event_id,
+       |                 CAST(user_id AS VARCHAR) || '@' || strftime(ts, '%Y-%m-%d') AS key
+       |          FROM events),
+       |r AS (SELECT event_type, event_id,
+       |             (xi * xi) % 1000000007 % 256 AS idx,
+       |             CASE WHEN (xr * xr) % 1000000007 % 4194304 = 0 THEN 23
+       |                  ELSE 23 - length(bin((xr * xr) % 1000000007 % 4194304)) END AS rho
+       |      FROM (SELECT event_type, event_id,
+       |                   ${polyHashSql("'i#' || key")} AS xi,
+       |                   ${polyHashSql("'r#' || key")} AS xr FROM k)),
+       |ra AS (SELECT event_type, idx, max(rho) AS m FROM r WHERE event_id % 2 = 0 GROUP BY 1, 2),
+       |rb AS (SELECT event_type, idx, max(rho) AS m FROM r WHERE event_id % 2 = 1 GROUP BY 1, 2),
+       |rw AS (SELECT event_type, idx, max(rho) AS m FROM r GROUP BY 1, 2),
+       |merged AS (SELECT event_type, idx, max(m) AS m
+       |           FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1, 2),
+       |diff AS (SELECT w.event_type,
+       |                count(*) FILTER (WHERE coalesce(mg.m, -1) <> w.m) AS n_diff,
+       |                count(*) AS n_regs
+       |         FROM rw w LEFT JOIN merged mg
+       |           ON mg.event_type = w.event_type AND mg.idx = w.idx
+       |         GROUP BY 1),
+       |est0 AS (SELECT g.event_type,
+       |                sum(1.0 / CAST((1::BIGINT << coalesce(rw.m, 0)) AS DOUBLE)) AS s,
+       |                count(*) FILTER (WHERE coalesce(rw.m, 0) = 0) AS v
+       |         FROM (SELECT DISTINCT event_type FROM events) g
+       |         CROSS JOIN (SELECT unnest(range(0, 256)) AS idx) u
+       |         LEFT JOIN rw ON rw.event_type = g.event_type AND rw.idx = u.idx
+       |         GROUP BY 1),
+       |est AS (SELECT event_type,
+       |               CASE WHEN 0.7213 / (1 + 1.079 / 256) * 65536 / s <= 640 AND v > 0
+       |                    THEN CAST(floor(256 * ln(256.0 / v)) AS BIGINT)
+       |                    ELSE CAST(floor(0.7213 / (1 + 1.079 / 256) * 65536 / s) AS BIGINT)
+       |               END AS est
+       |        FROM est0)
+       |SELECT d.event_type, CAST(d.n_regs AS BIGINT) AS n_regs,
+       |       CAST(d.n_diff AS BIGINT) AS n_reg_diff, est.est AS est_whole
+       |FROM diff d JOIN est USING (event_type)""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    // same hash algebra as q_hll_sketch / SketchStreams, with event_id
+    // carried through for the parity split
+    val r = graft.streaming.SketchStreams.hllPrepWithId(ev)
+    def regs(f: org.apache.spark.sql.Column) = r.filter(f)
+      .groupBy("event_type", "idx").agg(max("rho").as("m"))
+    val ra = regs(col("event_id") % 2 === 0)
+    val rb = regs(col("event_id") % 2 === 1)
+    val rw = regs(lit(true))
+    val merged = ra.unionAll(rb).groupBy("event_type", "idx").agg(max("m").as("m"))
+    val diff = rw.as("w").join(merged.as("mg"),
+        col("w.event_type") === col("mg.event_type") && col("w.idx") === col("mg.idx"),
+        "left")
+      .groupBy(col("w.event_type").as("event_type"))
+      .agg(count(when(coalesce(col("mg.m"), lit(-1)) =!= col("w.m"), 1)).as("n_diff"),
+        count(lit(1)).as("n_regs"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(spark.range(256).select(col("id").as("idx")))
+    val fullReg = grid.join(rw, Seq("event_type", "idx"), "left")
+      .select(col("event_type"), coalesce(col("m"), lit(0)).as("m"))
+    val alphaM2 = lit(0.7213) / (lit(1) + lit(1.079) / 256) * 65536
+    val est = fullReg.groupBy("event_type")
+      .agg(sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")).as("s"),
+        count(when(col("m") === 0, 1)).as("v"))
+      .select(col("event_type"),
+        when(alphaM2 / col("s") <= 640 && col("v") > 0,
+          floor(lit(256) * log(lit(256.0) / col("v"))).cast("long"))
+          .otherwise(floor(alphaM2 / col("s")).cast("long")).as("est_whole"))
+    diff.join(est, "event_type")
+      .select(col("event_type"), col("n_regs"), col("n_diff").as("n_reg_diff"),
+        col("est_whole"))
+  }
+
+  val all: Seq[QueryDef] = Seq(overlapJoin, hllMerge)
+}

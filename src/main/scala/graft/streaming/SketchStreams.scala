@@ -27,18 +27,28 @@ object SketchStreams {
     * (leading-1 position in a 2^22 window). Exactly the batch
     * query's integers — the spec relies on this.
     */
-  def hllPrep(events: DataFrame): DataFrame = {
+  def hllPrep(events: DataFrame): DataFrame =
+    hllCols(events, Nil)
+
+  /** [[hllPrep]] with `event_id` carried through — the batch merge-law
+    * query (`q_hll_merge`) splits registers by id parity.
+    */
+  def hllPrepWithId(events: DataFrame): DataFrame =
+    hllCols(events, Seq(col("event_id")))
+
+  private def hllCols(events: DataFrame,
+                      extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val key = concat(col("user_id").cast("string"), lit("@"),
       date_format(col("ts"), "yyyy-MM-dd"))
     def sqMix(salt: String) = {
       val x = polyHash(concat(lit(salt), key))
       pmod(x * x, lit(1000000007L))
     }
-    events.select(col("event_type"),
+    events.select(col("event_type") +: extra ++: Seq(
       pmod(sqMix("i#"), lit(256L)).cast("int").as("idx"),
       when(pmod(sqMix("r#"), lit(4194304L)) === 0, lit(23))
         .otherwise(lit(23) - length(bin(pmod(sqMix("r#"), lit(4194304L)))))
-        .cast("int").as("rho"))
+        .cast("int").as("rho")): _*)
   }
 
   /** Keyed HLL register maintenance: per event_type, fold each

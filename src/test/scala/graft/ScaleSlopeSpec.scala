@@ -86,7 +86,10 @@ class ScaleSlopeSpec extends SparkSpec {
     // quadratics — exactly what this gate would catch)
     "q_triangle_count" -> 1.5,
     "q_dedup_cost" -> 1.5,
-    "q_ppjoin" -> 1.5)
+    "q_ppjoin" -> 1.5,
+    // round-8 batch 13: the prefix×full overlap join (uncapped
+    // containment production path) — prefix mass is the only guard
+    "q_overlap_join" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
