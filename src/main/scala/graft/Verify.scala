@@ -18,6 +18,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The dump itself, session-agnostic — `main` wraps it with its own
+    * session; HarnessSpec drives it on the shared test session to pin
+    * the loud-failure contract.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          only: Option[Set[String]]): Unit = {
     new java.io.File(outDir).mkdirs()
     // queries are independent; run 4 at a time against the shared session
     // (Spark schedules concurrent jobs fine) to cut gate wall time
@@ -67,6 +77,5 @@ object Verify {
     if (!failures.isEmpty)
       System.err.println(s"[verify] ${failures.size} queries FAILED: " +
         failures.keySet.asScala.toSeq.sorted.mkString(", "))
-    spark.stop()
   }
 }
