@@ -668,15 +668,18 @@ object TextStatsQueries {
     * SCALE: each round is one corpus-shaped pair-count shuffle
     * (map-side combine), a 1-row argmax (TakeOrderedAndProject), and a
     * map-only fold apply; the per-round driver collect is a single row
-    * — the `q_ivf_kmeans` codebook pattern. `localCheckpoint` truncates
-    * the per-round fold lineage so round k doesn't re-run folds 1..k-1
-    * (executor-local truncation, re-derivable on loss). The fold
+    * — the `q_ivf_kmeans` codebook pattern. ONE job per round: the
+    * applied corpus is `persist`ed (not checkpointed) and the NEXT
+    * round's pair-count job is what materializes it — cache fill,
+    * pair argmax, and the post-merge `n_tokens` (an `Observation` on
+    * the applied plan, fired by that same first scan) all ride one
+    * pass; a final count fires the last round's observation. Six jobs
+    * total for five rounds, vs 15 for the naive
+    * apply+checkpoint+recount structure. The cache (MEMORY_AND_DISK)
+    * plays localCheckpoint's lineage role: round k reads round k-1
+    * from cache, never re-running folds 1..k-1; the fold itself
     * rebuilds a per-document list (cost bounded by DOCUMENT length,
-    * never corpus size) — corpus-linear per round. The post-merge
-    * `n_tokens` rides an `Observation` on the checkpoint
-    * materialization job (the `q_dedup_groups` convergence pattern,
-    * `ConnectedComponents.scala`) instead of a separate recount job —
-    * two jobs per round (pair-argmax + observed apply), not three.
+    * never corpus size) — corpus-linear per round.
     */
   val bpeLearn: QueryDef = {
     val iters = 5
@@ -710,8 +713,12 @@ object TextStatsQueries {
       import spark.implicits._
       var toks = Tables(spark, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val out = collection.mutable.Buffer.empty[(Long, String, String, Long, Long)]
+      val merges = collection.mutable.Buffer.empty[(Long, String, String, Long)]
+      val obs = (1 to iters).map(i => new org.apache.spark.sql.Observation(s"bpe_nt_$i"))
+      val cached = collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
       for (i <- 1 to iters) {
+        // this job is round i's argmax AND round i-1's cache fill AND
+        // the trigger for round i-1's observed n_tokens
         val top = toks.filter(size(col("toks")) >= 2)
           .select(col("toks"), explode(sequence(lit(1), size(col("toks")) - 1)).as("pos"))
           .select(element_at(col("toks"), col("pos")).as("l"),
@@ -719,14 +726,19 @@ object TextStatsQueries {
           .groupBy("l", "r").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
           .head()
-        val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-        val obs = new org.apache.spark.sql.Observation(s"bpe_nt_$i")
-        toks = toks.withColumn("toks", bpeMergeApply(col("toks"), l, r))
-          .observe(obs, sum(size(col("toks"))).cast("long").as("nt"))
-          .localCheckpoint(true)
-        val nt = obs.get("nt").asInstanceOf[Long]
-        out += ((i.toLong, l, r, cnt, nt))
+        merges += ((i.toLong, top.getString(0), top.getString(1), top.getLong(2)))
+        toks = toks.withColumn("toks",
+            bpeMergeApply(col("toks"), top.getString(0), top.getString(1)))
+          .observe(obs(i - 1), sum(size(col("toks"))).cast("long").as("nt"))
+          .persist()
+        cached += toks
       }
+      // fire the final round's observation (nothing scans toks_5 otherwise)
+      toks.count()
+      val out = merges.zip(obs).map { case ((i, l, r, cnt), o) =>
+        (i, l, r, cnt, o.get("nt").asInstanceOf[Long])
+      }
+      cached.foreach(_.unpersist(false))
       out.toSeq.toDF("iter", "merge_l", "merge_r", "n_pair", "n_tokens")
     }
   }
