@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.CurationQueries11.all ++
       graft.queries.CurationQueries12.all ++
       graft.queries.CurationQueries13.all ++
-      graft.queries.PqQueries.all
+      graft.queries.PqQueries.all ++
+      graft.queries.PerceptualQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

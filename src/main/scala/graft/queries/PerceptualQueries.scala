@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import graft.{QueryDef, Tables}
+import graft.multimodal.Perceptual
+
+/** Multimodal near-dup tier: perceptual hashes computed through REAL
+  * codec round-trips (`javax.imageio` PNG, `javax.sound.sampled` WAV).
+  *
+  * Oracle story (the part that keeps these triple-green rather than
+  * rows-only): PNG and 16-bit PCM WAV are lossless, and every pixel /
+  * sample is an integer function of the document text, so the DuckDB
+  * twin replays the pure integer algebra on `text` while Spark runs the
+  * full encode → decode → fingerprint pipeline. A hash mismatch means
+  * the codec path did NOT round-trip the raster/PCM — the oracle checks
+  * the real decode, not a stub.
+  *
+  * Scale shape: media bytes are created and consumed inside one
+  * projection in the scan stage — only (id, 64-bit hash) longs ever
+  * reach a shuffle. The pair stage is the standard banded-LSH shape
+  * (4 × 14-bit bands over a 56-bit dHash): any pair within hamming ≤ 3
+  * shares a band by pigeonhole, so candidate recall is exact at the
+  * production threshold while candidate mass stays collision-bounded
+  * (≈ n²·4/2¹⁴ for random hashes) instead of n². The DuckDB oracle is
+  * the brute-force all-pairs twin — the same no-false-negative proof
+  * pattern as `q_ppjoin` / `q_overlap_join`.
+  */
+object PerceptualQueries {
+
+  private val dhashUdf: UserDefinedFunction =
+    udf((text: String) => Perceptual.textDhash(text))
+
+  private val audioUdf: UserDefinedFunction =
+    udf((text: String) => {
+      val (fp, frames) = Perceptual.textAudioFingerprint(text)
+      (fp, frames)
+    })
+
+  /** DuckDB CTE chain computing the dHash from text algebra (shared by
+    * both image queries). Pixel p ∈ [0,1024) = ascii(text[p mod n]) mod
+    * 256; 8×8 grid of 4×4-pixel block sums; bit k = S(r,c) > S(r,c+1).
+    */
+  private val dhashSqlCtes: String =
+    """cs AS (
+      |  SELECT doc_id,
+      |         list_transform(string_split(text, ''), c -> CAST(ascii(c) % 256 AS BIGINT)) AS a,
+      |         length(text) AS n
+      |  FROM documents WHERE length(text) > 0),
+      |px AS (
+      |  SELECT doc_id, ((p // 32) // 4) * 8 + ((p % 32) // 4) AS blk, a[(p % n) + 1] AS v
+      |  FROM cs, unnest(range(0, 1024)) t(p)),
+      |bs AS (
+      |  SELECT doc_id, blk, CAST(sum(v) AS BIGINT) AS s FROM px GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT doc_id, list(s ORDER BY blk) AS g FROM bs GROUP BY 1),
+      |hs AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(list_sum(list_transform(range(0, 56), k ->
+      |           CASE WHEN g[(k // 7) * 8 + (k % 7) + 1] > g[(k // 7) * 8 + (k % 7) + 2]
+      |                THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+      |  FROM grid)""".stripMargin
+
+  /** Per-document image dHash through the real PNG round-trip. */
+  val imageDhash: QueryDef = QueryDef.sql(
+    "q_image_dhash",
+    s"""WITH $dhashSqlCtes
+       |SELECT media_id, dhash FROM hs""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"), dhashUdf(col("text")).as("dhash"))
+  }
+
+  /** Banded image near-dup candidates with exact hamming distances.
+    * Spark: explode 4 bands → equi-join → distinct pairs → bit_count of
+    * the xor. Pigeonhole: hamming ≤ 3 over 4 bands ⇒ some band equal,
+    * so the banded plan returns a superset of every true near-dup at
+    * the production threshold; the oracle twin is the O(n²) brute-force
+    * join, which the driver's hash-compare uses to certify both the
+    * candidate set and the distances.
+    */
+  val imageNeardup: QueryDef = QueryDef.sql(
+    "q_image_neardup",
+    s"""WITH $dhashSqlCtes
+       |SELECT a.media_id AS a_id, b.media_id AS b_id,
+       |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       |FROM hs a JOIN hs b ON a.media_id < b.media_id
+       |WHERE ((a.dhash >> 0) & 16383) = ((b.dhash >> 0) & 16383)
+       |   OR ((a.dhash >> 14) & 16383) = ((b.dhash >> 14) & 16383)
+       |   OR ((a.dhash >> 28) & 16383) = ((b.dhash >> 28) & 16383)
+       |   OR ((a.dhash >> 42) & 16383) = ((b.dhash >> 42) & 16383)""".stripMargin) {
+    (spark, dir) =>
+      val hs = Tables(spark, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), dhashUdf(col("text")).as("dhash"))
+      val bands = hs.select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(Perceptual.NumBands - 1))).as("band"))
+        .withColumn("bval",
+          expr(s"shiftright(dhash, band * ${Perceptual.BandBits})")
+            .bitwiseAND(lit((1 << Perceptual.BandBits) - 1)))
+      val a = bands.select(col("band"), col("bval"),
+        col("media_id").as("a_id"), col("dhash").as("a_hash"))
+      val b = bands.select(col("band"), col("bval"),
+        col("media_id").as("b_id"), col("dhash").as("b_hash"))
+      a.join(b, Seq("band", "bval"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long").as("hamming"))
+        .distinct()
+  }
+
+  /** Per-document audio energy fingerprint through the real WAV
+    * round-trip: text → 16-bit PCM square wave → `javax.sound.sampled`
+    * parse → 16 block energies → 15 adjacent-greater bits. `n_frames`
+    * comes from the decoded stream (16 samples per character), so the
+    * oracle's `16 * n` equality also pins the container's frame count.
+    */
+  val audioFingerprint: QueryDef = QueryDef.sql(
+    "q_audio_fingerprint",
+    """WITH cs AS (
+      |  SELECT doc_id,
+      |         list_transform(string_split(text, ''), c -> CAST(ascii(c) % 128 AS BIGINT)) AS a,
+      |         length(text) AS n
+      |  FROM documents WHERE length(text) >= 16),
+      |e AS (
+      |  SELECT doc_id, n, least(15, (i - 1) * 16 // n) AS blk, a[i] * a[i] AS v
+      |  FROM cs, unnest(range(1, n + 1)) t(i)),
+      |bs AS (
+      |  SELECT doc_id, blk, CAST(sum(v) AS BIGINT) AS s, any_value(n) AS n
+      |  FROM e GROUP BY doc_id, blk),
+      |grid AS (
+      |  SELECT doc_id, list(s ORDER BY blk) AS g, any_value(n) AS n
+      |  FROM bs GROUP BY doc_id)
+      |SELECT doc_id AS media_id, CAST(n * 16 AS BIGINT) AS n_frames,
+      |       CAST(list_sum(list_transform(range(0, 15), j ->
+      |         CASE WHEN g[j + 2] > g[j + 1] THEN CAST(1 AS BIGINT) << j
+      |              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fingerprint
+      |FROM grid""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= 16)
+      .select(col("doc_id").as("media_id"), audioUdf(col("text")).as("af"))
+      .select(col("media_id"), col("af._2").as("n_frames"),
+        col("af._1").as("fingerprint"))
+  }
+
+  val all: Seq[QueryDef] = Seq(imageDhash, imageNeardup, audioFingerprint)
+}
