@@ -71,13 +71,21 @@ object PerceptualQueries {
       .select(col("doc_id").as("media_id"), dhashUdf(col("text")).as("dhash"))
   }
 
-  /** Banded image near-dup candidates with exact hamming distances.
-    * Spark: explode 4 bands → equi-join → distinct pairs → bit_count of
-    * the xor. Pigeonhole: hamming ≤ 3 over 4 bands ⇒ some band equal,
-    * so the banded plan returns a superset of every true near-dup at
-    * the production threshold; the oracle twin is the O(n²) brute-force
-    * join, which the driver's hash-compare uses to certify both the
-    * candidate set and the distances.
+  /** Image near-dups at the production threshold (hamming ≤ 3), found
+    * by the banded plan: explode 4 × 14-bit bands → equi-join →
+    * distinct pairs → bit_count filter. Pigeonhole: hamming ≤ 3 over 4
+    * bands ⇒ some band equal, so the banded candidates are a superset
+    * of every true near-dup and the ≤ 3 filter makes the result EQUAL
+    * to the O(n²) brute-force join the oracle runs — same
+    * no-false-negative certificate as `q_ppjoin`.
+    *
+    * Scale notes, both probe-verified: (1) the hash side is
+    * `localCheckpoint`ed so the codec round-trip runs once per document
+    * — a self-join would otherwise re-execute the UDF on both sides;
+    * (2) only true near-dups are emitted — random 14-bit band
+    * collisions (≈ n²·4/2¹⁴ of them) die inside the join stage instead
+    * of becoming output, which is what kept the 10× probe's output
+    * corpus-bounded rather than quadratic.
     */
   val imageNeardup: QueryDef = QueryDef.sql(
     "q_image_neardup",
@@ -85,14 +93,12 @@ object PerceptualQueries {
        |SELECT a.media_id AS a_id, b.media_id AS b_id,
        |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
        |FROM hs a JOIN hs b ON a.media_id < b.media_id
-       |WHERE ((a.dhash >> 0) & 16383) = ((b.dhash >> 0) & 16383)
-       |   OR ((a.dhash >> 14) & 16383) = ((b.dhash >> 14) & 16383)
-       |   OR ((a.dhash >> 28) & 16383) = ((b.dhash >> 28) & 16383)
-       |   OR ((a.dhash >> 42) & 16383) = ((b.dhash >> 42) & 16383)""".stripMargin) {
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin) {
     (spark, dir) =>
       val hs = Tables(spark, dir, "documents")
         .filter(length(col("text")) > 0)
         .select(col("doc_id").as("media_id"), dhashUdf(col("text")).as("dhash"))
+        .localCheckpoint()
       val bands = hs.select(col("media_id"), col("dhash"),
         explode(sequence(lit(0), lit(Perceptual.NumBands - 1))).as("band"))
         .withColumn("bval",
@@ -106,6 +112,7 @@ object PerceptualQueries {
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
         .distinct()
   }
 

@@ -89,18 +89,18 @@ class PerceptualSpec extends SparkSpec {
     assert(brute.subsetOf(banded), "pigeonhole: every hamming<=3 pair must share a band")
   }
 
-  test("q_image_neardup: Spark banded plan equals the in-memory banded twin on sf0.001") {
+  test("q_image_neardup: Spark banded plan equals brute-force hamming<=3 on sf0.001") {
     val hashes = Tables(spark, sf0001, "documents")
       .select("doc_id", "text").as[(Long, String)].collect()
       .map { case (id, t) => (id, Perceptual.textDhash(t)) }.toSeq
     val expected = (for {
       (ai, ah) <- hashes; (bi, bh) <- hashes if ai < bi
-      if (0 until Perceptual.NumBands).exists(k =>
-        ((ah >> (k * Perceptual.BandBits)) & 16383) == ((bh >> (k * Perceptual.BandBits)) & 16383))
+      if hamming(ah, bh) <= 3
     } yield (ai, bi, hamming(ah, bh).toLong)).toSet
     val got = PerceptualQueries.imageNeardup.fn(spark, sf0001)
       .as[(Long, Long, Long)].collect().toSet
     assert(got == expected)
+    assert(got.nonEmpty, "fixture is expected to contain at least one image near-dup")
   }
 
   test("q_image_dhash / q_audio_fingerprint run on the fixture with stable schemas") {

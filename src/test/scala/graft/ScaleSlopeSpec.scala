@@ -89,7 +89,14 @@ class ScaleSlopeSpec extends SparkSpec {
     "q_ppjoin" -> 1.5,
     // round-8 batch 13: the prefix×full overlap join (uncapped
     // containment production path) — prefix mass is the only guard
-    "q_overlap_join" -> 1.5)
+    "q_overlap_join" -> 1.5,
+    // round-8 batch 14: the perceptual-hash pair join. First probe came
+    // back 4.17: the codec UDF re-ran on both self-join sides and ALL
+    // band collisions (n²·4/2¹⁴ of them) were emitted. Fixed by
+    // localCheckpointing the hash side and filtering to hamming ≤ 3
+    // inside the join stage (0.21 at 10x perturbed after the fix) —
+    // pinned so neither the checkpoint nor the filter can vanish
+    "q_image_neardup" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
