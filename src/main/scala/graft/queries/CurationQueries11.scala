@@ -50,8 +50,13 @@ object CurationQueries11 {
        |       CAST((3 * t * 10000) // greatest(wedges, 1) AS BIGINT) AS gcc_bp
        |FROM w, ne, tri""".stripMargin) { (spark, dir) =>
     val sig = Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text")
+    // the edge set feeds FIVE consumers (two triangle-join legs, the
+    // wedge/degree table, and both scalar counts); localCheckpoint
+    // materializes the node-bounded edge list once instead of
+    // re-running the simhash + band-join pipeline per consumer
     val e = Dedup.simhashPairs(sig, "doc_id", 1)
       .select(col("ida"), col("idb")).distinct()
+      .localCheckpoint()
     val e1 = e
     val e2 = e.select(col("ida").as("idb"), col("idb").as("idc"))
     val e3 = e.select(col("ida").as("ida3"), col("idb").as("idc3"))
