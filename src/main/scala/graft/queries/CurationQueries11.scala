@@ -158,10 +158,17 @@ object CurationQueries11 {
     val exactDrop = docs
       .join(docs.groupBy("text").agg(min("doc_id").as("m")), "text")
       .filter(col("doc_id") > col("m")).select(col("doc_id"))
-    val nearDrop = jp.filter(col("jaccard") >= 0.5)
-      .select(col("idb").as("doc_id")).distinct()
-    val contDrop = jp.filter(col("cont") >= 0.8)
-      .select(col("idb").as("doc_id")).distinct()
+    // ONE pass over the pair stream for both similarity tiers: fold the
+    // two thresholds into per-doc flags (map-side partial max), then
+    // checkpoint the doc-bounded flag table — without this, near and
+    // containment each re-ran the whole shingle pair pipeline
+    val flags = jp
+      .groupBy(col("idb").as("doc_id"))
+      .agg(max(when(col("jaccard") >= 0.5, 1).otherwise(0)).as("near"),
+        max(when(col("cont") >= 0.8, 1).otherwise(0)).as("cnt"))
+      .localCheckpoint()
+    val nearDrop = flags.filter(col("near") === 1).select(col("doc_id"))
+    val contDrop = flags.filter(col("cnt") === 1).select(col("doc_id"))
     val tiers = exactDrop.withColumn("tier", lit("exact"))
       .unionAll(nearDrop.withColumn("tier", lit("near_jaccard")))
       .unionAll(contDrop.withColumn("tier", lit("containment")))
