@@ -66,4 +66,55 @@ object DedupStreams {
           ids.filter(_ != anchor).map(d => DupCandidate(d, anchor, key._1)).iterator
       }
   }
+
+  case class PhashHit(band: Int, key: Long, media_id: Long, dhash: Long)
+  case class PhashDup(media_id: Long, anchor_id: Long, hamming: Int, band: Int)
+
+  /** Streaming IMAGE near-dup detection — the streaming face of
+    * `q_image_neardup` ([[graft.queries.PerceptualQueries]]), with the
+    * REAL codec in the stream: each micro-batch row carries PNG bytes,
+    * decoded per-row by `javax.imageio` inside a map-only projection
+    * (bytes never enter state or a shuffle — only the 56-bit dHash and
+    * its four 14-bit band keys leave the scan).
+    *
+    * Unlike [[nearDupCandidates]] this detector VERIFIES in-state: a
+    * band bucket's state is its anchor's (id, dhash), so a later
+    * arrival computes the exact hamming distance against the anchor and
+    * emits only true near-dups (hamming ≤ 3) — the pigeonhole recall
+    * guarantee of the 4×14 banding carries over verbatim, and the
+    * verify stage costs one xor/popcount instead of a downstream join.
+    * State per occupied bucket = two longs, bounded by distinct hashes
+    * seen, not by stream length; production bounds it further with a
+    * processing-time timeout exactly like the MinHash detector.
+    */
+  def imageNearDups(media: DataFrame): Dataset[PhashDup] = {
+    import media.sparkSession.implicits._
+    val dhashUdf = udf((png: Array[Byte]) =>
+      graft.multimodal.Perceptual.dhash(graft.multimodal.Perceptual.blockSums(png)))
+    val nb = graft.multimodal.Perceptual.NumBands
+    val bb = graft.multimodal.Perceptual.BandBits
+    media
+      .select(col("media_id"), dhashUdf(col("bytes")).as("dhash"))
+      .select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(nb - 1))).as("band"))
+      .select(col("band"),
+        expr(s"shiftright(dhash, band * $bb)").bitwiseAND(lit((1 << bb) - 1)).as("key"),
+        col("media_id"), col("dhash"))
+      .as[PhashHit]
+      .groupByKey(h => (h.band, h.key))
+      .flatMapGroupsWithState[(Long, Long), PhashDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), hits: Iterator[PhashHit], state: GroupState[(Long, Long)]) =>
+          val arrivals = hits.toSeq.sortBy(_.media_id)
+          val (anchorId, anchorHash) = state.getOption.getOrElse {
+            val a = arrivals.head
+            state.update((a.media_id, a.dhash)); (a.media_id, a.dhash)
+          }
+          arrivals.iterator
+            .filter(_.media_id != anchorId)
+            .map(h => PhashDup(h.media_id, anchorId,
+              java.lang.Long.bitCount(h.dhash ^ anchorHash), key._1))
+            .filter(_.hamming <= 3)
+      }
+  }
 }

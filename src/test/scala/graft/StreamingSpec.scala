@@ -165,6 +165,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming image near-dup: real codec in-stream, in-state hamming verify") {
+    import graft.streaming.DedupStreams
+    import graft.multimodal.Perceptual
+    val srcDir = Files.createTempDirectory("phash-stream").toString
+    val base = "spark table scan merge join filter agg window sort " * 6
+    val far = "completely different media payload rendered here " * 6
+    // batch 1: two unrelated originals anchor their buckets
+    Seq((1L, Perceptual.textToPng(base)), (2L, Perceptual.textToPng(far)))
+      .toDF("media_id", "bytes").coalesce(1).write.mode("append").parquet(srcDir)
+    Thread.sleep(1100) // distinct file mtimes → deterministic batch order
+    // batch 2: a one-character near-dup of base (hamming <= 3 by the
+    // locality of the pixel layout) plus another unrelated image
+    val nearPng = Perceptual.textToPng(base.updated(5, 'Q'))
+    require(java.lang.Long.bitCount(
+      Perceptual.textDhash(base) ^ Perceptual.dhash(Perceptual.blockSums(nearPng))) <= 3)
+    Seq((3L, nearPng), (4L, Perceptual.textToPng("a third unrelated corpus " * 9)))
+      .toDF("media_id", "bytes").coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("media_id LONG, bytes BINARY")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = DedupStreams.imageNearDups(stream)
+      .writeStream.outputMode("append").format("memory").queryName("phashdup").start()
+    try {
+      q.processAllAvailable()
+      val dups = spark.sql("SELECT DISTINCT media_id, anchor_id, hamming FROM phashdup")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(dups.map(d => (d._1, d._2)) == Set((3L, 1L)),
+        s"only the near-dup should pair with its anchor, got $dups")
+      assert(dups.forall(_._3 <= 3))
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: event-time-timeout PSI matches the batch formula") {
     val (dir, schema) = batchEvents
     val ev = Tables.events(spark, sf0001)
