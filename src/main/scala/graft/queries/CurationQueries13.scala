@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions.{polyHashSql, shinglesSql}
 import graft.operators.Dedup
@@ -152,5 +153,65 @@ object CurationQueries13 {
         col("est_whole"))
   }
 
-  val all: Seq[QueryDef] = Seq(overlapJoin, hllMerge)
+  /** TOKEN-BUDGET CORPUS SELECTION — "keep the best quarter of the
+    * corpus, measured in tokens": the selection op behind every
+    * quality-pruned training set. The scale-correct shape is NOT a
+    * corpus-global sort by quality (that's a single-partition
+    * anti-pattern at 100 TB); it's the `q_token_cdf` histogram trick on
+    * the quality axis: bucket docs by integer score (type-token ratio
+    * in basis points, the `q_quality_filter` signal — ≤ 10 001 distinct
+    * values by construction), aggregate doc/token mass per bucket
+    * map-side, then run the cumulative-sum cutoff over the BOUNDED
+    * bucket table. Output = every bucket the budget touches, marked
+    * `full` or `partial` (the crossing bucket); the per-doc apply is
+    * then a map-side `score > cutoff` filter plus a quota in the one
+    * partial bucket. The only data crossing a SinglePartition exchange
+    * is the score histogram, never the corpus.
+    */
+  val budgetSelect: QueryDef = QueryDef.sql(
+    "q_budget_select",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(floor(n_uniq * 10000.0 / n_tokens) AS BIGINT) AS score_bp
+      |  FROM m WHERE n_tokens > 0),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM s),
+      |b AS (
+      |  SELECT score_bp, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+      |  FROM s GROUP BY 1),
+      |c AS (
+      |  SELECT score_bp, n_docs, bucket_tokens,
+      |         CAST(sum(bucket_tokens) OVER (ORDER BY score_bp DESC) AS BIGINT) AS cum_tokens
+      |  FROM b)
+      |SELECT score_bp, n_docs, bucket_tokens, cum_tokens,
+      |       CASE WHEN cum_tokens <= tot.t // 4 THEN 'full' ELSE 'partial' END AS taken
+      |FROM c, tot
+      |WHERE cum_tokens - bucket_tokens < tot.t // 4""".stripMargin) { (spark, dir) =>
+    val toks = split(col("text"), " ")
+    val s = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("n_uniq") * 10000.0 / col("n_tokens")).cast("long").as("score_bp"))
+    val tot = s.agg(sum("n_tokens").cast("long").as("t"))
+    val b = s.groupBy("score_bp")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("bucket_tokens"))
+    // the window runs over the score histogram (<= 10 001 rows), the
+    // q_token_cdf precedent for a deliberate SinglePartition exchange
+    val c = b.withColumn("cum_tokens",
+      sum("bucket_tokens").over(Window.orderBy(col("score_bp").desc)).cast("long"))
+    c.crossJoin(broadcast(tot))
+      .filter(col("cum_tokens") - col("bucket_tokens") < expr("t DIV 4"))
+      .select(col("score_bp"), col("n_docs"), col("bucket_tokens"), col("cum_tokens"),
+        when(col("cum_tokens") <= expr("t DIV 4"), "full").otherwise("partial").as("taken"))
+  }
+
+  val all: Seq[QueryDef] = Seq(overlapJoin, hllMerge, budgetSelect)
 }
