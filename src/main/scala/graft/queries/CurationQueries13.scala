@@ -179,19 +179,19 @@ object CurationQueries13 {
       |  SELECT doc_id, n_tokens,
       |         CAST(floor(n_uniq * 10000.0 / n_tokens) AS BIGINT) AS score_bp
       |  FROM m WHERE n_tokens > 0),
-      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM s),
       |b AS (
       |  SELECT score_bp, CAST(count(*) AS BIGINT) AS n_docs,
       |         CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
       |  FROM s GROUP BY 1),
       |c AS (
       |  SELECT score_bp, n_docs, bucket_tokens,
-      |         CAST(sum(bucket_tokens) OVER (ORDER BY score_bp DESC) AS BIGINT) AS cum_tokens
+      |         CAST(sum(bucket_tokens) OVER (ORDER BY score_bp DESC) AS BIGINT) AS cum_tokens,
+      |         CAST(sum(bucket_tokens) OVER () AS BIGINT) AS t
       |  FROM b)
       |SELECT score_bp, n_docs, bucket_tokens, cum_tokens,
-      |       CASE WHEN cum_tokens <= tot.t // 4 THEN 'full' ELSE 'partial' END AS taken
-      |FROM c, tot
-      |WHERE cum_tokens - bucket_tokens < tot.t // 4""".stripMargin) { (spark, dir) =>
+      |       CASE WHEN cum_tokens <= t // 4 THEN 'full' ELSE 'partial' END AS taken
+      |FROM c
+      |WHERE cum_tokens - bucket_tokens < t // 4""".stripMargin) { (spark, dir) =>
     val toks = split(col("text"), " ")
     val s = Tables(spark, dir, "documents")
       .select(col("doc_id"),
@@ -200,15 +200,18 @@ object CurationQueries13 {
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("n_tokens"),
         floor(col("n_uniq") * 10000.0 / col("n_tokens")).cast("long").as("score_bp"))
-    val tot = s.agg(sum("n_tokens").cast("long").as("t"))
     val b = s.groupBy("score_bp")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("bucket_tokens"))
-    // the window runs over the score histogram (<= 10 001 rows), the
-    // q_token_cdf precedent for a deliberate SinglePartition exchange
-    val c = b.withColumn("cum_tokens",
-      sum("bucket_tokens").over(Window.orderBy(col("score_bp").desc)).cast("long"))
-    c.crossJoin(broadcast(tot))
-      .filter(col("cum_tokens") - col("bucket_tokens") < expr("t DIV 4"))
+    // both the running cutoff and the corpus total ride ONE window over
+    // the score histogram (<= 10 001 rows — the q_token_cdf precedent
+    // for a deliberate SinglePartition exchange); the corpus is scanned
+    // and tokenized exactly once
+    val w = Window.orderBy(col("score_bp").desc)
+    val c = b
+      .withColumn("cum_tokens", sum("bucket_tokens").over(w).cast("long"))
+      .withColumn("t", sum("bucket_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("long"))
+    c.filter(col("cum_tokens") - col("bucket_tokens") < expr("t DIV 4"))
       .select(col("score_bp"), col("n_docs"), col("bucket_tokens"), col("cum_tokens"),
         when(col("cum_tokens") <= expr("t DIV 4"), "full").otherwise("partial").as("taken"))
   }
