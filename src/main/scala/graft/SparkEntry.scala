@@ -42,6 +42,7 @@ object SparkEntry {
       graft.queries.CurationQueries11.all ++
       graft.queries.CurationQueries12.all ++
       graft.queries.CurationQueries13.all ++
+      graft.queries.CurationQueries14.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 

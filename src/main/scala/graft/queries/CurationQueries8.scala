@@ -19,12 +19,12 @@ object CurationQueries8 {
     * (Z-order) key, emitted as engine-specific SQL. Pure integral bit
     * algebra — identical on both engines by construction.
     */
-  private def mortonDuck(x: String, y: String): String =
+  private[queries] def mortonDuck(x: String, y: String): String =
     (0 until 8).map(i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
 
-  private def mortonSpark(x: String, y: String): String =
+  private[queries] def mortonSpark(x: String, y: String): String =
     (0 until 8).map(i =>
       s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})")
       .mkString(" + ")
