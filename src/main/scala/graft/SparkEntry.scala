@@ -43,6 +43,7 @@ object SparkEntry {
       graft.queries.CurationQueries12.all ++
       graft.queries.CurationQueries13.all ++
       graft.queries.CurationQueries14.all ++
+      graft.queries.CurationQueries15.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 

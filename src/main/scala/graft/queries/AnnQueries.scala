@@ -719,7 +719,128 @@ object AnnQueries {
         expr("CAST(CASE WHEN fr = 0 THEN 0 ELSE 1048576 DIV fr END AS BIGINT)").as("rr_q20"))
   }
 
+  /** SIMPLIFIED SILHOUETTE per label cluster — the third member of the
+    * cluster-quality triad ([[centroidSpread]] = cohesion,
+    * [[clusterSeparation]] = Davies-Bouldin separation, this =
+    * per-POINT assignment quality): for every vector, a = squared L2 to
+    * its OWN centroid, b = min squared L2 to any OTHER centroid,
+    * s = (b−a)/max(a,b) ∈ [−1,1] (negative ⇒ the point sits closer to a
+    * foreign centroid — a mis-clustered point the other two metrics
+    * average away). Reported per label: n, mean, min, max of s in Q20.
+    * Determinism: per-dim squared terms floor onto the 2^45 grid and
+    * sum as exact integers; the one division per point happens on those
+    * exact integers in the same op order in both engines.
+    *
+    * SCALE: the point×centroid distance table is N·k rows AFTER partial
+    * aggregation (the N·Dim·k join input combines map-side; centroids
+    * are k·Dim, broadcast); everything past it is a per-point reduce
+    * then a k-row aggregate. This is the brute-force silhouette shape —
+    * linear in N with a k·Dim constant, the honest cost of the metric.
+    */
+  val silhouette: QueryDef = QueryDef.sql(
+    "q_silhouette",
+    s"""WITH $CentCte,
+       |d AS (SELECT ed.vec_id, ed.label, cent.label AS olabel,
+       |             CAST(sum(CAST(floor((ed.x - cent.c) * (ed.x - cent.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |      FROM ed JOIN cent ON cent.i = ed.i
+       |      GROUP BY 1, 2, 3),
+       |ab AS (SELECT vec_id, label,
+       |              max(CASE WHEN olabel = label THEN d2 END) AS a,
+       |              min(CASE WHEN olabel <> label THEN d2 END) AS b
+       |       FROM d GROUP BY 1, 2),
+       |s AS (SELECT vec_id, label,
+       |             CAST(floor(CAST(b - a AS DOUBLE) / greatest(a, b, CAST(1 AS BIGINT))
+       |                        * 1048576) AS BIGINT) AS s_q20
+       |      FROM ab)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(floor(CAST(sum(s_q20) AS DOUBLE) / count(*)) AS BIGINT) AS mean_s_q20,
+       |       CAST(min(s_q20) AS BIGINT) AS min_s_q20,
+       |       CAST(max(s_q20) AS BIGINT) AS max_s_q20
+       |FROM s GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val ed = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("label"), col("vec_id"), (col("i0") + 1).as("i"), col("x"))
+    val cent = ed
+      .select(col("label"), col("i"), floor(col("x") * S52d).cast("long").as("ix"))
+      .groupBy("label", "i")
+      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+      .select(col("label").as("olabel"), col("i"), col("c"))
+    val d = ed.join(broadcast(cent), "i")
+      .select(col("vec_id"), col("label"), col("olabel"),
+        floor((col("x") - col("c")) * (col("x") - col("c")) * S45d).cast("long").as("t"))
+      .groupBy("vec_id", "label", "olabel").agg(sum("t").as("d2"))
+    val ab = d.groupBy("vec_id", "label")
+      .agg(max(when(col("olabel") === col("label"), col("d2"))).as("a"),
+        min(when(col("olabel") =!= col("label"), col("d2"))).as("b"))
+    ab.select(col("label"),
+        floor((col("b") - col("a")).cast("double")
+          / greatest(col("a"), col("b"), lit(1L)) * 1048576).cast("long").as("s_q20"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        // floor of a double quotient, NOT integer DIV: s_q20 sums can be
+        // negative, where Spark's DIV truncates toward zero but DuckDB's
+        // // floors — the one engine-semantics divergence in this family
+        expr("CAST(floor(CAST(sum(s_q20) AS DOUBLE) / count(*)) AS BIGINT)").as("mean_s_q20"),
+        min("s_q20").as("min_s_q20"), max("s_q20").as("max_s_q20"))
+  }
+
+  /** LOCAL INTRINSIC DIMENSIONALITY (MLE of Levina & Bickel / the LID
+    * of Houle et al.) per query point from its exact k-NN distance
+    * profile: LID = −k / Σᵢ ln(dᵢ/dₖ). Low LID ⇒ the neighborhood lies
+    * near a low-dimensional manifold and ANN indexes will do well; high
+    * LID ⇒ distances concentrate and pruning stops working — the
+    * complement of `q_knn_hubness` (which diagnoses the GRAPH, this
+    * diagnoses the GEOMETRY). Determinism: each ln ratio floors onto
+    * the 2^40 grid before the per-query integer sum; the final
+    * −k·2^40/Σ division runs once on exact integers, then floors to
+    * Q20. SCALE: the brute-force distance table is the `q_ann_topk`
+    * shape (tiny broadcast query side × partitioned vectors,
+    * per-query window top-k), then k-bounded per-query math.
+    */
+  val annLid: QueryDef = QueryDef.sql(
+    "q_ann_lid",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |d AS (SELECT qid, vec_id AS nid, ${cosDistSql("v", "qv")} AS dist
+       |      FROM e, q WHERE vec_id <> qid),
+       |r AS (SELECT qid, nid, dist,
+       |             row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       |      FROM d WHERE dist > 0),
+       |topk AS (SELECT qid, dist, rank FROM r WHERE rank <= 16),
+       |dk AS (SELECT qid, max(dist) AS dk FROM topk GROUP BY 1),
+       |terms AS (SELECT t.qid,
+       |                 CAST(floor(ln(t.dist / dk.dk) * 1099511627776) AS BIGINT) AS t_q40
+       |          FROM topk t JOIN dk USING (qid)),
+       |agg AS (SELECT qid, CAST(sum(t_q40) AS BIGINT) AS s_q40, count(*) AS k
+       |        FROM terms GROUP BY 1)
+       |SELECT a.qid, CAST(a.k AS BIGINT) AS k, dk.dk,
+       |       CAST(floor((CAST(-a.k AS DOUBLE) * 1099511627776 / a.s_q40) * 1048576)
+       |            AS BIGINT) AS lid_q20
+       |FROM agg a JOIN dk USING (qid) WHERE a.s_q40 < 0""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id").asc)
+    val topk = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist", cosineDistance(col("embedding"), col("qv")))
+      .filter(col("dist") > 0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 16)
+      .select(col("qid"), col("dist"))
+    val dk = topk.groupBy("qid").agg(max("dist").as("dk"))
+    val agg = topk.join(broadcast(dk), "qid")
+      .select(col("qid"),
+        floor(log(col("dist") / col("dk")) * lit(1099511627776.0)).cast("long").as("t_q40"))
+      .groupBy("qid")
+      .agg(sum("t_q40").cast("long").as("s_q40"), count(lit(1)).as("k"))
+    agg.join(broadcast(dk), "qid").filter(col("s_q40") < 0)
+      .select(col("qid"), col("k").cast("long").as("k"), col("dk"),
+        floor((-col("k")).cast("double") * lit(1099511627776.0) / col("s_q40")
+          * lit(1048576.0)).cast("long").as("lid_q20"))
+  }
+
   val all: Seq[QueryDef] = Seq(annTopk, annNdcg, centroids, centroidSpread, ivfTopk,
     ivfPruned, ivfNprobe, ivfKmeans, kmeans, centroidClassify, embedOutliers,
-    clusterSeparation, embedDrift)
+    clusterSeparation, embedDrift, silhouette, annLid)
 }
