@@ -330,4 +330,30 @@ class StreamingSpec extends SparkSpec {
       want.select(col("chunk"), col("embedding")))
     assert(b.isEmpty)
   }
+
+  test("streaming shard manifest: latest snapshots equal the batch manifest") {
+    // many small files + maxFilesPerTrigger=2 => the xor fold really runs
+    // across micro-batches; the property under test is that ANY batching
+    // of an exactly-once stream yields the batch manifest
+    val srcDir = Files.createTempDirectory("docs-manifest").toString
+    Tables(spark, sf0001, "documents").select("doc_id", "text")
+      .repartition(8).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(srcDir)
+    val q = graft.streaming.ManifestStreams.shardManifest(stream)
+      .writeStream.outputMode("update").format("memory").queryName("manifest").start()
+    try {
+      q.processAllAvailable()
+      // seq is the per-shard update counter: max seq = final snapshot
+      val latest = spark.sql(
+        """SELECT shard, n_docs, n_tokens, xor_hash, min_id, max_id FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY seq DESC) AS rn
+          |  FROM manifest) WHERE rn = 1""".stripMargin)
+      val batch = graft.queries.CurationQueries15.shardManifest.fn(spark, sf0001)
+      assert(latest.count() == 16)
+      assert(latest.exceptAll(batch).isEmpty && batch.exceptAll(latest).isEmpty,
+        "streaming manifest snapshots differ from the one-pass batch manifest")
+    } finally q.stop()
+  }
 }
