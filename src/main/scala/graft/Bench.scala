@@ -58,6 +58,14 @@ object Bench {
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    // ...and make the LAST stdout line a compact, self-contained summary
+    // that fits inside that tail (r7's round artifact stored a mid-map
+    // truncation with parsed:null): total + the 25 slowest queries +
+    // failures, pointing at bench.json for the full per-query map
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val topJson = results.sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJson,"failed":$failedJson,"n_queries":${results.size},"sf":"$sfDir","full":"bench.json"}""")
     spark.stop()
   }
 }

@@ -63,6 +63,57 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): positional
+    * n-token shingle hashes, then the DISTINCT minima of every length-w
+    * window over the hash sequence (first-seen order). Shorter-than-w
+    * sequences contribute their single global minimum, so every document
+    * with at least one shingle has at least one fingerprint. Selection is
+    * value-based (window minimum), which is what makes the fingerprint a
+    * SET property of the text: any shared substring of >= w+n-1 tokens is
+    * guaranteed to share a selected hash — the local-sampling guarantee
+    * the density ~2/(w+1) buys. One tight loop, no shingle strings
+    * materialized, codegen-friendly.
+    */
+  def winnowFingerprints(toks: ArrayData, n: Int, w: Int): ArrayData = {
+    val m0 = toks.numElements()
+    val m = m0 - n + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Long])
+    val strs = Array.tabulate(m0)(i => toks.getUTF8String(i).toString)
+    val hs = new Array[Long](m)
+    var start = 0
+    while (start < m) {
+      var h = 0L
+      var t = 0
+      while (t < n) {
+        if (t > 0) h = (h * 31 + ' ') % TextFunctions.HashMod
+        val s = strs(start + t)
+        var i = 0
+        while (i < s.length) {
+          h = (h * 31 + s.charAt(i)) % TextFunctions.HashMod
+          i += 1
+        }
+        t += 1
+      }
+      hs(start) = h
+      start += 1
+    }
+    val nw = if (m >= w) m - w + 1 else 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < nw) {
+      var mn = Long.MaxValue
+      var i = j
+      val end = math.min(j + w, m)
+      while (i < end) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      seen.add(mn)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** All ordered pairs (a < b) of an id array as struct<ida,idb> rows,
     * built in one tight loop over a sorted primitive copy. Replaces the
     * `sort_array` + nested transform/slice/flatten HOF pipeline, which
@@ -115,6 +166,16 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing fingerprints of a token array, as array<long>. */
+case class WinnowFingerprintsExpr(child: Expression, n: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.winnowFingerprints(v.asInstanceOf[ArrayData], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.winnowFingerprints($c, $n, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** All a<b pairs of an id array, as array<struct<ida,idb>>. */
 case class OrderedPairsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(
@@ -136,4 +197,6 @@ object HashExpressions {
     GraftShim.column(ShingleHashesExpr(GraftShim.expression(toks), n))
   def orderedPairsFast(ids: Column): Column =
     GraftShim.column(OrderedPairsExpr(GraftShim.expression(ids)))
+  def winnowFast(toks: Column, n: Int, w: Int): Column =
+    GraftShim.column(WinnowFingerprintsExpr(GraftShim.expression(toks), n, w))
 }
