@@ -96,7 +96,15 @@ class ScaleSlopeSpec extends SparkSpec {
     // localCheckpointing the hash side and filtering to hamming ≤ 3
     // inside the join stage (0.21 at 10x perturbed after the fix) —
     // pinned so neither the checkpoint nor the filter can vanish
-    "q_image_neardup" -> 1.5)
+    "q_image_neardup" -> 1.5,
+    // batch 16: the winnowed inverted index — slope is fingerprint-
+    // keyspace-shaped on the perturbed replica (0.74 at sf0.1, the
+    // q_distinct_ngrams class: a vocab-proportional hash-agg, not a
+    // pair blowup); gate pins it clearly below quadratic
+    "q_winnow_overlap" -> 1.5,
+    // NB scoring join: test-tokens x 5 classes against a vocab-keyed
+    // model (0.20 at sf0.1)
+    "q_nb_lang" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
