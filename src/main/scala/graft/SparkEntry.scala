@@ -45,6 +45,7 @@ object SparkEntry {
       graft.queries.CurationQueries14.all ++
       graft.queries.CurationQueries15.all ++
       graft.queries.CurationQueries16.all ++
+      graft.queries.CurationQueries17.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 

@@ -166,4 +166,71 @@ object EventStreams {
           m.iterator.map { case (u, c) => HeavyHitter(shard, u, c) }
       }
   }
+
+  case class HoltState(open: Map[Long, Long], initialized: Boolean,
+                       l: Long, b: Long, lastClosed: Long)
+  case class HoltPoint(event_type: String, hour_ts: Long, n: Long,
+                       level_q20: Long, trend_q20: Long)
+
+  /** Streaming HOLT level+trend per event_type — the incremental face
+    * of the batch `q_holt` fold (alpha=0.3, beta=0.1, Q20 fixed point).
+    * A sequential fold only commutes with streaming if hours are folded
+    * in EVENT-TIME order, so the state buffers per-hour counts and
+    * folds an hour into (level, trend) only when the watermark passes
+    * its end (event-time timeout, the `driftScores` finalize pattern).
+    * Watermark monotonicity guarantees hours close in nondecreasing
+    * order across triggers; within one trigger they are folded sorted —
+    * so the emitted (level, trend) after each closed hour is BIT-EQUAL
+    * to the batch fold over the same closed prefix (StreamingSpec pins
+    * it). State per key: the open hours inside the lateness horizon
+    * plus two longs — never the stream length. Integer DIV truncates
+    * toward zero in Java, Spark and DuckDB alike, which is what lets
+    * one fold definition serve batch, stream and oracle.
+    */
+  def holtLevels(events: DataFrame): Dataset[HoltPoint] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    val Q20 = 1048576L
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[HoltState]) =>
+          val st = state.getOption.getOrElse(
+            HoltState(Map.empty, false, 0L, 0L, Long.MinValue))
+          var open = st.open
+          // an hour that already folded is CLOSED: rows arriving for it
+          // violated the lateness horizon and are dropped — the same
+          // semantics a watermarked window aggregate applies, and the
+          // guard that keeps the fold exactly-once under any arrival
+          rows.foreach { r =>
+            if (r._2 > st.lastClosed)
+              open = open.updated(r._2, open.getOrElse(r._2, 0L) + 1L)
+          }
+          var l = st.l; var b = st.b; var init = st.initialized
+          val wm = state.getCurrentWatermarkMs() / 1000
+          val (closed, stillOpen) = open.partition { case (h, _) => h + 3600 <= wm }
+          val out = closed.toSeq.sortBy(_._1).map { case (h, c) =>
+            if (!init) { l = c * Q20; b = 0L; init = true }
+            else {
+              val lnew = (3 * c * Q20 + 7 * (l + b)) / 10
+              b = (lnew - l + 9 * b) / 10
+              l = lnew
+            }
+            HoltPoint(etype, h, c, l, b)
+          }
+          val lastClosed =
+            if (closed.nonEmpty) closed.keys.max else st.lastClosed
+          state.update(HoltState(stillOpen, init, l, b, lastClosed))
+          // arm the next finalize; min open end is > wm (else it closed)
+          if (stillOpen.nonEmpty)
+            state.setTimeoutTimestamp((stillOpen.keys.min + 3600) * 1000)
+          out.iterator
+      }
+  }
 }

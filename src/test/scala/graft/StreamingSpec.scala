@@ -299,6 +299,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming holt levels equal the batch fold over every closed hour") {
+    val (dir, schema) = batchEvents
+    // a sequential fold is only stream-computable when arrival respects
+    // the lateness horizon, so feed TIME-ORDERED chunks (a random file
+    // split would deliver a whole month "late" past the watermark and
+    // the operator would rightly drop it): 6 ascending time slices,
+    // distinct mtimes, one file per trigger => hours close across
+    // several watermark advances and must fold in event-time order
+    val manydir = Files.createTempDirectory("events-holt").toString
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val chunked = spark.read.parquet(dir)
+      .withColumn("rn", row_number().over(w))
+    val nEv = chunked.count()
+    for (i <- 0 until 6) {
+      chunked.filter(col("rn") > i * nEv / 6 && col("rn") <= (i + 1) * nEv / 6)
+        .drop("rn").coalesce(1).write.mode("append").parquet(manydir)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(manydir)
+    val q = EventStreams.holtLevels(stream)
+      .writeStream.outputMode("append").format("memory").queryName("holtlv").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT event_type, hour_ts, n, level_q20, trend_q20 FROM holtlv")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(streamed.nonEmpty, "no hours closed — event-time timeout never fired")
+      val series = Tables.events(spark, sf0001)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(t => (t._2, t._3)).toSeq).toMap
+      val Q = 1048576L
+      // the hour holding the global max event time ends beyond the final
+      // watermark (max ts - 2h), so it must still be open for its type
+      val (lastType, lastHour) = series.toSeq
+        .map { case (t, hs) => (t, hs.last._1) }.maxBy(_._2)
+      assert(!streamed.contains((lastType, lastHour)),
+        "the hour at the watermark frontier cannot have closed")
+      for ((etype, hs) <- series) {
+        val closed = hs.filter { case (h, _) => streamed.contains((etype, h)) }
+        assert(closed.nonEmpty, s"$etype emitted nothing")
+        // hours close in watermark order: the closed set is a time PREFIX
+        assert(closed == hs.take(closed.length), s"$etype closed set not a prefix")
+        var l = closed.head._2 * Q; var b = 0L
+        assert(streamed((etype, closed.head._1)) == ((closed.head._2, l, b)))
+        for ((h, c) <- closed.tail) {
+          val lnew = (3 * c * Q + 7 * (l + b)) / 10
+          b = (lnew - l + 9 * b) / 10
+          l = lnew
+          assert(streamed((etype, h)) == ((c, l, b)), s"$etype hour $h")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: docs stream -> chunk+embed -> .vdb parts") {
     // the reference's build pipeline (R1->R2->R3->R4) as a stream: each
     // micro-batch of documents is chunked, mock-embedded, and APPENDED to
