@@ -48,6 +48,7 @@ object SparkEntry {
       graft.queries.CurationQueries17.all ++
       graft.queries.CurationQueries18.all ++
       graft.queries.CurationQueries19.all ++
+      graft.queries.CurationQueries20.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 
