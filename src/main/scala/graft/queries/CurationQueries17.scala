@@ -83,9 +83,14 @@ object CurationQueries17 {
     * derives them deterministically: every 9th document contributes a
     * half-length variant under a shifted id — the detection MECHANISM
     * is the production shape. SCALE: one df-capped equi-join on an
-    * 8-token head hash; at 100 TB the candidate tier would fetch texts
-    * by id for verification instead of shipping them through the block
-    * join (noted, not needed at fixture scale).
+    * 8-token head hash; decade probe (10x->100x) slope 1.02 — fully
+    * linear, the constant being corpus text mass through the block
+    * join. A candidate-fetch split (block join on (id, h8, len) only,
+    * text joined back for candidates) was tried and REJECTED by its
+    * own decade probe (1.02 -> 1.96): same-head blocks admit O(B^2)
+    * length-ordered candidates, so fetching candidate text costs MORE
+    * than shipping each document once — in-join verify wins whenever
+    * block size beats the true-match rate.
     */
   val prefixDup: QueryDef = QueryDef.sql(
     "q_prefix_dup",
