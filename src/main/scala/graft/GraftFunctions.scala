@@ -45,7 +45,12 @@ object GraftFunctions {
       graft.functions.RandomProjExpr(es(0), {
         if (es.length <= 1) 16
         else foldableInt(es(1), "graft_random_proj", "outDims")
-      }) }))
+      }) }),
+    // winnowing fingerprints of a token array: (toks[, n[, w]])
+    "graft_winnow" -> (es => { arity(es, 1, 3, "graft_winnow")
+      graft.functions.WinnowFingerprintsExpr(es(0),
+        if (es.length <= 1) 3 else foldableInt(es(1), "graft_winnow", "n"),
+        if (es.length <= 2) 4 else foldableInt(es(2), "graft_winnow", "w")) }))
 
   /** Wrong-argument-count is an AnalysisException, not a raw
     * IndexOutOfBounds from `es(i)` inside the builder.

@@ -12,6 +12,13 @@ class GraftFunctionsSpec extends SparkSpec {
     val sh = spark.sql(
       "SELECT graft_shingle_hashes(split('a b c d', ' ')) AS s").head().getSeq[Long](0)
     assert(sh.size == 2)
+    // winnow: 4 tokens -> 2 shingle hashes -> fewer than w=4, one global min
+    val wn = spark.sql(
+      "SELECT graft_winnow(split('a b c d', ' ')) AS f").head().getSeq[Long](0)
+    assert(wn.size == 1 && wn.head == sh.min)
+    val wn2 = spark.sql(
+      "SELECT graft_winnow(split('a b c d e f', ' '), 2, 2) AS f").head().getSeq[Long](0)
+    assert(wn2.nonEmpty)
     val p = spark.sql(
       "SELECT graft_pack_sign_bits(array(1.0d, -1.0d, 0.5d), 4) AS p").head().getLong(0)
     assert(p == 5L) // bits 0 and 2
