@@ -104,7 +104,16 @@ class ScaleSlopeSpec extends SparkSpec {
     "q_winnow_overlap" -> 1.5,
     // NB scoring join: test-tokens x 5 classes against a vocab-keyed
     // model (0.20 at sf0.1)
-    "q_nb_lang" -> 1.5)
+    "q_nb_lang" -> 1.5,
+    // batches 17-22: block joins and candidate verifies. q_prefix_dup
+    // is LINEAR by nature (corpus text mass through the block join,
+    // decade 1.02) — the gate catches a BLOCK-CAP regression going
+    // quadratic, not the linear constant
+    "q_prefix_dup" -> 1.5,
+    "q_suffix_dup" -> 1.5,
+    "q_winnow_containment" -> 1.5,
+    "q_nb_margin" -> 1.5,
+    "q_chunk_dedup" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
