@@ -1,0 +1,91 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based tests for the codegen hash kernels — the invariants
+  * the oracle gate exercises only on fixture-shaped text, here pushed
+  * through arbitrary ASCII token streams (empty tokens, repeats,
+  * single-char docs, long runs).
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  /** Run a scalacheck property under scalatest (no scalatestplus
+    * bridge in the offline cache): fail the suite with the shrunk
+    * counterexample on falsification.
+    */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val Mod = 1000000007L
+  private def polyHashRef(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 31 + c) % Mod)
+
+  private val token: Gen[String] =
+    Gen.chooseNum(0, 6).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+  private val tokens: Gen[List[String]] = Gen.listOf(token)
+
+  private def arr(toks: Seq[String]): GenericArrayData =
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  private def winnowRef(toks: Seq[String], n: Int, w: Int): Seq[Long] = {
+    val m = toks.length - n + 1
+    if (m < 1) return Seq.empty
+    val hs = (0 until m).map(i => polyHashRef(toks.slice(i, i + n).mkString(" ")))
+    val wins =
+      if (m >= w) (0 to m - w).map(j => hs.slice(j, j + w).min)
+      else Seq(hs.min)
+    wins.distinct
+  }
+
+  test("polyHash kernel == reference fold for arbitrary ASCII strings") {
+    check(forAll(Gen.asciiPrintableStr) { s =>
+      functions.HashKernels.polyHash(UTF8String.fromString(s)) == polyHashRef(s)
+    })
+  }
+
+  test("winnow kernel == reference fold for arbitrary token arrays and (n, w)") {
+    val params = for {
+      ts <- tokens; n <- Gen.chooseNum(1, 4); w <- Gen.chooseNum(1, 5)
+    } yield (ts, n, w)
+    check(forAll(params) { case (ts, n, w) =>
+      val got = functions.HashKernels.winnowFingerprints(arr(ts), n, w)
+        .toLongArray().toSeq
+      got.sorted == winnowRef(ts, n, w).sorted
+    })
+  }
+
+  test("winnow guarantee: a shared run of >= w+n-1 tokens shares a fingerprint") {
+    // distinct-token runs (the guarantee is stated for non-degenerate
+    // shingle sequences; duplicate tokens can collapse windows)
+    val distinctRun = Gen.chooseNum(6, 12)
+      .map(k => (0 until k).map(i => s"s$i"))
+    val pads = Gen.listOfN(4, token)
+    val cases = for { run <- distinctRun; p1 <- pads; p2 <- pads } yield (run, p1, p2)
+    check(forAll(cases) { case (run, p1, p2) =>
+      val a = p1 ++ run
+      val b = run ++ p2
+      val fa = functions.HashKernels.winnowFingerprints(arr(a), 3, 4).toLongArray().toSet
+      val fb = functions.HashKernels.winnowFingerprints(arr(b), 3, 4).toLongArray().toSet
+      Prop(fa.intersect(fb).nonEmpty) :| s"a=$a b=$b"
+    })
+  }
+
+  test("orderedPairs emits exactly the a<b pairs of the sorted id set") {
+    check(forAll(Gen.listOf(Gen.chooseNum(-1000000L, 1000000L))) { ids =>
+      val got = functions.HashKernels.orderedPairs(new GenericArrayData(ids.toArray[Any]))
+      val rows = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+      val s = ids.sorted
+      val expect = for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+      rows == expect
+    })
+  }
+}
