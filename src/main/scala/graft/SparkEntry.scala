@@ -52,6 +52,7 @@ object SparkEntry {
       graft.queries.CurationQueries21.all ++
       graft.queries.CurationQueries22.all ++
       graft.queries.CurationQueries23.all ++
+      graft.queries.CurationQueries24.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 
