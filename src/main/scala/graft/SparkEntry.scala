@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.PipelineQueries.all ++
       graft.queries.MultimodalQueries.all ++
       graft.queries.RelationalQueries2.all ++
+      graft.queries.RelationalQueries3.all ++
       graft.queries.WindowQueries.all ++
       graft.queries.AsOfQueries.all ++
       graft.queries.SubqueryQueries.all ++

@@ -80,6 +80,33 @@ class PlanShapeSpec extends SparkSpec {
       "media batch planning must not join")
   }
 
+  test("q6_forecast: every predicate reaches the parquet scan") {
+    val plan = staticPlan(
+      graft.queries.RelationalQueries3.q6Forecast.fn(spark, sf0001))
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected a parquet scan")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"predicate on $c not pushed: $pushed")
+    // and the projection is pruned to the four referenced columns
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"),
+      s"scan reads ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q10_returned: dimensions broadcast; the only Exchange keys the agg") {
+    val plan = staticPlan(
+      graft.queries.RelationalQueries3.q10Returned.fn(spark, sf0001))
+    val bhj = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2, s"customer and nation must broadcast, got ${bhj.size}")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // fact-side join on orderkey + final agg on custkey: at most these
+    assert(shuffles.size <= 3, s"unexpected shuffles: ${shuffles.size}")
+  }
+
   test("bigram_ppl: LM joins are hash-keyed, never cartesian") {
     val plan = staticPlan(graft.queries.TextStatsQueries.bigramPpl.fn(spark, sf0001))
     assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty,
