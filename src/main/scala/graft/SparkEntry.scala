@@ -54,6 +54,7 @@ object SparkEntry {
       graft.queries.CurationQueries22.all ++
       graft.queries.CurationQueries23.all ++
       graft.queries.CurationQueries24.all ++
+      graft.queries.CurationQueries25.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 

@@ -16,7 +16,7 @@ object CurationQueries21 {
     * estimate shared/min(|fp_a|,|fp_b|) against the EXACT distinct-
     * shingle overlap coefficient, reported as a signed error histogram
     * (500-bp buckets) with per-bucket means. This is the number that
-    * justifies replacing the exact-postings tier with the ~40x-sparser
+    * justifies replacing the exact-postings tier with the ~40%-sampled (~2.5x sparser)
     * winnowed index at 100 TB: the winnowing guarantee bounds which
     * runs can be MISSED, and this query measures how much the sampled
     * estimate wobbles on the pairs it does catch. SCALE: candidates
