@@ -55,6 +55,7 @@ object SparkEntry {
       graft.queries.CurationQueries23.all ++
       graft.queries.CurationQueries24.all ++
       graft.queries.CurationQueries25.all ++
+      graft.queries.CurationQueries26.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 

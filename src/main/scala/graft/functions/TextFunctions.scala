@@ -45,6 +45,25 @@ object TextFunctions {
       s"list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT)))," +
       s" (acc, c) -> (acc * 31 + c) % $HashMod) END"
 
+  /** Poly hash with an arbitrary multiplier (HOF form). A SALTED
+    * 31-hash is NOT an independent second hash — hash('x|'+t) =
+    * c(len)·K + hash(t) mod p, affine in hash(t) per length class (the
+    * rendezvous-shard lesson), so same-length collisions survive the
+    * salt. A different MULTIPLIER breaks the affine relation; 37 is
+    * the audit partner of the 31 kernel.
+    */
+  def polyHashMul(s: Column, mul: Int): Column =
+    aggregate(
+      filter(split(s, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => pmod(acc * mul + ascii(c), lit(HashMod)))
+
+  /** DuckDB twin of [[polyHashMul]]. */
+  def polyHashMulSql(e: String, mul: Int): String =
+    s"CASE WHEN length($e) = 0 THEN 0 ELSE list_reduce(" +
+      s"list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT)))," +
+      s" (acc, c) -> (acc * $mul + c) % $HashMod) END"
+
   /** Whitespace tokens (single-space split — the corpus separator). */
   def tokens(text: Column): Column = split(text, " ")
 
