@@ -57,6 +57,7 @@ object SparkEntry {
       graft.queries.CurationQueries25.all ++
       graft.queries.CurationQueries26.all ++
       graft.queries.CurationQueries27.all ++
+      graft.queries.CurationQueries28.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 

@@ -167,6 +167,23 @@ object EventStreams {
       }
   }
 
+  /** Streaming REFERENTIAL-INTEGRITY monitor — the `q_fk_audit` orphan
+    * check as a continuous gate: events whose key is absent from the
+    * (broadcast) dimension, counted per tumbling hour. A stream-static
+    * LEFT ANTI join is stateless — the dimension re-resolves per
+    * micro-batch, so a late dimension load shows up as an orphan SPIKE
+    * that then self-heals, which is exactly the operational signature
+    * worth alerting on. State: only the windowed count's watermark
+    * horizon.
+    */
+  def orphanMonitor(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), Seq("user_id"), "left_anti")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(col("w.start").as("hour_start"), col("n_orphans"))
+
   case class HoltState(open: Map[Long, Long], initialized: Boolean,
                        l: Long, b: Long, lastClosed: Long)
   case class HoltPoint(event_type: String, hour_ts: Long, n: Long,

@@ -299,6 +299,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming orphan monitor: anti-join counts match the batch audit") {
+    val (dir, schema) = batchEvents
+    // dimension = users with even ids: odd-id events are orphans
+    val dim = Tables.events(spark, sf0001)
+      .select("user_id").distinct().filter(pmod(col("user_id"), lit(2L)) === 0)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.orphanMonitor(stream, dim)
+      .writeStream.outputMode("complete").format("memory").queryName("orphans").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT hour_start, n_orphans FROM orphans")
+      val batch = Tables.events(spark, sf0001)
+        .filter(pmod(col("user_id"), lit(2L)) =!= 0)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(col("w.start").as("hour_start"), col("n_orphans"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed orphan counts differ from the batch anti-join")
+      assert(streamed.agg(sum("n_orphans")).head().getLong(0) > 0,
+        "the odd-id dimension gap must produce orphans")
+    } finally q.stop()
+  }
+
   test("streaming holt levels equal the batch fold over every closed hour") {
     val (dir, schema) = batchEvents
     // a sequential fold is only stream-computable when arrival respects
