@@ -59,6 +59,7 @@ object SparkEntry {
       graft.queries.CurationQueries27.all ++
       graft.queries.CurationQueries28.all ++
       graft.queries.AnnQueries2.all ++
+      graft.queries.CurationQueries29.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 
