@@ -78,5 +78,59 @@ object RelationalQueries3 {
         count(lit(1)).as("n"))
   }
 
-  val all: Seq[QueryDef] = Seq(q10Returned, q6Forecast)
+  /** TPC-H Q14 shape: promo revenue share — fact join to the part
+    * dimension with a conditional aggregate. Part (2k rows at any
+    * gate SF; bounded by catalog size, not corpus, at 100 TB)
+    * broadcasts; the share is exact DECIMAL over DECIMAL cast to
+    * DOUBLE only at the boundary.
+    */
+  val q14Promo: QueryDef = QueryDef.sql(
+    "q14_promo",
+    """SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+      |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+      |       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin) { (spark, dir) =>
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)
+    l.join(broadcast(Tables(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(Dec)))
+        .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Supplier-side revenue rollup (the supplier mirror of Q5's
+    * customer-nation path): revenue per supplier nation and region.
+    * Supplier, nation and region all broadcast; one agg shuffle.
+    */
+  val qSupplierNation: QueryDef = QueryDef.sql(
+    "q_supplier_nation",
+    """SELECT n.n_name AS nation, r.r_name AS region,
+      |       CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+      |       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
+      .agg(countDistinct("s_suppkey").as("n_suppliers"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec))
+          .cast("double").as("revenue"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q10Returned, q6Forecast, q14Promo, qSupplierNation)
 }
