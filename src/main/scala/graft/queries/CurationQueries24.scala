@@ -64,7 +64,7 @@ object CurationQueries24 {
       val f = child.join(parent, child(ck) === parent(pk))
         .groupBy(child(ck)).agg(count(lit(1)).as("c"))
         .agg(max("c").as("mx"), sum("c").as("sc"), count(lit(1)).as("np"))
-      e.crossJoin(f).select(lit(rel).as("rel"), col("n_child"), col("n_keys"),
+      e.crossJoin(broadcast(f)).select(lit(rel).as("rel"), col("n_child"), col("n_keys"),
         col("n_orphans"), col("mx").as("max_fanout"),
         expr("sc * 100 DIV np").as("avg_fanout_x100"))
     }
