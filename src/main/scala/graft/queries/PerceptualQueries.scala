@@ -150,5 +150,94 @@ object PerceptualQueries {
         col("af._1").as("fingerprint"))
   }
 
-  val all: Seq[QueryDef] = Seq(imageDhash, imageNeardup, audioFingerprint)
+  /** Shared oracle CTEs for the audio fingerprint (mirrors the inline
+    * body of [[audioFingerprint]]): `afp(media_id, fp)`.
+    */
+  private val audioSqlCtes: String =
+    """cs AS (
+      |  SELECT doc_id,
+      |         list_transform(string_split(text, ''), c -> CAST(ascii(c) % 128 AS BIGINT)) AS a,
+      |         length(text) AS n
+      |  FROM documents WHERE length(text) >= 16),
+      |e AS (
+      |  SELECT doc_id, n, least(15, (i - 1) * 16 // n) AS blk, a[i] * a[i] AS v
+      |  FROM cs, unnest(range(1, n + 1)) t(i)),
+      |bs AS (
+      |  SELECT doc_id, blk, CAST(sum(v) AS BIGINT) AS s
+      |  FROM e GROUP BY doc_id, blk),
+      |grid AS (
+      |  SELECT doc_id, list(s ORDER BY blk) AS g FROM bs GROUP BY doc_id),
+      |afp AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(list_sum(list_transform(range(0, 15), j ->
+      |           CASE WHEN g[j + 2] > g[j + 1] THEN CAST(1 AS BIGINT) << j
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+      |  FROM grid)""".stripMargin
+
+  /** AUDIO FINGERPRINT LIFT — the CALIBRATION diagnostic for a narrow
+    * perceptual hash: per hamming distance (0, 1, 2), the observed
+    * pair count against the pure-chance expectation C(n,2)*C(15,h)/2^15
+    * and the lift in bp. A first cut of this query emitted near-dup
+    * PAIRS like the image tier — and its own fixture run refuted that
+    * design: at 15 bits, chance collisions dominate (1667 pairs from
+    * 500 docs vs ~460 expected uniform), so pair emission is
+    * output-quadratic BY CONSTRUCTION at any corpus size. The honest
+    * operator at this width is this bounded 3-row report: lift >> 1
+    * means the fingerprint carries signal; the width rule it enforces
+    * is that pair-emitting near-dup needs enough bits that
+    * C(n,2)/2^bits stays below the true-dup rate (the image tier's 64
+    * bits — not 15). The codec round-trip runs once per doc behind a
+    * localCheckpoint; output is 3 rows at any scale, though the
+    * all-pairs mass inside the hamming histogram is n^2/2^15-bounded —
+    * usable as an AUDIT pass, never as the production pair stream.
+    */
+  val audioFpLift: QueryDef = QueryDef.sql(
+    "q_audio_fp_lift",
+    s"""WITH $audioSqlCtes,
+       |n AS (SELECT count(*) AS n FROM afp),
+       |p AS (SELECT bit_count(xor(a.fp, b.fp)) AS hamming, count(*) AS n_pairs
+       |      FROM afp a JOIN afp b ON a.media_id < b.media_id
+       |      GROUP BY 1),
+       |ch AS (SELECT unnest([0, 1, 2]) AS hamming, unnest([1, 15, 105]) AS comb)
+       |SELECT CAST(ch.hamming AS BIGINT) AS hamming,
+       |       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(n.n * (n.n - 1) // 2 * ch.comb // 32768 AS BIGINT) AS expected_pairs,
+       |       CAST(coalesce(p.n_pairs, 0) * 10000
+       |            // greatest(n.n * (n.n - 1) // 2 * ch.comb // 32768, 1) AS BIGINT) AS lift_bp
+       |FROM ch LEFT JOIN p ON p.hamming = ch.hamming, n""".stripMargin) { (spark, dir) =>
+    val hs = Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= 16)
+      .select(col("doc_id").as("media_id"), audioUdf(col("text")).as("af"))
+      .select(col("media_id"), col("af._1").as("fp"))
+      .localCheckpoint()
+    val n = hs.agg(count(lit(1)).as("n"))
+    // 3 bands x 5 bits: pigeonhole-complete for hamming <= 2, so the
+    // banded join sees every pair the histogram needs without a
+    // corpus-sized broadcast; distinct before counting (a close pair
+    // matches in several bands)
+    val bands = hs.select(col("media_id"), col("fp"),
+      explode(sequence(lit(0), lit(2))).as("band"))
+      .withColumn("bval", expr("shiftright(fp, band * 5)").bitwiseAND(lit(31)))
+    val a = bands.select(col("band"), col("bval"),
+      col("media_id").as("a_id"), col("fp").as("a_fp"))
+    val b = bands.select(col("band"), col("bval"),
+      col("media_id").as("b_id"), col("fp").as("b_fp"))
+    val p = a.join(b, Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    import spark.implicits._
+    val ch = Seq((0L, 1L), (1L, 15L), (2L, 105L)).toDF("hamming", "comb")
+    ch.join(p, Seq("hamming"), "left").crossJoin(broadcast(n))
+      .select(col("hamming"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        expr("n * (n - 1) DIV 2 * comb DIV 32768").as("expected_pairs"),
+        expr("coalesce(n_pairs, 0) * 10000" +
+          " DIV greatest(n * (n - 1) DIV 2 * comb DIV 32768, 1)").as("lift_bp"))
+  }
+
+  val all: Seq[QueryDef] = Seq(imageDhash, imageNeardup, audioFingerprint, audioFpLift)
 }
