@@ -60,6 +60,7 @@ object SparkEntry {
       graft.queries.CurationQueries28.all ++
       graft.queries.AnnQueries2.all ++
       graft.queries.CurationQueries29.all ++
+      graft.queries.EventQueries2.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 
