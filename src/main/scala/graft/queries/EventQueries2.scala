@@ -44,5 +44,43 @@ object EventQueries2 {
         expr("n * 10000 DIV tot").as("p_bp"))
   }
 
-  val all: Seq[QueryDef] = Seq(eventTransitions)
+  /** AUDIENCE OVERLAP — per event-type pair: shared distinct users,
+    * each side's audience size, and audience Jaccard in bp. The
+    * corpus-level complement of `q_event_itemsets` (which counts
+    * within-session baskets): this answers "do the people who do X
+    * also do Y at all", the segmentation number behind cross-feature
+    * funnels. SCALE: one distinct (user, type) shuffle; the pair join
+    * fans out <= C(|types|, 2) rows per user; everything after is a
+    * types^2-bounded aggregate.
+    */
+  val audienceOverlap: QueryDef = QueryDef.sql(
+    "q_audience_overlap",
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |ts AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS i
+      |      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, CAST(p.i AS BIGINT) AS n_shared,
+      |       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+      |       CAST(p.i * 10000 // (ta.n + tb.n - p.i) AS BIGINT) AS jaccard_bp
+      |FROM p JOIN ts ta ON ta.event_type = p.type_a
+      |       JOIN ts tb ON tb.event_type = p.type_b""".stripMargin) { (spark, dir) =>
+    val ut = Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct()
+    val ts = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    val p = a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("i"))
+    p.join(broadcast(ts.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n", "n_a")), "type_a")
+      .join(broadcast(ts.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n", "n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("i").as("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("i * 10000 DIV (n_a + n_b - i)").as("jaccard_bp"))
+  }
+
+  val all: Seq[QueryDef] = Seq(eventTransitions, audienceOverlap)
 }
