@@ -61,6 +61,7 @@ object SparkEntry {
       graft.queries.AnnQueries2.all ++
       graft.queries.CurationQueries29.all ++
       graft.queries.EventQueries2.all ++
+      graft.queries.CurationQueries30.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 
