@@ -61,5 +61,69 @@ object CurationQueries30 {
           .cast("long").as("r_len_stopword_bp"))
   }
 
-  val all: Seq[QueryDef] = Seq(lenQualityCorr)
+  /** CONDITIONAL BIGRAM ENTROPY — H(next | current) and the marginal
+    * H(next) over within-document adjacent token pairs, Q20 fixed
+    * point via the `q_char_entropy` per-term ln quantization — at Q30,
+    * not Q40: per-term sums scale as N*|ln p|*grid and a Q40 grid
+    * would overflow a long near 10^8 bigrams (the q_embed_anisotropy
+    * overflow lesson applied at design time). Their
+    * difference is the mutual information the previous token carries
+    * about the next — the corpus-structure number that separates
+    * natural text (low conditional entropy: syntax constrains the next
+    * token) from shuffled or templated streams, and the
+    * model-free lower-bound companion to the fitted LMs
+    * (`q_bigram_lm`, `q_kneser_ney`). SCALE: one bigram-keyed count
+    * (vocabulary^2-bounded, Zipf-sparse in practice) + a predecessor
+    * rollup; the entropy fold is a sum over the count table, never the
+    * corpus.
+    */
+  val bigramCondEntropy: QueryDef = QueryDef.sql(
+    "q_bigram_centropy",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT toks[i] AS a, toks[i + 1] AS b
+      |       FROM tk, unnest(range(1, greatest(len(toks), 1))) t(i)),
+      |cab AS (SELECT a, b, count(*) AS c FROM bg GROUP BY 1, 2),
+      |ca AS (SELECT a, sum(c) AS ca FROM cab GROUP BY 1),
+      |cb AS (SELECT b, sum(c) AS cb FROM cab GROUP BY 1),
+      |n AS (SELECT sum(c) AS n FROM cab),
+      |hc AS (SELECT -sum(cab.c * CAST(floor(ln(CAST(cab.c AS DOUBLE) / CAST(ca.ca AS DOUBLE))
+      |                                      * 1073741824.0) AS BIGINT)) AS s
+      |       FROM cab JOIN ca ON ca.a = cab.a),
+      |hm AS (SELECT -sum(cb.cb * CAST(floor(ln(CAST(cb.cb AS DOUBLE) / CAST(n.n AS DOUBLE))
+      |                                     * 1073741824.0) AS BIGINT)) AS s
+      |       FROM cb, n)
+      |SELECT CAST(n.n AS BIGINT) AS n_bigrams,
+      |       CAST((SELECT count(*) FROM cab) AS BIGINT) AS n_types,
+      |       CAST(hc.s // n.n // 1024 AS BIGINT) AS h_cond_q20,
+      |       CAST(hm.s // n.n // 1024 AS BIGINT) AS h_marginal_q20,
+      |       CAST((hm.s // n.n - hc.s // n.n) // 1024 AS BIGINT) AS mi_q20
+      |FROM hc, hm, n""".stripMargin) { (spark, dir) =>
+    val Q30 = 1073741824.0
+    val bg = Tables(spark, dir, "documents")
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b)) ELSE array() END"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("c")).localCheckpoint()
+    val ca = cab.groupBy("a").agg(sum("c").as("ca"))
+    val cb = cab.groupBy("b").agg(sum("c").as("cb"))
+    val n = cab.agg(sum("c").as("n"))
+    val types = cab.agg(count(lit(1)).as("n_types"))
+    val hc = cab.join(ca, "a")
+      .agg((-sum(col("c") * floor(log(col("c").cast("double") / col("ca").cast("double"))
+        * lit(Q30)).cast("long"))).as("s"))
+    val hm = cb.crossJoin(broadcast(n.select(col("n").as("nn"))))
+      .agg((-sum(col("cb") * floor(log(col("cb").cast("double") / col("nn").cast("double"))
+        * lit(Q30)).cast("long"))).as("s"))
+    n.crossJoin(broadcast(types))
+      .crossJoin(broadcast(hc.select(col("s").as("sc"))))
+      .crossJoin(broadcast(hm.select(col("s").as("sm"))))
+      .select(col("n").as("n_bigrams"), col("n_types"),
+        expr("sc DIV n DIV 1024").as("h_cond_q20"),
+        expr("sm DIV n DIV 1024").as("h_marginal_q20"),
+        expr("(sm DIV n - sc DIV n) DIV 1024").as("mi_q20"))
+  }
+
+  val all: Seq[QueryDef] = Seq(lenQualityCorr, bigramCondEntropy)
 }
