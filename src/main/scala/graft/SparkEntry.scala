@@ -62,6 +62,7 @@ object SparkEntry {
       graft.queries.CurationQueries29.all ++
       graft.queries.EventQueries2.all ++
       graft.queries.CurationQueries30.all ++
+      graft.queries.CurationQueries31.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 
