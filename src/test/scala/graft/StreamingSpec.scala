@@ -299,6 +299,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows equal the batch sessions closed by the watermark") {
+    val (dir, schema) = batchEvents
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.sessions(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT user_id, session_start, n_events FROM sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+      assert(streamed.nonEmpty, "no sessions closed")
+      // batch twin with session END retained for the watermark split
+      val batch = Tables.events(spark, sf0001)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("s"), col("sw.end").as("e"),
+          col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3)))
+      val wm = Tables.events(spark, sf0001).agg(max("ts")).head()
+        .getTimestamp(0).getTime - 2 * 3600 * 1000
+      val closed = batch.filter(_._3 <= wm).map(t => (t._1, t._2, t._4)).toSet
+      assert(streamed == closed,
+        s"streamed ${streamed.size} sessions != batch-closed ${closed.size}")
+      // and sessions past the watermark frontier are still open
+      assert(batch.exists(_._3 > wm))
+    } finally q.stop()
+  }
+
   test("streaming orphan monitor: anti-join counts match the batch audit") {
     val (dir, schema) = batchEvents
     // dimension = users with even ids: odd-id events are orphans
