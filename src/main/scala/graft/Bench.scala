@@ -46,12 +46,20 @@ object Bench {
     val pass1 = names.map(n => n -> timed(n)).toMap
     val results = names.map(n => n -> math.min(pass1(n), timed(n)))
       .filterNot { case (n, _) => failed.contains(n) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // JSON-escape keys: a query name containing a quote/backslash/control
+    // char must not produce an invalid artifact
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val failedJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.toSeq.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
     println(json)
     // the driver captures a bounded stdout tail, which has truncated the
     // per-query map in past rounds — persist the full line as an artifact
@@ -64,8 +72,8 @@ object Bench {
     // failures, pointing at bench.json for the full per-query map
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val topJson = results.sortBy(-_._2).take(25)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJson,"failed":$failedJson,"n_queries":${results.size},"sf":"$sfDir","full":"bench.json"}""")
+      .map { case (k, v) => "\"" + esc(k) + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJson,"failed":$failedJson,"n_queries":${results.size},"sf":"${esc(sfDir)}","full":"bench.json"}""")
     spark.stop()
   }
 }

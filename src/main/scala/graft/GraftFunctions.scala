@@ -46,11 +46,14 @@ object GraftFunctions {
         if (es.length <= 1) 16
         else foldableInt(es(1), "graft_random_proj", "outDims")
       }) }),
-    // winnowing fingerprints of a token array: (toks[, n[, w]])
+    // winnowing fingerprints of a token array: (toks[, n[, w]]). n and w
+    // must be >= 1 — a non-positive window would make every window
+    // minimum stay Long.MaxValue and emit a bogus sentinel fingerprint,
+    // so reject it at analysis time like a wrong arity
     "graft_winnow" -> (es => { arity(es, 1, 3, "graft_winnow")
       graft.functions.WinnowFingerprintsExpr(es(0),
-        if (es.length <= 1) 3 else foldableInt(es(1), "graft_winnow", "n"),
-        if (es.length <= 2) 4 else foldableInt(es(2), "graft_winnow", "w")) }))
+        if (es.length <= 1) 3 else foldablePositiveInt(es(1), "graft_winnow", "n"),
+        if (es.length <= 2) 4 else foldablePositiveInt(es(2), "graft_winnow", "w")) }))
 
   /** Wrong-argument-count is an AnalysisException, not a raw
     * IndexOutOfBounds from `es(i)` inside the builder.
@@ -74,6 +77,22 @@ object GraftFunctions {
         messageParameters = Map("message" ->
           s"$fn: the $arg argument must be a non-null integer literal"))
     else e.eval().asInstanceOf[Number].intValue()
+
+  /** [[foldableInt]] that additionally rejects values < 1 — for window /
+    * shingle widths where a non-positive size is semantically void and
+    * would otherwise produce sentinel garbage instead of an error.
+    */
+  private def foldablePositiveInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, arg: String): Int = {
+    val v = foldableInt(e, fn, arg)
+    if (v < 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$fn: the $arg argument must be >= 1 (got $v)"))
+    v
+  }
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

@@ -44,13 +44,14 @@ object AnnQueries2 {
        |                  row_number() OVER (PARTITION BY qid ORDER BY rg) AS rp
        |           FROM r WHERE rg <= 20 AND lbl = tgt) p WHERE rp <= 5),
        |pool AS (SELECT qid, count(*) AS n_label FROM r WHERE lbl = tgt GROUP BY qid),
-       |hits AS (SELECT t.qid, count(p.nid) AS hits
+       |hits AS (SELECT t.qid, count(p.nid) AS hits, count(*) AS n_truth
        |         FROM truth t LEFT JOIN post p ON p.qid = t.qid AND p.nid = t.nid
        |         GROUP BY t.qid)
        |SELECT q.qid, q.tgt AS target_label,
        |       CAST(pool.n_label AS BIGINT) AS n_label,
+       |       CAST(hits.n_truth AS BIGINT) AS n_truth,
        |       CAST(hits.hits AS BIGINT) AS hits,
-       |       CAST(hits.hits * 2000 AS BIGINT) AS recall_bp
+       |       CAST(hits.hits * 10000 // hits.n_truth AS BIGINT) AS recall_bp
        |FROM q JOIN pool ON pool.qid = q.qid JOIN hits ON hits.qid = q.qid""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter(col("vec_id") < 10)
@@ -70,13 +71,17 @@ object AnnQueries2 {
       .filter(col("rp") <= 5).select(col("qid").as("pqid"), col("nid").as("pnid"))
     val pool = r.filter(col("lbl") === col("tgt"))
       .groupBy("qid").agg(count(lit(1)).as("n_label"))
+    // recall denominator is the ACTUAL truth-set size per query (≤ 5):
+    // a label with fewer than 5 same-label neighbors would make a
+    // hardcoded /5 misreport recall as forever under 100% even when post-filter
+    // found every truth row
     val hits = truth
       .join(post, col("pqid") === col("qid") && col("pnid") === col("nid"), "left")
-      .groupBy("qid").agg(count(col("pnid")).as("hits"))
+      .groupBy("qid").agg(count(col("pnid")).as("hits"), count(lit(1)).as("n_truth"))
     qs.select(col("qid"), col("tgt").as("target_label"))
       .join(pool, "qid").join(hits, "qid")
-      .select(col("qid"), col("target_label"), col("n_label"), col("hits"),
-        (col("hits") * 2000).as("recall_bp"))
+      .select(col("qid"), col("target_label"), col("n_label"), col("n_truth"),
+        col("hits"), expr("hits * 10000 DIV n_truth").as("recall_bp"))
   }
 
   val all: Seq[QueryDef] = Seq(filteredAnn)

@@ -26,9 +26,15 @@ object CurationQueries28 {
     * normalized by n PER DIM before summing — keeping every integer
     * far from 2^63 at ANY corpus size (a global Q45 energy sum would
     * overflow a long near 10^7 vectors; the oracle's HUGEINT would
-    * not, and the engines would silently diverge). SCALE: one
-    * (dim x stats) reduce — 64 groups, corpus-size-invariant algebra
-    * after.
+    * not, and the engines would silently diverge). The per-dim sums
+    * themselves accumulate as DECIMAL(38,0) on the Spark side: DuckDB
+    * sums BIGINT into HUGEINT (128-bit, exact) while Spark's
+    * sum(long) wraps silently at 2^63 — which a Q52-scaled term
+    * reaches near 10^6-10^7 vectors. Decimal sums are exact to 38
+    * digits (~2^126) in Spark, so both engines stay exact at any
+    * realistic corpus size and every downstream value is unchanged.
+    * SCALE: one (dim x stats) reduce — 64 groups,
+    * corpus-size-invariant algebra after.
     */
   val embedAnisotropy: QueryDef = QueryDef.sql(
     "q_embed_anisotropy",
@@ -53,8 +59,10 @@ object CurationQueries28 {
       .select((col("i0") + 1).cast("long").as("i"), col("x0").cast("double").as("x"))
       .groupBy("i")
       .agg(count(lit(1)).as("n"),
-        sum(floor(col("x") * S52d).cast("long")).as("s"),
-        sum(floor(col("x") * col("x") * S45d).cast("long")).as("sx2"))
+        // decimal(38,0) accumulators: exact to ~2^126 like DuckDB's
+        // HUGEINT sum, where sum(long) would wrap near 10^6-10^7 vectors
+        sum(floor(col("x") * S52d).cast("decimal(38,0)")).as("s"),
+        sum(floor(col("x") * col("x") * S45d).cast("decimal(38,0)")).as("sx2"))
     per.agg(max("n").as("n"),
         sum(floor((col("s").cast("double") / S52d / col("n")) *
           (col("s").cast("double") / S52d / col("n")) * S45d).cast("long")).as("a"),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
 import graft.multimodal.Perceptual
 
 /** Multimodal near-dup tier: perceptual hashes computed through REAL
@@ -153,12 +154,12 @@ object PerceptualQueries {
   /** Shared oracle CTEs for the audio fingerprint (mirrors the inline
     * body of [[audioFingerprint]]): `afp(media_id, fp)`.
     */
-  private val audioSqlCtes: String =
-    """cs AS (
+  private def audioSqlCtesFrom(src: String): String =
+    s"""cs AS (
       |  SELECT doc_id,
       |         list_transform(string_split(text, ''), c -> CAST(ascii(c) % 128 AS BIGINT)) AS a,
       |         length(text) AS n
-      |  FROM documents WHERE length(text) >= 16),
+      |  FROM $src WHERE length(text) >= 16),
       |e AS (
       |  SELECT doc_id, n, least(15, (i - 1) * 16 // n) AS blk, a[i] * a[i] AS v
       |  FROM cs, unnest(range(1, n + 1)) t(i)),
@@ -174,6 +175,18 @@ object PerceptualQueries {
       |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
       |  FROM grid)""".stripMargin
 
+  /** Deterministic content-hash sample cap for the lift calibration:
+    * lift estimation needs a FIXED number of documents (~2k gives ~2M
+    * pairs — relative SE on the h=0 chance expectation ~1/√64 ≈ 12%,
+    * ample for a >>1 lift verdict), not the corpus. Keep-decision is
+    * `polyhash(text||'fplift') mod 2^20 < thr` with
+    * thr = min(2^20, ⌈2^20·target/n_eligible⌉) — pure integer algebra
+    * both engines replay, re-shard-stable, and a no-op whenever the
+    * corpus is already at or below the target (the fixtures), so the
+    * sampled query is bit-identical to the unsampled one there.
+    */
+  private val LiftSampleTarget = 2048L
+
   /** AUDIO FINGERPRINT LIFT — the CALIBRATION diagnostic for a narrow
     * perceptual hash: per hamming distance (0, 1, 2), the observed
     * pair count against the pure-chance expectation C(n,2)*C(15,h)/2^15
@@ -187,13 +200,26 @@ object PerceptualQueries {
     * is that pair-emitting near-dup needs enough bits that
     * C(n,2)/2^bits stays below the true-dup rate (the image tier's 64
     * bits — not 15). The codec round-trip runs once per doc behind a
-    * localCheckpoint; output is 3 rows at any scale, though the
-    * all-pairs mass inside the hamming histogram is n^2/2^15-bounded —
-    * usable as an AUDIT pass, never as the production pair stream.
+    * localCheckpoint; output is 3 rows at any scale.
+    *
+    * SCALE (the round-8 `weak` fix): the calibration runs on a
+    * [[LiftSampleTarget]]-bounded content-hash sample, so the
+    * all-pairs mass inside the hamming histogram is CONSTANT
+    * (~target²·3/2^15) at any corpus size instead of n²-bounded —
+    * the audit itself is now scale-free like `q_winnow_tuning`; the
+    * only corpus-proportional work left is the eligibility count and
+    * the sampling scan, both map-side. Lift math is unchanged: the
+    * chance expectation uses the SAMPLE's n, so the ratio estimates
+    * the same population quantity.
     */
   val audioFpLift: QueryDef = QueryDef.sql(
     "q_audio_fp_lift",
-    s"""WITH $audioSqlCtes,
+    s"""WITH el AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
+       |ne AS (SELECT count(*) AS ne FROM el),
+       |sdocs AS (SELECT doc_id, text FROM el, ne
+       |          WHERE ${TextFunctions.polyHashSql("text || 'fplift'")} % 1048576 <
+       |                least(1048576, (CAST(1048576 AS BIGINT) * $LiftSampleTarget + ne - 1) // ne)),
+       |${audioSqlCtesFrom("sdocs")},
        |n AS (SELECT count(*) AS n FROM afp),
        |p AS (SELECT bit_count(xor(a.fp, b.fp)) AS hamming, count(*) AS n_pairs
        |      FROM afp a JOIN afp b ON a.media_id < b.media_id
@@ -205,8 +231,17 @@ object PerceptualQueries {
        |       CAST(coalesce(p.n_pairs, 0) * 10000
        |            // greatest(n.n * (n.n - 1) // 2 * ch.comb // 32768, 1) AS BIGINT) AS lift_bp
        |FROM ch LEFT JOIN p ON p.hamming = ch.hamming, n""".stripMargin) { (spark, dir) =>
-    val hs = Tables(spark, dir, "documents")
+    val el = Tables(spark, dir, "documents")
       .filter(length(col("text")) >= 16)
+    val ne = el.agg(count(lit(1)).as("ne"))
+    // content-hash sample bounded at LiftSampleTarget docs: the codec
+    // round-trip and the pair histogram below run on a FIXED-size set
+    // at any corpus scale (no-op at fixture sizes, where ne <= target)
+    val sampled = el.crossJoin(broadcast(ne))
+      .filter((TextFunctions.polyHash(concat(col("text"), lit("fplift"))) % 1048576) <
+        least(lit(1048576L),
+          expr(s"(1048576L * ${LiftSampleTarget}L + ne - 1) DIV ne")))
+    val hs = sampled
       .select(col("doc_id").as("media_id"), audioUdf(col("text")).as("af"))
       .select(col("media_id"), col("af._1").as("fp"))
       .localCheckpoint()

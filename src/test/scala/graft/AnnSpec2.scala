@@ -16,17 +16,23 @@ class AnnSpec2 extends SparkSpec {
       .select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     for (r <- rows) {
-      val (qid, tgt, n, hits, bp) =
-        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (qid, tgt, n, nTruth, hits, bp) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
       assert(tgt == qLabels(qid))
       // pool excludes the query itself when it shares the label
       assert(n == labelCounts(tgt) - 1)
-      assert(hits >= 0 && hits <= 5 && bp == hits * 2000)
+      // the truth set is the same-label top-5 — smaller only when the
+      // label itself has fewer than 5 other members
+      assert(nTruth == math.min(5L, n))
+      // recall divides by the ACTUAL truth count, so 100% is reachable
+      // even for starved labels (the advisor's denominator fix)
+      assert(hits >= 0 && hits <= nTruth && bp == hits * 10000 / nTruth)
     }
     // the fixture's ~10%-selective labels starve the global top-20:
     // the mean post-filter recall must sit clearly below perfect —
     // the measured cliff this query exists to expose
-    val mean = rows.map(_.getLong(4)).sum / rows.length
+    val mean = rows.map(_.getLong(5)).sum / rows.length
     assert(mean < 9000, s"post-filter recall suspiciously perfect ($mean bp)")
   }
 }

@@ -19,6 +19,13 @@ class GraftFunctionsSpec extends SparkSpec {
     val wn2 = spark.sql(
       "SELECT graft_winnow(split('a b c d e f', ' '), 2, 2) AS f").head().getSeq[Long](0)
     assert(wn2.nonEmpty)
+    // non-positive n / w is an analysis error, not a sentinel fingerprint
+    for (bad <- Seq("graft_winnow(split('a b', ' '), 0)",
+                    "graft_winnow(split('a b', ' '), 2, 0)",
+                    "graft_winnow(split('a b', ' '), -1, 4)")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $bad").head())
+      assert(e.getMessage.contains("must be >= 1"), s"$bad: ${e.getMessage}")
+    }
     val p = spark.sql(
       "SELECT graft_pack_sign_bits(array(1.0d, -1.0d, 0.5d), 4) AS p").head().getLong(0)
     assert(p == 5L) // bits 0 and 2

@@ -113,7 +113,12 @@ class ScaleSlopeSpec extends SparkSpec {
     "q_suffix_dup" -> 1.5,
     "q_winnow_containment" -> 1.5,
     "q_nb_margin" -> 1.5,
-    "q_chunk_dedup" -> 1.5)
+    "q_chunk_dedup" -> 1.5,
+    // round-9: the lift calibration's band join now runs on a
+    // content-hash sample capped at 2048 docs (was the one
+    // quadratic-by-construction audit, 10x slope 1.14; 0.15 after the
+    // cap) — pinned so the sampling stage can't silently vanish
+    "q_audio_fp_lift" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
