@@ -144,6 +144,36 @@ object HashKernels {
     }
     new GenericArrayData(out)
   }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Greedy LEFT-TO-RIGHT non-overlapping application of one BPE merge
+    * (l, r) over a token array — the same fold as
+    * [[TextFunctions.bpeMergeApply]] (which stays as the interpreted
+    * cross-check oracle), in linear time and allocation: the HOF's
+    * per-token `concat(acc, array(t))` copies the whole accumulator —
+    * O(len²) work per DOCUMENT, measured as the `q_bpe_learn` hot loop.
+    */
+  def bpeMerge(toks: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[AnyRef](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (m > 0 && out(m - 1).asInstanceOf[UTF8String].equals(l) && t.equals(r)) {
+        out(m - 1) = UTF8String.concat(l, Space, r)
+      } else {
+        // clone: the input may be an UnsafeArrayData view over a reused
+        // row buffer; the output must own its bytes
+        out(m) = t.clone()
+        m += 1
+      }
+      i += 1
+    }
+    if (m == n) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
 }
 
 /** polyHash(string) as a codegen expression. */
@@ -190,6 +220,22 @@ case class OrderedPairsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One greedy BPE merge (l, r) over a token array, as array<string>. */
+case class BpeMergeExpr(child: Expression, l: String, r: String) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  private lazy val lU = UTF8String.fromString(l)
+  private lazy val rU = UTF8String.fromString(r)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.bpeMerge(v.asInstanceOf[ArrayData], lU, rU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeMergeL", lU, classOf[UTF8String].getName)
+    val rRef = ctx.addReferenceObj("bpeMergeR", rU, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeMerge($c, $lRef, $rRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashExpressions {
   def polyHashFast(c: Column): Column =
     GraftShim.column(PolyHashExpr(GraftShim.expression(c)))
@@ -199,4 +245,6 @@ object HashExpressions {
     GraftShim.column(OrderedPairsExpr(GraftShim.expression(ids)))
   def winnowFast(toks: Column, n: Int, w: Int): Column =
     GraftShim.column(WinnowFingerprintsExpr(GraftShim.expression(toks), n, w))
+  def bpeMergeFast(toks: Column, l: String, r: String): Column =
+    GraftShim.column(BpeMergeExpr(GraftShim.expression(toks), l, r))
 }

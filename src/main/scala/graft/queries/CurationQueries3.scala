@@ -276,8 +276,14 @@ object CurationQueries3 {
       |       CAST(floor(sum(d.tokens) OVER (ORDER BY d.decile) * 10000.0 / t.tot) AS BIGINT)
       |         AS cum_bp
       |FROM d, t""".stripMargin) { (spark, dir) =>
+    // TOKENIZE ONCE (the round-8 exchange-reuse item): the histogram
+    // branch and the ranked branch exchange DIFFERENT payloads on n, so
+    // ReusedExchange can't merge them — instead the 16-byte-per-doc
+    // (doc_id, n) frame is materialized once and both branches read it,
+    // instead of each re-scanning and re-tokenizing the text corpus
     val m = Tables(spark, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .localCheckpoint()
     // length histogram: bounded by max token count, never corpus-sized
     val hist = m.groupBy("n").agg(count(lit(1)).as("cnt"))
     val before = hist

@@ -90,23 +90,32 @@ object CurationQueries6 {
     * entries buy"). The top-k is a heap merge (`TakeOrderedAndProject`,
     * never a global sort); the cumulative window rides the 20-row
     * result; the denominator is one broadcast scalar.
+    *
+    * TOKENIZE ONCE (the round-8 exchange-reuse item): the denominator
+    * is Σcnt over the per-token count table, NOT a second count over
+    * the raw token stream — both consumers hang off the SAME
+    * `groupBy(tok)` aggregation, so the corpus-sized scan+tokenize+
+    * partial-agg map side runs once and the second consumer reads the
+    * vocab-sized shuffle output through a ReusedExchange (gated in
+    * PlanShapeSpec). The old shape scanned and tokenized the corpus
+    * twice — a 2x constant at every scale.
     */
   val vocabCoverage: QueryDef = QueryDef.sql(
     "q_vocab_coverage",
     """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-      |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM tk),
-      |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk
-      |        GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20)
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c),
+      |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20)
       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk,
       |       tok, cnt,
       |       CAST(floor(sum(cnt) OVER (ORDER BY cnt DESC, tok) * 10000.0 / t.tot)
       |            AS BIGINT) AS cum_bp
       |FROM top, t""".stripMargin) { (spark, dir) =>
-    val tk = Tables(spark, dir, "documents")
+    val counts = Tables(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
-    val t = tk.agg(count(lit(1)).as("tot"))
-    val top = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok").asc).limit(20)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val t = counts.agg(sum(col("cnt")).as("tot"))
+    val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(20)
     val w = Window.orderBy(col("cnt").desc, col("tok").asc)
     top.crossJoin(broadcast(t))
       .select(row_number().over(w).cast("long").as("rnk"), col("tok"), col("cnt"),

@@ -666,20 +666,14 @@ object TextStatsQueries {
     * occurred). Pure string/count arithmetic — no doubles anywhere.
     *
     * SCALE: each round is one corpus-shaped pair-count shuffle
-    * (map-side combine), a 1-row argmax (TakeOrderedAndProject), and a
-    * map-only fold apply; the per-round driver collect is a single row
-    * — the `q_ivf_kmeans` codebook pattern. ONE job per round: the
-    * applied corpus is `persist`ed (not checkpointed) and the NEXT
-    * round's pair-count job is what materializes it — cache fill,
-    * pair argmax, and the post-merge `n_tokens` (an `Observation` on
-    * the applied plan, fired by that same first scan) all ride one
-    * pass; a final count fires the last round's observation. Six jobs
-    * total for five rounds, vs 15 for the naive
-    * apply+checkpoint+recount structure. The cache (MEMORY_AND_DISK)
-    * plays localCheckpoint's lineage role: round k reads round k-1
-    * from cache, never re-running folds 1..k-1; the fold itself
-    * rebuilds a per-document list (cost bounded by DOCUMENT length,
-    * never corpus size) — corpus-linear per round.
+    * (map-side combine) whose single collect returns the top-2 pairs
+    * plus a fusion guard, and a map-only fold apply; see
+    * [[learnBpeMerges]] for the round-fusion and cache discipline
+    * (at most two generations live, MEMORY_AND_DISK_SER) that keep
+    * the loop's storage footprint corpus-bounded instead of
+    * iters x corpus. The fold itself rebuilds a per-document list
+    * (cost bounded by DOCUMENT length, never corpus size) —
+    * corpus-linear per round.
     */
   val bpeLearn: QueryDef = {
     val iters = 5
@@ -710,37 +704,135 @@ object TextStatsQueries {
          |SELECT CAST(iter AS BIGINT) AS iter, merge_l, merge_r,
          |       CAST(cnt AS BIGINT) AS n_pair, CAST(nt AS BIGINT) AS n_tokens
          |FROM ($unions)""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      var toks = Tables(spark, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val merges = collection.mutable.Buffer.empty[(Long, String, String, Long)]
-      val obs = (1 to iters).map(i => new org.apache.spark.sql.Observation(s"bpe_nt_$i"))
-      val cached = collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
-      for (i <- 1 to iters) {
-        // this job is round i's argmax AND round i-1's cache fill AND
-        // the trigger for round i-1's observed n_tokens
-        val top = toks.filter(size(col("toks")) >= 2)
-          .select(col("toks"), explode(sequence(lit(1), size(col("toks")) - 1)).as("pos"))
-          .select(element_at(col("toks"), col("pos")).as("l"),
-            element_at(col("toks"), col("pos") + 1).as("r"))
-          .groupBy("l", "r").agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-          .head()
-        merges += ((i.toLong, top.getString(0), top.getString(1), top.getLong(2)))
-        toks = toks.withColumn("toks",
-            bpeMergeApply(col("toks"), top.getString(0), top.getString(1)))
-          .observe(obs(i - 1), sum(size(col("toks"))).cast("long").as("nt"))
-          .persist()
-        cached += toks
-      }
-      // fire the final round's observation (nothing scans toks_5 otherwise)
-      toks.count()
-      val out = merges.zip(obs).map { case ((i, l, r, cnt), o) =>
-        (i, l, r, cnt, o.get("nt").asInstanceOf[Long])
-      }
-      cached.foreach(_.unpersist(false))
-      out.toSeq.toDF("iter", "merge_l", "merge_r", "n_pair", "n_tokens")
+      learnBpeMerges(spark,
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks")),
+        iters)
     }
+  }
+
+  /** The distributed merge-learning loop behind [[bpeLearn]], factored
+    * over an explicit `(doc_id, toks)` frame so specs can drive it with
+    * adversarial corpora. Per round: ONE corpus-shaped pair-count job
+    * whose single collect returns the top-2 pairs PLUS a fusion guard
+    * (one pair-count Exchange feeds all three consumers via
+    * ReusedExchange), then a map-only greedy fold apply.
+    *
+    * ROUND FUSION (the round-8 "two merges per pass" item): two merges
+    * apply in ONE pass when provably sequential-equivalent from round
+    * i's count table alone. With M = "l1 r1", the only pairs whose
+    * recounted frequency can RISE after merge 1 are the NEW pairs
+    * involving M, and each such count is bounded by an EXISTING
+    * adjacency count from the same table — #(x,M) <= cnt(x,l1),
+    * #(M,y) <= cnt(r1,y), #(M,M) <= cnt(r1,l1). Every other pair's
+    * count is non-increasing, and pair 2's is EXACTLY unchanged when
+    * it shares no token with pair 1 (merging cannot create or destroy
+    * an adjacency of two tokens outside {l1,r1}). So if (a) pair 2 is
+    * token-disjoint from pair 1, (b) no existing pair already involves
+    * a token equal to the string M (its old count would ADD to a new
+    * pair's), and (c) cnt2 STRICTLY exceeds every adjacency count that
+    * can feed a new pair, then pair 2 is the round-(i+1) argmax under
+    * (count DESC, l, r) and fusing is exact. Anything else falls back
+    * to one merge per pass. The guard is conservative — it can only
+    * forgo a legal fusion, never admit an illegal one — and the DuckDB
+    * oracle stays STRICTLY sequential, so a guard bug surfaces as a
+    * correctness failure, not silent drift.
+    *
+    * CACHE DISCIPLINE (the round-8 decade constant): generations
+    * persist MEMORY_AND_DISK_SER and unpersist on a sliding window —
+    * as soon as round k's pair-count job materializes generation k,
+    * generation k-1 is dropped, so at most TWO generations are live at
+    * any moment (the round-8 code kept all five until the end: 5x the
+    * token corpus pinned in cache at the 15 GB replica).
+    */
+  def learnBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame, iters: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    var toks = base
+    val merges = collection.mutable.Buffer.empty[(Long, String, String, Long)]
+    val ntOf = collection.mutable.Map.empty[Int, () => Long]
+    var gens = List.empty[org.apache.spark.sql.DataFrame]
+    var iter = 1
+    while (iter <= iters) {
+      val pc = toks.filter(size(col("toks")) >= 2)
+        .select(col("toks"), explode(sequence(lit(1), size(col("toks")) - 1)).as("pos"))
+        .select(element_at(col("toks"), col("pos")).as("l"),
+          element_at(col("toks"), col("pos") + 1).as("r"))
+        .groupBy("l", "r").agg(count(lit(1)).as("cnt"))
+      val top2 = pc.orderBy(col("cnt").desc, col("l"), col("r")).limit(2)
+        .select(lit("top").as("tag"), col("l"), col("r"), col("cnt"),
+          lit(0L).as("bound"), lit(0L).as("mcnt"))
+      val t1 = pc.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .select(col("l").as("tl"), col("r").as("tr"))
+      val mTok = concat_ws(" ", col("tl"), col("tr"))
+      val adj = col("r") === col("tl") || col("l") === col("tr")
+      val mHit = col("l") === mTok || col("r") === mTok
+      val guard = pc.join(broadcast(t1), adj || mHit)
+        .agg(coalesce(max(when(adj, col("cnt"))), lit(0L)).as("bound"),
+          count(when(mHit, lit(1))).as("mcnt"))
+        .select(lit("guard").as("tag"), lit("").as("l"), lit("").as("r"),
+          lit(0L).as("cnt"), col("bound"), col("mcnt"))
+      // ONE job: top-2 + guard (and round k-1's cache fill + nt obs)
+      val rows = top2.unionByName(guard).collect()
+      // the current generation is materialized now — drop older ones
+      gens.drop(1).foreach(_.unpersist(false))
+      gens = gens.take(1)
+      val tops = rows.filter(_.getString(0) == "top")
+        .sortBy(r => (-r.getLong(3), r.getString(1), r.getString(2)))
+      // a corpus can run out of adjacent pairs before the last round
+      // (single-token documents only) — stop learning, report the
+      // rounds that exist
+      if (tops.isEmpty) { iter = iters + 1 } else {
+        val g = rows.find(_.getString(0) == "guard").get
+        val (bound, mcnt) = (g.getLong(4), g.getLong(5))
+        val (l1, r1, cnt1) = (tops(0).getString(1), tops(0).getString(2), tops(0).getLong(3))
+        val second = tops.lift(1)
+        val fuse = iter < iters && mcnt == 0L && second.exists { s =>
+          val (l2, r2) = (s.getString(1), s.getString(2))
+          l2 != l1 && l2 != r1 && r2 != l1 && r2 != r1 && s.getLong(3) > bound
+        }
+        merges += ((iter.toLong, l1, r1, cnt1))
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          System.err.println(s"[bpe] iter=$iter fuse=$fuse top=($l1,$r1,$cnt1) " +
+            s"second=${second.map(s => (s.getString(1), s.getString(2), s.getLong(3)))} " +
+            s"bound=$bound mcnt=$mcnt")
+        if (!fuse) {
+          val o = new org.apache.spark.sql.Observation(s"bpe_nt_$iter")
+          toks = toks.withColumn("toks", graft.functions.HashExpressions.bpeMergeFast(col("toks"), l1, r1))
+            .observe(o, sum(size(col("toks"))).cast("long").as("nt"))
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          ntOf(iter) = () => o.get("nt").asInstanceOf[Long]
+          gens = toks :: gens
+          iter += 1
+        } else {
+          val s = second.get
+          val (l2, r2, cnt2) = (s.getString(1), s.getString(2), s.getLong(3))
+          merges += (((iter + 1).toLong, l2, r2, cnt2))
+          val o = new org.apache.spark.sql.Observation(s"bpe_nt_${iter}_${iter + 1}")
+          // two selects, NOT one: toks1 is referenced twice (observed and
+          // folded again), which blocks CollapseProject from inlining the
+          // first fold into the second — each fold runs once per row
+          toks = toks
+            .select(col("doc_id"), graft.functions.HashExpressions.bpeMergeFast(col("toks"), l1, r1).as("toks1"))
+            .select(col("doc_id"), col("toks1"),
+              graft.functions.HashExpressions.bpeMergeFast(col("toks1"), l2, r2).as("toks"))
+            .observe(o, sum(size(col("toks1"))).cast("long").as("nt1"),
+              sum(size(col("toks"))).cast("long").as("nt2"))
+            .select(col("doc_id"), col("toks"))
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          ntOf(iter) = () => o.get("nt1").asInstanceOf[Long]
+          ntOf(iter + 1) = () => o.get("nt2").asInstanceOf[Long]
+          gens = toks :: gens
+          iter += 2
+        }
+      }
+    }
+    // fire the final generation's observation (nothing scans it otherwise)
+    toks.count()
+    val out = merges.map { case (i, l, r, cnt) => (i, l, r, cnt, ntOf(i.toInt)()) }
+    gens.foreach(_.unpersist(false))
+    out.toSeq.toDF("iter", "merge_l", "merge_r", "n_pair", "n_tokens")
   }
 
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,

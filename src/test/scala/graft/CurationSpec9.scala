@@ -59,6 +59,20 @@ class CurationSpec9 extends SparkSpec {
     assert(got(2L) == Seq("a a", "a a"))
     assert(got(3L) == Seq("b"))
     assert(got(4L) == Seq.empty[String])
+    // the codegen kernel (the q_bpe_learn production path) folds
+    // identically to the interpreted HOF on random token soups
+    val rnd = new scala.util.Random(9)
+    val soup = (1L to 60L).map(i =>
+      (i, Seq.fill(rnd.nextInt(30))(Seq("a", "b", "c")(rnd.nextInt(3)))))
+      .toDF("id", "toks")
+    for ((l, r) <- Seq(("a", "a"), ("a", "b"), ("c", "a"))) {
+      val both = soup.select(
+          graft.functions.TextFunctions.bpeMergeApply(col("toks"), l, r).as("hof"),
+          graft.functions.HashExpressions.bpeMergeFast(col("toks"), l, r).as("fast"))
+        .collect()
+      both.foreach(row =>
+        assert(row.getSeq[String](0) == row.getSeq[String](1), s"merge ($l,$r)"))
+    }
   }
 
   test("bpe_learn: all five rounds recomputed in Scala from raw documents") {
@@ -90,6 +104,49 @@ class CurationSpec9 extends SparkSpec {
   // argmax = highest count, lexicographically smallest pair)
   private case class ReverseStr(s: String) extends Ordered[ReverseStr] {
     def compare(that: ReverseStr): Int = that.s.compareTo(s)
+  }
+
+  test("bpe_learn round fusion: fused and fallback corpora both match the sequential reference") {
+    import spark.implicits._
+    def applyMerge(toks: Seq[String], l: String, r: String): Seq[String] =
+      toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == l && t == r) acc.init :+ (acc.last + " " + t)
+        else acc :+ t
+      }
+    def reference(docs: Seq[String], iters: Int): Seq[(Long, String, String, Long, Long)] = {
+      var corpus = docs.map(_.split(" ", -1).toSeq)
+      (1 to iters).map { i =>
+        val pairs = corpus.flatMap(tk => tk.zip(tk.drop(1)))
+          .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        val (l, r) = pairs.maxBy { case ((pl, pr), c) => (c, ReverseStr(pl), ReverseStr(pr)) }._1
+        val cnt = pairs.toMap.apply((l, r))
+        corpus = corpus.map(applyMerge(_, l, r))
+        (i.toLong, l, r, cnt, corpus.map(_.length.toLong).sum)
+      }
+    }
+    def run(docs: Seq[String], iters: Int): Seq[(Long, String, String, Long, Long)] = {
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.split(" ", -1).toSeq) }
+        .toDF("doc_id", "toks")
+      graft.queries.TextStatsQueries.learnBpeMerges(spark, df, iters)
+        .orderBy("iter").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    }
+    // A: round-1 guard PASSES — (a,b)=15 then disjoint (c,d)=12 with the
+    // strongest adjacency (x,a)=10 strictly below; fusion must be exact
+    val fuseCorpus = Seq.fill(10)("x a b") ++ Seq.fill(5)("a b") ++ Seq.fill(12)("c d")
+    // B: second pair SHARES a token with the first ((x,a) vs (a,b)) —
+    // fusing would double-count through the merge site; must fall back
+    val shareCorpus = Seq.fill(13)("x a b") ++ Seq.fill(12)("c d")
+    // C: disjoint second pair but the adjacency bound TIES cnt2
+    // ((x,a)=12 = (c,d)=12) — a new (x,'a b') pair could tie the fused
+    // argmax, so the strict guard must fall back
+    val tieCorpus = Seq.fill(12)("x a b") ++ Seq.fill(12)("c d")
+    for ((docs, label) <- Seq((fuseCorpus, "fuse"), (shareCorpus, "share"),
+        (tieCorpus, "tie"))) {
+      assert(run(docs, 3) == reference(docs, 3), s"$label corpus diverged")
+    }
   }
 
   test("split_leakage: consistent with the lsh-pair stream and split assignment") {

@@ -107,6 +107,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size <= 3, s"unexpected shuffles: ${shuffles.size}")
   }
 
+  test("vocab_coverage/token_cdf: the corpus is tokenized exactly once") {
+    // vocab_coverage: numerator (top-20) and denominator (Σcnt) both hang
+    // off ONE groupBy(tok) — one Generate (explode) in the whole plan,
+    // and the second consumer reads the shuffle through ReusedExchange
+    val vc = staticPlan(graft.queries.CurationQueries6.vocabCoverage.fn(spark, sf0001))
+    val gens = vc.collect { case g if g.nodeName.contains("Generate") => g }
+    assert(gens.length == 1, s"expected one explode over the corpus, got ${gens.length}")
+    assert(vc.collectFirst { case r if r.nodeName.contains("ReusedExchange") => r }.nonEmpty,
+      "denominator branch must reuse the token-count exchange")
+    // token_cdf: both branches read the materialized 16-byte (doc_id, n)
+    // frame — the text corpus does not appear in the final plan at all
+    val tc = staticPlan(graft.queries.CurationQueries3.tokenCdf.fn(spark, sf0001))
+    val scans = tc.collect {
+      case s if s.nodeName.contains("Scan") && s.toString.contains("parquet") => s }
+    assert(scans.isEmpty,
+      "token_cdf must read the checkpointed length frame, not re-scan text")
+  }
+
   test("bigram_ppl: LM joins are hash-keyed, never cartesian") {
     val plan = staticPlan(graft.queries.TextStatsQueries.bigramPpl.fn(spark, sf0001))
     assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty,
