@@ -82,5 +82,51 @@ object EventQueries2 {
         expr("i * 10000 DIV (n_a + n_b - i)").as("jaccard_bp"))
   }
 
-  val all: Seq[QueryDef] = Seq(eventTransitions, audienceOverlap)
+  /** EVENT INTERVAL JOIN — click→purchase pairs for the same user
+    * within ±1 hour: the batch twin of the streaming dual-watermark
+    * interval join ([[graft.streaming.EventStreams.intervalJoins]]),
+    * and the attribution primitive every event pipeline ships.
+    *
+    * SCALE: NOT a per-user non-equi join (per-user candidate mass is
+    * clicks×purchases — a hot user goes quadratic, and the range
+    * predicate alone plans a nested loop). Instead the `q_snm_blocking`
+    * band shape: purchases key by their hour bucket, clicks explode to
+    * the ≤3 buckets their ±1 h window can touch, the join is a pure
+    * (user, hour-bucket) EQUI-join — hash-partitioned, AQE-splittable —
+    * and the true |pts−cts| ≤ 1 h predicate runs as a residual filter.
+    * Each true pair matches in EXACTLY one bucket (the purchase's), so
+    * no dedup pass is needed. Gap is emitted in raw µs (no integer
+    * division — Spark DIV truncates toward zero while DuckDB floors,
+    * which diverges on negative gaps). The oracle states the same join
+    * as the plain range predicate.
+    */
+  val intervalJoin: QueryDef = QueryDef.sql(
+    "q_interval_join",
+    """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, p.purchase_id,
+      |       CAST(p.pus - c.cus AS BIGINT) AS gap_us
+      |FROM c JOIN p ON p.user_id = c.user_id
+      |  AND p.pus BETWEEN c.cus - 3600000000 AND c.cus + 3600000000""".stripMargin) {
+    (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("cus"))
+      .withColumn("hb", explode(sequence(
+        expr("cus div 3600000000 - 1"), expr("cus div 3600000000 + 1"))))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pus"))
+      .withColumn("hb", expr("pus div 3600000000"))
+    c.join(p, c("user_id") === p("p_user") && c("hb") === p("hb"))
+      .filter(col("pus") >= col("cus") - 3600000000L &&
+        col("pus") <= col("cus") + 3600000000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("pus") - col("cus")).as("gap_us"))
+  }
+
+  val all: Seq[QueryDef] = Seq(eventTransitions, audienceOverlap, intervalJoin)
 }

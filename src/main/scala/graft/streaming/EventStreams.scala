@@ -76,6 +76,31 @@ object EventStreams {
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
 
+  /** Stream-stream INTERVAL join — the one Structured Streaming shape
+    * with DUAL watermark state: click→purchase attribution per user
+    * within ±1 hour (the streaming twin of the batch `q_interval_join`).
+    * Both inputs carry their own watermark AND the join condition
+    * bounds both event times against each other, which is exactly what
+    * lets the engine evict state on BOTH sides: a buffered click drops
+    * once the purchase watermark passes cts + 1 h (no purchase that
+    * could still match it can arrive), and symmetrically for buffered
+    * purchases — so per-side state is (watermark delay + join range) of
+    * events, never the stream's history. Without the two-sided range
+    * condition Spark would buffer one side forever; with it this is
+    * append-mode safe at any stream length. Inputs:
+    * clicks(user_id, click_id, cts), purchases(user_id, purchase_id,
+    * pts).
+    */
+  def intervalJoins(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("cts", "2 hours")
+      .join(
+        purchases.withColumnRenamed("user_id", "p_user")
+          .withWatermark("pts", "2 hours"),
+        expr("user_id = p_user AND " +
+          "pts BETWEEN cts - INTERVAL 1 HOUR AND cts + INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+
   case class DriftScore(hour_ts: Long, n_events: Long, psi_q40: Long)
 
   /** Streaming distribution-drift monitor — the streaming face of the

@@ -48,31 +48,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stream-stream interval join matches the batch join") {
+  test("stream-stream interval join matches the batch twin across time-sliced triggers") {
     val (dir, schema) = batchEvents
+    // slice the source in two time halves as separate files and feed ONE
+    // file per trigger, so matches must span micro-batches through the
+    // dual-watermark join state (a single-batch run would never exercise
+    // the buffered side)
+    val sliced = java.nio.file.Files.createTempDirectory("events-sliced").toString
+    val ev = spark.read.parquet(dir)
+    // slice AT a known matching pair's click time, so at least one
+    // click(slice 0) -> purchase(slice 1) match is forced to span
+    // micro-batches through the buffered join state
+    val midRow = graft.queries.EventQueries2.intervalJoin.fn(spark, sf0001)
+      .filter(col("gap_us") > 0)
+      .join(Tables.events(spark, sf0001)
+        .select(col("event_id").as("click_id"), col("ts")), "click_id")
+      .orderBy(col("gap_us").desc, col("click_id")).limit(1)
+      .select(col("ts"), unix_micros(col("ts")).as("us")).head()
+    val (mid, midUs) = (midRow.getTimestamp(0), midRow.getLong(1))
+    ev.filter(col("ts") <= mid).coalesce(1).write.parquet(s"$sliced/s=0")
+    ev.filter(col("ts") > mid).coalesce(1).write.parquet(s"$sliced/s=1")
     def side(df: org.apache.spark.sql.DataFrame, t: String, tsName: String, idName: String) =
       df.filter(col("event_type") === t)
         .select(col("user_id"), col("ts").as(tsName), col("event_id").as(idName))
-    val cs = side(spark.readStream.schema(schema).parquet(dir), "click", "cts", "click_id")
-      .withWatermark("cts", "2 hours")
-    val ps = side(spark.readStream.schema(schema).parquet(dir), "purchase", "pts", "purchase_id")
-      .withWatermark("pts", "2 hours")
-    val cond = expr("pts BETWEEN cts - INTERVAL 30 MINUTES AND cts")
-    val joined = cs.join(ps.withColumnRenamed("user_id", "p_user"),
-      col("user_id") === col("p_user") && cond)
-      .select("user_id", "click_id", "purchase_id")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$sliced/*")
+    val joined = EventStreams.intervalJoins(
+      side(src, "click", "cts", "click_id"),
+      side(src, "purchase", "pts", "purchase_id"))
     val sq = joined.writeStream.outputMode("append").format("memory")
       .queryName("ssjoin").start()
     try {
       sq.processAllAvailable()
-      val streamed = spark.sql("SELECT user_id, click_id, purchase_id FROM ssjoin")
-      val ev = Tables.events(spark, sf0001)
-      val bc = side(ev, "click", "cts", "click_id")
-      val bp = side(ev, "purchase", "pts", "purchase_id").withColumnRenamed("user_id", "p_user")
-      val batch = bc.join(bp, col("user_id") === col("p_user") && cond)
-        .select("user_id", "click_id", "purchase_id")
+      assert(sq.recentProgress.count(_.numInputRows > 0) >= 2,
+        "source was not consumed across multiple triggers")
+      val streamed = spark.sql("SELECT user_id, click_id, purchase_id, gap_us FROM ssjoin")
+      // the batch twin is the REGISTRY query — the oracle-checked
+      // q_interval_join is what the stream must reproduce exactly
+      val batch = graft.queries.EventQueries2.intervalJoin.fn(spark, sf0001)
       assert(streamed.count() == batch.count())
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      // and pairs genuinely straddle the slice boundary (the state the
+      // dual watermark exists to hold)
+      val straddleCount = graft.queries.EventQueries2.intervalJoin.fn(spark, sf0001)
+        .join(Tables.events(spark, sf0001).select(col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("cus")), "click_id")
+        .filter((col("cus") <= midUs && col("cus") + col("gap_us") > midUs) ||
+          (col("cus") > midUs && col("cus") + col("gap_us") <= midUs))
+        .count()
+      assert(straddleCount > 0, "no pair spans the micro-batch boundary")
     } finally sq.stop()
   }
 
