@@ -145,6 +145,23 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Intersection size of two SORTED long arrays — one merge walk, no
+    * per-row hash set, no allocation. The verify kernel for candidate
+    * pairs: each pair carries its two sorted hash sets and the count
+    * falls out in O(|a|+|b|).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   private val Space = UTF8String.fromString(" ")
 
   /** Greedy LEFT-TO-RIGHT non-overlapping application of one BPE merge
@@ -220,6 +237,21 @@ case class OrderedPairsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Intersection count of two sorted long arrays, as a codegen binary
+  * expression.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** One greedy BPE merge (l, r) over a token array, as array<string>. */
 case class BpeMergeExpr(child: Expression, l: String, r: String) extends UnaryExpression {
   override def dataType: DataType =
@@ -247,4 +279,7 @@ object HashExpressions {
     GraftShim.column(WinnowFingerprintsExpr(GraftShim.expression(toks), n, w))
   def bpeMergeFast(toks: Column, l: String, r: String): Column =
     GraftShim.column(BpeMergeExpr(GraftShim.expression(toks), l, r))
+  def sortedIntersectCountFast(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersectCountExpr(
+      GraftShim.expression(a), GraftShim.expression(b)))
 }

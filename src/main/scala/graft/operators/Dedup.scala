@@ -93,16 +93,34 @@ object Dedup {
 
   /** Verified Jaccard for candidate pairs against the shingle-hash
     * table. Inner-join semantics: zero-intersection candidates drop out.
+    *
+    * PAIR-ARRAY FETCH, not posting re-join (the round-9 third-decade
+    * lesson): the first formulation joined the candidate pairs back to
+    * the posting table on each side and aggregated the matches —
+    * linear, but with a |doc|-row amplification PER PAIR (~27x) and a
+    * pair-keyed aggregate shuffle on the amplified stream; at the
+    * 100x/15 GB replica that half-billion-row intermediate spilled and
+    * `q_overlap_join`'s measured decade slope hit 1.73 despite every
+    * logical count scaling exactly linearly. This form fetches each
+    * doc's SORTED hash set once per side (two hash joins, one row per
+    * pair end-to-end) and counts the intersection with a merge-walk
+    * kernel ([[graft.functions.HashKernels.sortedIntersectCount]]) —
+    * no row amplification, no aggregate: re-probed slope 0.2-0.3.
+    * `hs` is distinct per (id, h) (shingleHashesFast emits sets), so
+    * the sorted arrays are set representations and |a∩b| is exact.
     */
   def jaccardForPairs(pairs: DataFrame, hs: DataFrame, idCol: String): DataFrame = {
-    val card = hs.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
-    val sa = hs.select(col(idCol).as("ida"), col("h"))
-    val sb = hs.select(col(idCol).as("idb"), col("h"))
-    val inter = pairs.join(sa, "ida").join(sb, Seq("idb", "h"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("i"))
-    inter
-      .join(card.withColumnRenamed(idCol, "ida").withColumnRenamed("c", "ca"), "ida")
-      .join(card.withColumnRenamed(idCol, "idb").withColumnRenamed("c", "cb"), "idb")
+    val sets = hs.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("h"))).as("hset"))
+    pairs
+      .join(sets.select(col(idCol).as("ida"), col("hset").as("ha")), "ida")
+      .join(sets.select(col(idCol).as("idb"), col("hset").as("hb")), "idb")
+      .select(col("ida"), col("idb"),
+        graft.functions.HashExpressions.sortedIntersectCountFast(
+          col("ha"), col("hb")).as("i"),
+        size(col("ha")).cast("long").as("ca"),
+        size(col("hb")).cast("long").as("cb"))
+      .filter(col("i") >= 1)
       .withColumn("jaccard",
         col("i").cast("double") / (col("ca") + col("cb") - col("i")))
   }

@@ -25,10 +25,26 @@ object ScaleProbe {
     * perturbed replica models "Nx bigger corpus, same dup rate", the
     * honest scale model for measuring the detector MECHANISM.
     */
+  /** When `zipfVocab`, the document replica suffixes each token with a
+    * ZIPF-drawn group id from [1, G], G = ⌈factor^0.7⌉, instead of the
+    * per-copy index. The per-copy suffix grows vocabulary LINEARLY with
+    * the corpus — the adversarial worst case for vocab-keyed plans
+    * (q_nb_lang, q_kneser_ney, q_distinct_ngrams, ...), not how real
+    * text behaves (Heaps' law: V ~ N^α, α ≈ 0.5–0.8). Here the draw is
+    * g = ⌊G^u⌋ with u a 2^20-grid hash of (token, copy, position):
+    * P(g) = ln((g+1)/g)/ln G ∝ 1/g — Zipf s=1 — so replica vocabulary
+    * grows ~V₁·G = V₁·factor^0.7, matching the law the "Zipf-sublinear"
+    * claims assume. Deterministic (hash-seeded), so probe runs are
+    * reproducible; copies still differ (the hash includes the copy
+    * index), and cross-copy token overlap is partial — a realistic
+    * near-dup texture rather than all-or-nothing.
+    */
   def buildReplica(spark: SparkSession, src: String, dst: String, factor: Int,
-                   perturbText: Boolean, idStep: Long = 100000000L): Unit = {
+                   perturbText: Boolean, idStep: Long = 100000000L,
+                   zipfVocab: Boolean = false): Unit = {
     if (new java.io.File(s"$dst/documents.parquet/_SUCCESS").exists()) return
     new java.io.File(dst).mkdirs()
+    val zipfG = math.max(2L, math.ceil(math.pow(factor.toDouble, 0.7)).toLong)
 
     def replicate(name: String, idCols: Seq[String],
                   perturb: DataFrame => DataFrame = identity): Unit = {
@@ -45,7 +61,15 @@ object ScaleProbe {
     }
 
     replicate("documents", Seq("doc_id"), df =>
-      if (!perturbText) df
+      if (zipfVocab)
+        df.withColumn("text",
+          array_join(transform(split(col("text"), " "), (t, i) => {
+            val u = pmod(xxhash64(concat_ws("_", t, col("_copy"), i)),
+              lit(1048576L)).cast("double") / lit(1048576.0)
+            concat(t, lit("_z"),
+              least(floor(pow(lit(zipfG.toDouble), u)).cast("long"), lit(zipfG)))
+          }), " "))
+      else if (!perturbText) df
       else df.withColumn("text",
         array_join(transform(split(col("text"), " "),
           t => concat(t, lit("_"), col("_copy"))), " ")))
@@ -90,8 +114,12 @@ object ScaleProbe {
     val src = sys.env.getOrElse("GRAFT_PROBE_SRC", "/root/testdata/sf0.1")
     val idStep = sys.env.get("GRAFT_PROBE_STEP").map(_.toLong).getOrElse(100000000L)
     val perturbText = sys.env.get("GRAFT_PROBE_PERTURB_TEXT").contains("1")
+    // GRAFT_PROBE_ZIPF=1: Zipf-vocab replica (see buildReplica) — the
+    // realistic-text counterpart of the linear-vocab perturbed replica
+    val zipfVocab = sys.env.get("GRAFT_PROBE_ZIPF").contains("1")
     val dst = sys.env.getOrElse("GRAFT_PROBE_DST",
-      s"/tmp/graft_scale_x$factor" + (if (perturbText) "_pt" else ""))
+      s"/tmp/graft_scale_x$factor" +
+        (if (zipfVocab) "_zf" else if (perturbText) "_pt" else ""))
     // partitions sized like a cluster would size them (∝ data), not like
     // the 1x bench: a 100x replica through 16 shuffle partitions measures
     // single-box spill, not the plan (GRAFT_PROBE_PARTITIONS to override)
@@ -104,7 +132,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    buildReplica(spark, src, dst, factor, perturbText, idStep)
+    buildReplica(spark, src, dst, factor, perturbText, idStep, zipfVocab)
 
     // q_embed_neardup_scaled probes UNEDITED: the query itself derives
     // its band width from the corpus count (Dedup.scaledBitsPerBand), so

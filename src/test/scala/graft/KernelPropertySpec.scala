@@ -88,4 +88,29 @@ class KernelPropertySpec extends AnyFunSuite {
       rows == expect
     })
   }
+
+  test("sortedIntersectCount == set-intersection size for arbitrary sorted long sets") {
+    val longs: Gen[List[Long]] = Gen.listOf(Gen.chooseNum(-50L, 50L))
+    check(forAll(longs, longs) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      functions.HashKernels.sortedIntersectCount(
+        new GenericArrayData(sa.toArray),
+        new GenericArrayData(sb.toArray)) == (sa.toSet & sb.toSet).size.toLong
+    })
+  }
+
+  test("bpeMerge kernel == reference greedy fold for arbitrary token runs") {
+    def ref(toks: Seq[String], l: String, r: String): Seq[String] =
+      toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == l && t == r) acc.init :+ (acc.last + " " + t)
+        else acc :+ t
+      }
+    val tinyTok = Gen.oneOf("a", "b", "ab", "")
+    check(forAll(Gen.listOf(tinyTok), tinyTok, tinyTok) { (toks, l, r) =>
+      val got = functions.HashKernels.bpeMerge(
+          arr(toks), UTF8String.fromString(l), UTF8String.fromString(r))
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == ref(toks, l, r)
+    })
+  }
 }
