@@ -31,13 +31,21 @@ object ScaleProbe {
     * the corpus — the adversarial worst case for vocab-keyed plans
     * (q_nb_lang, q_kneser_ney, q_distinct_ngrams, ...), not how real
     * text behaves (Heaps' law: V ~ N^α, α ≈ 0.5–0.8). Here the draw is
-    * g = ⌊G^u⌋ with u a 2^20-grid hash of (token, copy, position):
+    * g = ⌊G^u⌋ with u a 2^20-grid hash of (token, copy):
     * P(g) = ln((g+1)/g)/ln G ∝ 1/g — Zipf s=1 — so replica vocabulary
     * grows ~V₁·G = V₁·factor^0.7, matching the law the "Zipf-sublinear"
-    * claims assume. Deterministic (hash-seeded), so probe runs are
-    * reproducible; copies still differ (the hash includes the copy
-    * index), and cross-copy token overlap is partial — a realistic
-    * near-dup texture rather than all-or-nothing.
+    * claims assume. The draw is per (token, copy), NOT per position: a
+    * copy is a CONSISTENT relabeling of the base text (a "dialect"),
+    * which preserves n-gram coherence — n-gram types then also grow
+    * sublinearly (copies whose suffix tuples coincide merge), as Heaps
+    * predicts for real text. (A per-position draw was tried first and
+    * rejected by its own measurement: independent draws make n-gram
+    * types ≈ n-gram OCCURRENCES — q_distinct_ngrams measured decade
+    * 1.35, an artifact HARSHER than the linear-vocab replica, the
+    * opposite of what the replica exists to model.) Deterministic
+    * (hash-seeded), so probe runs are reproducible; cross-copy token
+    * overlap is partial — a realistic near-dup texture rather than
+    * all-or-nothing.
     */
   def buildReplica(spark: SparkSession, src: String, dst: String, factor: Int,
                    perturbText: Boolean, idStep: Long = 100000000L,
@@ -63,8 +71,8 @@ object ScaleProbe {
     replicate("documents", Seq("doc_id"), df =>
       if (zipfVocab)
         df.withColumn("text",
-          array_join(transform(split(col("text"), " "), (t, i) => {
-            val u = pmod(xxhash64(concat_ws("_", t, col("_copy"), i)),
+          array_join(transform(split(col("text"), " "), t => {
+            val u = pmod(xxhash64(concat_ws("_", t, col("_copy"))),
               lit(1048576L)).cast("double") / lit(1048576.0)
             concat(t, lit("_z"),
               least(floor(pow(lit(zipfG.toDouble), u)).cast("long"), lit(zipfG)))

@@ -118,7 +118,11 @@ class ScaleSlopeSpec extends SparkSpec {
     // content-hash sample capped at 2048 docs (was the one
     // quadratic-by-construction audit, 10x slope 1.14; 0.15 after the
     // cap) — pinned so the sampling stage can't silently vanish
-    "q_audio_fp_lift" -> 1.5)
+    "q_audio_fp_lift" -> 1.5,
+    // round-9: the event interval join — a (user, hour-bucket) equi-join
+    // with residual range filter; pinned so it can't regress to the
+    // per-user nested loop the range predicate alone would plan
+    "q_interval_join" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
