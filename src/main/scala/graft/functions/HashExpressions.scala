@@ -162,6 +162,44 @@ object HashKernels {
     c
   }
 
+  /** Distance-windowed co-occurrence pairs from a pos-sorted
+    * struct<pos:int, tok:string> array: every (t1 ≤ t2) token pair whose
+    * positions are within `w` of each other, skipping same-token pairs —
+    * the map-side collocation emitter. Replaces a nested
+    * transform/filter/slice HOF pipeline that copied a w-element slice
+    * and allocated lambda frames PER POSITION (interpreted,
+    * CodegenFallback); this is one forward scan with an early break on
+    * the sorted positions.
+    */
+  def windowedPairs(a: ArrayData, w: Int): ArrayData = {
+    val n = a.numElements()
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      val si = a.getStruct(i, 2)
+      val pi = si.getInt(0)
+      val ti = si.getUTF8String(1)
+      var j = i + 1
+      var done = false
+      while (j < n && !done) {
+        val sj = a.getStruct(j, 2)
+        if (sj.getInt(0) > pi + w) done = true
+        else {
+          val tj = sj.getUTF8String(1)
+          if (!ti.equals(tj)) {
+            val first = ti.compareTo(tj) <= 0
+            out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](if (first) ti.clone() else tj.clone(),
+                if (first) tj.clone() else ti.clone())))
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private val Space = UTF8String.fromString(" ")
 
   /** Greedy LEFT-TO-RIGHT non-overlapping application of one BPE merge
@@ -252,6 +290,24 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Windowed co-occurrence pairs of a pos-sorted struct<pos,tok> array,
+  * as array<struct<t1,t2>>.
+  */
+case class WindowedPairsExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "t1", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "t2", org.apache.spark.sql.types.StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.windowedPairs(v.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.windowedPairs($c, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** One greedy BPE merge (l, r) over a token array, as array<string>. */
 case class BpeMergeExpr(child: Expression, l: String, r: String) extends UnaryExpression {
   override def dataType: DataType =
@@ -282,4 +338,6 @@ object HashExpressions {
   def sortedIntersectCountFast(a: Column, b: Column): Column =
     GraftShim.column(SortedIntersectCountExpr(
       GraftShim.expression(a), GraftShim.expression(b)))
+  def windowedPairsFast(a: Column, w: Int): Column =
+    GraftShim.column(WindowedPairsExpr(GraftShim.expression(a), w))
 }

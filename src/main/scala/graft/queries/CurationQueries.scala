@@ -152,7 +152,10 @@ object CurationQueries {
     * quadratic on one 50k-token document. Windowed pairs are emitted
     * MAP-SIDE from the per-doc sorted position array (≤ 5·L pairs per
     * doc — corpus-LINEAR, no join at all before the final count), which
-    * is also the textbook collocation definition. Kept tokens are those
+    * is also the textbook collocation definition; round 9 moved the
+    * emission into a codegen kernel (`WindowedPairsExpr`) and
+    * materialized the kept-position array once so the corpus is scanned
+    * twice (df pass + array build), not four times. Kept tokens are those
     * with df in [5, 0.9·N] (content words, same df-window blocking as
     * the n-gram dedup family); pairs below support 5 are dropped before
     * PMI. PMI = ln(c(x,y)·T / (c(x)·c(y))) over windowed occurrence
@@ -191,22 +194,25 @@ object CurationQueries {
     val kept = d.crossJoin(broadcast(n))
       .filter(col("df") >= 5 && col("df") * 10 <= col("nd") * 9)
       .select(col("tok"))
-    val kp = tp.join(kept, "tok").select(col("doc_id"), col("pos"), col("tok"))
-    val occ = kp.groupBy("tok").agg(count(lit(1)).as("c"))
-    val tot = kp.agg(count(lit(1)).as("nt"))
-    // per-doc sorted kept positions; pairs within ±W emitted map-side
-    // (positions are distinct, so ≤ W partners live in the next W slots)
-    val a = col("a")
-    val pairs = kp.groupBy("doc_id")
+    // ONE corpus pass builds the per-doc sorted kept-position array and
+    // materializes it (tokens only — a fraction of the text bytes);
+    // occ, tot, and the pair stream all read the materialized frame
+    // instead of each re-scanning and re-exploding the corpus (the old
+    // shape ran the posexplode FOUR times: df, occ, tot, pairs)
+    val adf = tp.join(kept, "tok")
+      .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("a"))
-      .select(explode(flatten(transform(sequence(lit(1), size(a)), i => {
-        val xi = element_at(a, i)
-        transform(
-          filter(slice(a, i + 1, lit(W)),
-            y => y("pos") <= xi("pos") + W && y("tok") =!= xi("tok")),
-          y => struct(least(xi("tok"), y("tok")).as("t1"),
-            greatest(xi("tok"), y("tok")).as("t2")))
-      }))).as("pr"))
+      .localCheckpoint()
+    val a = col("a")
+    val occ = adf.select(explode(col("a")).as("x"))
+      .groupBy(col("x.tok").as("tok")).agg(count(lit(1)).as("c"))
+    val tot = adf.agg(sum(size(a)).as("nt"))
+    // pairs within ±W emitted map-side by a codegen kernel (positions
+    // are distinct, so partners live in the next ≤W slots; the kernel
+    // breaks early on the sorted positions — the old nested HOF copied
+    // a W-slice and built lambda frames per position, interpreted)
+    val pairs = adf
+      .select(explode(graft.functions.HashExpressions.windowedPairsFast(a, W)).as("pr"))
       .select(col("pr.t1").as("t1"), col("pr.t2").as("t2"))
     val p = pairs.groupBy("t1", "t2").agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= 5)

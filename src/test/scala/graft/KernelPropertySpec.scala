@@ -100,6 +100,32 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("windowedPairs kernel == reference enumeration for arbitrary sparse positions") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val entry: Gen[(Int, String)] = for {
+      p <- Gen.chooseNum(0, 60)
+      t <- Gen.oneOf("a", "b", "c", "d")
+    } yield (p, t)
+    check(forAll(Gen.listOf(entry), Gen.chooseNum(1, 7)) { (es, w) =>
+      // distinct positions, pos-sorted — the collect_list(struct) contract
+      val s = es.toMap.toSeq.sortBy(_._1)
+      val in = new GenericArrayData(s.map { case (p, t) =>
+        new GenericInternalRow(Array[Any](p, UTF8String.fromString(t)))
+      }.toArray[Any])
+      val got = {
+        val g = functions.HashKernels.windowedPairs(in, w)
+        (0 until g.numElements()).map { i =>
+          val r = g.getStruct(i, 2); (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+        }
+      }
+      val want = for {
+        i <- s.indices; j <- i + 1 until s.length
+        if s(j)._1 <= s(i)._1 + w && s(i)._2 != s(j)._2
+      } yield (if (s(i)._2 <= s(j)._2) (s(i)._2, s(j)._2) else (s(j)._2, s(i)._2))
+      got == want
+    })
+  }
+
   test("bpeMerge kernel == reference greedy fold for arbitrary token runs") {
     def ref(toks: Seq[String], l: String, r: String): Seq[String] =
       toks.foldLeft(Vector.empty[String]) { (acc, t) =>
