@@ -53,7 +53,20 @@ object GraftFunctions {
     "graft_winnow" -> (es => { arity(es, 1, 3, "graft_winnow")
       graft.functions.WinnowFingerprintsExpr(es(0),
         if (es.length <= 1) 3 else foldablePositiveInt(es(1), "graft_winnow", "n"),
-        if (es.length <= 2) 4 else foldablePositiveInt(es(2), "graft_winnow", "w")) }))
+        if (es.length <= 2) 4 else foldablePositiveInt(es(2), "graft_winnow", "w")) }),
+    // |a ∩ b| of two SORTED long arrays (the pair-verify kernel)
+    "graft_sorted_intersect" -> (es => { arity(es, 2, 2, "graft_sorted_intersect")
+      graft.functions.SortedIntersectCountExpr(es(0), es(1)) }),
+    // one greedy left-to-right BPE merge (l, r) over a token array
+    "graft_bpe_merge" -> (es => { arity(es, 3, 3, "graft_bpe_merge")
+      graft.functions.BpeMergeExpr(es(0),
+        foldableString(es(1), "graft_bpe_merge", "l"),
+        foldableString(es(2), "graft_bpe_merge", "r")) }),
+    // ±w windowed co-occurrence pairs of a pos-sorted struct<pos,tok> array
+    "graft_windowed_pairs" -> (es => { arity(es, 1, 2, "graft_windowed_pairs")
+      graft.functions.WindowedPairsExpr(es(0),
+        if (es.length <= 1) 5
+        else foldablePositiveInt(es(1), "graft_windowed_pairs", "w")) }))
 
   /** Wrong-argument-count is an AnalysisException, not a raw
     * IndexOutOfBounds from `es(i)` inside the builder.
@@ -77,6 +90,19 @@ object GraftFunctions {
         messageParameters = Map("message" ->
           s"$fn: the $arg argument must be a non-null integer literal"))
     else e.eval().asInstanceOf[Number].intValue()
+
+  /** Plan-time string literal, with the same error discipline as
+    * [[foldableInt]].
+    */
+  private def foldableString(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, arg: String): String =
+    if (!e.foldable || e.eval() == null)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$fn: the $arg argument must be a non-null string literal"))
+    else e.eval().toString
 
   /** [[foldableInt]] that additionally rejects values < 1 — for window /
     * shingle widths where a non-positive size is semantically void and

@@ -54,7 +54,11 @@ class DeterminismSpec extends SparkSpec {
     // round-7 batch 9: fixed-literal DCG weights; pair-stream classes
     "q_ann_ndcg",            // 2^40 weight table, integral ndcg/rr ratios
     "q_split_leakage",       // lsh pair stream x salted-hash splits
-    "q_bpe_learn")           // count-DESC/lex argmax + sequential fold
+    "q_bpe_learn",           // count-DESC/lex argmax + sequential fold
+    // round-9: the hour-bucketed interval join (each pair matches in
+    // exactly one bucket) and the kernel-emitted collocation pairs
+    "q_interval_join",       // bucket explode + residual range filter
+    "q_cooccur_pmi")         // windowed-pairs kernel over sorted positions
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")

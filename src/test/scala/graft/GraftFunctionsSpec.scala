@@ -26,6 +26,19 @@ class GraftFunctionsSpec extends SparkSpec {
       val e = intercept[Exception](spark.sql(s"SELECT $bad").head())
       assert(e.getMessage.contains("must be >= 1"), s"$bad: ${e.getMessage}")
     }
+    // round-9 kernels on the SQL surface
+    val ic = spark.sql(
+      "SELECT graft_sorted_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS i")
+      .head().getLong(0)
+    assert(ic == 2L)
+    val bm = spark.sql(
+      "SELECT graft_bpe_merge(split('a a a', ' '), 'a', 'a') AS m")
+      .head().getSeq[String](0)
+    assert(bm == Seq("a a", "a"))
+    val wp = spark.sql(
+      "SELECT graft_windowed_pairs(array(struct(1, 'x'), struct(2, 'y')), 5) AS p")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(wp.map(r => (r.getString(0), r.getString(1))) == Seq(("x", "y")))
     val p = spark.sql(
       "SELECT graft_pack_sign_bits(array(1.0d, -1.0d, 0.5d), 4) AS p").head().getLong(0)
     assert(p == 5L) // bits 0 and 2
