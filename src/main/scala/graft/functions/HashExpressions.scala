@@ -162,6 +162,35 @@ object HashKernels {
     c
   }
 
+  /** Per-document SimHash over a token array, map-side: per-bit majority
+    * vote of the polyhash of every token occurrence. Same integer math
+    * as the explode → groupBy(30 bit-sums) formulation it replaces, but
+    * with NO shuffle at all — the signature stage of the simhash family
+    * (pairs, triangles, dedup-cost, source-overlap) used to push the
+    * whole token stream through a doc-keyed 31-column aggregate.
+    */
+  def simhash(toks: ArrayData, bits: Int): Long = {
+    val n = toks.numElements()
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = polyHash(toks.getUTF8String(i))
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var s = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) * 2 > n) s |= 1L << b
+      b += 1
+    }
+    s
+  }
+
   /** Distance-windowed co-occurrence pairs from a pos-sorted
     * struct<pos:int, tok:string> array: every (t1 ≤ t2) token pair whose
     * positions are within `w` of each other, skipping same-token pairs —
@@ -290,6 +319,16 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Map-side SimHash of a token array, as a long. */
+case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simhash(v.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Windowed co-occurrence pairs of a pos-sorted struct<pos,tok> array,
   * as array<struct<t1,t2>>.
   */
@@ -340,4 +379,6 @@ object HashExpressions {
       GraftShim.expression(a), GraftShim.expression(b)))
   def windowedPairsFast(a: Column, w: Int): Column =
     GraftShim.column(WindowedPairsExpr(GraftShim.expression(a), w))
+  def simhashFast(toks: Column, bits: Int = 30): Column =
+    GraftShim.column(SimhashExpr(GraftShim.expression(toks), bits))
 }

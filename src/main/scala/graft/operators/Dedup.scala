@@ -181,18 +181,15 @@ object Dedup {
   /** 30-bit SimHash over token hashes (majority vote per bit):
     * (id, simhash).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bits = 30
-    val th = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .select(col(idCol), polyHashFast(col("tok")).as("h"))
-    val sums = (0 until bits).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"c$i"))
-    val agg = th.groupBy(col(idCol)).agg(count(lit(1)).as("n"), sums: _*)
-    val sh = (0 until bits).map(i =>
-      when(col(s"c$i") * 2 > col("n"), lit(1L) * (1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col(idCol), sh.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // map-side kernel (round 9): the explode → groupBy(30 bit-sums)
+    // formulation pushed every token occurrence through a doc-keyed
+    // 31-column aggregate shuffle; the per-bit majority vote is a pure
+    // per-document function, so it now runs inside the scan projection —
+    // the signature stage has NO exchange at any scale. Same integer
+    // math; the DuckDB SimhashCte is unchanged.
+    df.select(col(idCol),
+      graft.functions.HashExpressions.simhashFast(tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs: block on 2 bands of 15 bits (catches every
     * pair with hamming <= 1 by pigeonhole; wide bands keep bucket sizes

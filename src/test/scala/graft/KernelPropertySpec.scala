@@ -126,6 +126,16 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("simhash kernel == per-bit majority vote of token polyhashes") {
+    check(forAll(Gen.nonEmptyListOf(token)) { toks =>
+      val hs = toks.map(polyHashRef)
+      val want = (0 until 30).map { b =>
+        if (hs.count(h => ((h >> b) & 1L) == 1L) * 2 > hs.length) 1L << b else 0L
+      }.sum
+      functions.HashKernels.simhash(arr(toks), 30) == want
+    })
+  }
+
   test("bpeMerge kernel == reference greedy fold for arbitrary token runs") {
     def ref(toks: Seq[String], l: String, r: String): Seq[String] =
       toks.foldLeft(Vector.empty[String]) { (acc, t) =>
