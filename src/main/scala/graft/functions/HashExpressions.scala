@@ -162,6 +162,35 @@ object HashKernels {
     c
   }
 
+  private val MinhashA: Array[Long] = TextFunctions.MinhashSeeds.map(_._1).toArray
+  private val MinhashB: Array[Long] = TextFunctions.MinhashSeeds.map(_._2).toArray
+
+  /** The 8-permutation MinHash signature of a shingle-hash array,
+    * map-side: min over (a_j·h + b_j) mod p per seed — the same integer
+    * math as `min(minhashPerm(h))` under a doc-keyed groupBy, without
+    * pushing the shingle table through an exchange. Returns the 8 mins
+    * as a struct row (m0..m7). Caller must guarantee a non-empty array
+    * (empty-shingle docs are absent from the groupBy formulation too).
+    */
+  def minhashSig(hs: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = hs.numElements()
+    val out = Array.fill(8)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 8) {
+        val v = java.lang.Math.floorMod(
+          h * MinhashA(j) + MinhashB(j), TextFunctions.MinhashMod)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](out(0), out(1), out(2), out(3), out(4), out(5), out(6), out(7)))
+  }
+
   /** Per-document SimHash over a token array, map-side: per-bit majority
     * vote of the polyhash of every token occurrence. Same integer math
     * as the explode → groupBy(30 bit-sums) formulation it replaces, but
@@ -319,6 +348,20 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Map-side 8-permutation MinHash signature of a shingle-hash array, as
+  * struct<m0..m7: long>.
+  */
+case class MinhashSigExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    (0 until 8).map(i =>
+      org.apache.spark.sql.types.StructField(s"m$i", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhashSig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSig($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Map-side SimHash of a token array, as a long. */
 case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -381,4 +424,6 @@ object HashExpressions {
     GraftShim.column(WindowedPairsExpr(GraftShim.expression(a), w))
   def simhashFast(toks: Column, bits: Int = 30): Column =
     GraftShim.column(SimhashExpr(GraftShim.expression(toks), bits))
+  def minhashSigFast(hs: Column): Column =
+    GraftShim.column(MinhashSigExpr(GraftShim.expression(hs)))
 }

@@ -43,6 +43,20 @@ object Dedup {
   def shingleHashTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(shingleHashesFast(tokens(col(textCol)), n)).as("h"))
 
+  /** Per-document SORTED shingle-hash SET: (id, hset) — the map-side
+    * form of [[shingleHashTable]] (round 9). One row per document, no
+    * explode, so both LSH stages that consume shingles per-document —
+    * signatures ([[minhashFromSets]]) and pair verification
+    * ([[jaccardForPairsSets]]) — run with NO corpus exchange at all;
+    * the only shuffles left in the LSH family are the band equi-join
+    * and the candidate distinct. Docs with zero shingles are dropped,
+    * matching the exploded-groupBy semantics (they had no rows).
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+        sort_array(shingleHashesFast(tokens(col(textCol)), n)).as("hset"))
+      .filter(size(col("hset")) >= 1)
+
   /** MinHash signatures over a shingle-hash table (id, h): (id, m0..m7). */
   def minhashSignatures(hs: DataFrame, idCol: String): DataFrame = {
     hs.groupBy(col(idCol))
@@ -52,6 +66,16 @@ object Dedup {
         min(minhashPerm(col("h"), a, b)).as(s"m${j + 1}")
       }: _*)
   }
+
+  /** MinHash signatures from per-doc shingle sets — the map-side twin of
+    * [[minhashSignatures]]: one codegen kernel computes all 8 permuted
+    * mins inside the scan projection (same integer math, same m0..m7
+    * schema), where the groupBy form shuffled the whole shingle table.
+    */
+  def minhashFromSets(sets: DataFrame, idCol: String): DataFrame =
+    sets.select(col(idCol),
+        graft.functions.HashExpressions.minhashSigFast(col("hset")).as("sig"))
+      .select(Seq(col(idCol)) ++ (0 until 8).map(i => col(s"sig.m$i").as(s"m$i")): _*)
 
   /** (id, band, x, y) band rows from 8-value signatures — ONE
     * `posexplode` pass over the signature frame. The previous 4-way
@@ -109,9 +133,17 @@ object Dedup {
     * `hs` is distinct per (id, h) (shingleHashesFast emits sets), so
     * the sorted arrays are set representations and |a∩b| is exact.
     */
-  def jaccardForPairs(pairs: DataFrame, hs: DataFrame, idCol: String): DataFrame = {
-    val sets = hs.groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("h"))).as("hset"))
+  def jaccardForPairs(pairs: DataFrame, hs: DataFrame, idCol: String): DataFrame =
+    jaccardForPairsSets(pairs,
+      hs.groupBy(col(idCol)).agg(sort_array(collect_list(col("h"))).as("hset")),
+      idCol)
+
+  /** [[jaccardForPairs]] over per-doc sorted sets directly — pair this
+    * with [[shingleSets]] and the verify stage needs no corpus
+    * aggregation at all (the groupBy in the `hs` overload exists only
+    * for callers that already hold the exploded table).
+    */
+  def jaccardForPairsSets(pairs: DataFrame, sets: DataFrame, idCol: String): DataFrame =
     pairs
       .join(sets.select(col(idCol).as("ida"), col("hset").as("ha")), "ida")
       .join(sets.select(col(idCol).as("idb"), col("hset").as("hb")), "idb")
@@ -123,7 +155,6 @@ object Dedup {
       .filter(col("i") >= 1)
       .withColumn("jaccard",
         col("i").cast("double") / (col("ca") + col("cb") - col("i")))
-  }
 
   /** Exact n-gram Jaccard pairs at/above a threshold, blocked on shared
     * shingle hashes (never a cross join). The intersection count falls

@@ -63,7 +63,9 @@ object CurationQueries12 {
         .filter(col("ida") < col("idb") &&
           col("pca") * 7 <= col("pcb") * 10 && col("pcb") * 7 <= col("pca") * 10)
         .select("ida", "idb").distinct()
-      Dedup.jaccardForPairs(cand, hs, "doc_id")
+      // verify from map-side sets: no corpus aggregation in the verify
+      Dedup.jaccardForPairsSets(cand,
+          Dedup.shingleSets(Tables(spark, dir, "documents"), "doc_id", "text", 3), "doc_id")
         .filter(col("jaccard") >= 0.7)
         .select(col("ida"), col("idb"), col("jaccard"))
   }

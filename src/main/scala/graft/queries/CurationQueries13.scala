@@ -64,7 +64,9 @@ object CurationQueries13 {
         .select(least(col("pid"), col("fid")).as("ida"),
           greatest(col("pid"), col("fid")).as("idb"))
         .distinct()
-      Dedup.jaccardForPairs(cand, hs, "doc_id")
+      // verify from map-side sets: no corpus aggregation in the verify
+      Dedup.jaccardForPairsSets(cand,
+          Dedup.shingleSets(Tables(spark, dir, "documents"), "doc_id", "text", 3), "doc_id")
         .withColumn("containment", col("i").cast("double") / least(col("ca"), col("cb")))
         .filter(col("containment") >= 0.8)
         .select(col("ida"), col("idb"), col("containment"))

@@ -84,8 +84,8 @@ object DedupQueries {
        |$HsCte,
        |$SigCte
        |SELECT * FROM sig""".stripMargin) { (spark, dir) =>
-    val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
-    Dedup.minhashSignatures(hs, "doc_id")
+    Dedup.minhashFromSets(
+      Dedup.shingleSets(Tables(spark, dir, "documents"), "doc_id", "text", 3), "doc_id")
   }
 
   val minhashLshPairs: QueryDef = QueryDef.sql(
@@ -95,10 +95,10 @@ object DedupQueries {
        |$SigCte,
        |$BandsCte,
        |${interJaccardSql(BandCandCte, 0.2)}""".stripMargin) { (spark, dir) =>
-    val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
-    val sig = Dedup.minhashSignatures(hs, "doc_id")
+    val sets = Dedup.shingleSets(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    val sig = Dedup.minhashFromSets(sets, "doc_id")
     val cand = Dedup.lshCandidates(sig, "doc_id")
-    Dedup.jaccardForPairs(cand, hs, "doc_id")
+    Dedup.jaccardForPairsSets(cand, sets, "doc_id")
       .filter(col("jaccard") >= 0.2)
       .select(col("ida"), col("idb"), col("jaccard"))
   }
@@ -127,9 +127,9 @@ object DedupQueries {
        |         JOIN so sb ON sb.doc_id = prs.idb
        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
-    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
-    val sig = Dedup.minhashSignatures(hs, "doc_id")
-    val prs = Dedup.jaccardForPairs(Dedup.lshCandidates(sig, "doc_id"), hs, "doc_id")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashFromSets(sets, "doc_id")
+    val prs = Dedup.jaccardForPairsSets(Dedup.lshCandidates(sig, "doc_id"), sets, "doc_id")
       .filter(col("jaccard") >= 0.2)
       .select(col("ida"), col("idb"))
     val so = docs.select(col("doc_id"), col("source"))
@@ -172,8 +172,8 @@ object DedupQueries {
        |FROM est e JOIN inter i ON i.ida = e.ida AND i.idb = e.idb
        |           JOIN card ca ON ca.doc_id = e.ida
        |           JOIN card cb ON cb.doc_id = e.idb""".stripMargin) { (spark, dir) =>
-    val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
-    val sig = Dedup.minhashSignatures(hs, "doc_id")
+    val sets = Dedup.shingleSets(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    val sig = Dedup.minhashFromSets(sets, "doc_id")
     val cand = Dedup.lshCandidates(sig, "doc_id")
     val sa = sig.select(col("doc_id").as("ida") +:
       (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
@@ -184,7 +184,7 @@ object DedupQueries {
       .reduce(_ + _)
     val est = cand.join(sa, "ida").join(sb, "idb")
       .select(col("ida"), col("idb"), matches.as("matches"))
-    est.join(Dedup.jaccardForPairs(cand, hs, "doc_id"), Seq("ida", "idb"))
+    est.join(Dedup.jaccardForPairsSets(cand, sets, "doc_id"), Seq("ida", "idb"))
       .select(col("ida"), col("idb"), col("matches"),
         (col("matches").cast("double") / 8).as("est_j"), col("jaccard"))
   }
@@ -212,8 +212,8 @@ object DedupQueries {
        |FROM cand c JOIN documents da ON da.doc_id = c.ida
        |            JOIN documents db ON db.doc_id = c.idb""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
-    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
-    val cand = Dedup.lshCandidates(Dedup.minhashSignatures(hs, "doc_id"), "doc_id")
+    val cand = Dedup.lshCandidates(
+      Dedup.minhashFromSets(Dedup.shingleSets(docs, "doc_id", "text", 3), "doc_id"), "doc_id")
     val lev = levenshtein(col("ta"), col("tb"))
     cand
       .join(docs.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
@@ -247,10 +247,10 @@ object DedupQueries {
     (spark, dir) =>
     val reps = Tables(spark, dir, "documents")
       .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
-    val hs = Dedup.shingleHashTable(reps, "doc_id", "text", 3)
-    val sig = Dedup.minhashSignatures(hs, "doc_id")
+    val sets = Dedup.shingleSets(reps, "doc_id", "text", 3)
+    val sig = Dedup.minhashFromSets(sets, "doc_id")
     val cand = Dedup.lshCandidates(sig, "doc_id")
-    Dedup.jaccardForPairs(cand, hs, "doc_id")
+    Dedup.jaccardForPairsSets(cand, sets, "doc_id")
       .filter(col("jaccard") >= 0.2)
       .select(col("ida"), col("idb"), col("jaccard"))
   }
@@ -678,10 +678,10 @@ object DedupQueries {
        |SELECT np.split_a, np.split_b, np.n_pairs, nd.n_docs
        |FROM np JOIN nd USING (split_a, split_b)""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
-    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
-    val sig = Dedup.minhashSignatures(hs, "doc_id")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashFromSets(sets, "doc_id")
     val cand = Dedup.lshCandidates(sig, "doc_id")
-    val prs = Dedup.jaccardForPairs(cand, hs, "doc_id")
+    val prs = Dedup.jaccardForPairsSets(cand, sets, "doc_id")
       .filter(col("jaccard") >= 0.2).select("ida", "idb")
     val spl = docs
       .select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))
@@ -1003,11 +1003,11 @@ object DedupQueries {
           |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
           |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)""".stripMargin, 0.2)}""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
-    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
-    val sig = Dedup.minhashSignatures(hs, "doc_id")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashFromSets(sets, "doc_id")
     val cand = Dedup.lshCandidatesAcross(
       sig.filter(col("doc_id") % 5 === 0), sig.filter(col("doc_id") % 5 =!= 0), "doc_id")
-    Dedup.jaccardForPairs(cand, hs, "doc_id")
+    Dedup.jaccardForPairsSets(cand, sets, "doc_id")
       .filter(col("jaccard") >= 0.2)
       .select(col("ida"), col("idb"), col("jaccard"))
   }
