@@ -63,6 +63,52 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Positional n-token shingle hashes: one struct<p:int, fp:long> per
+    * window start (1-based p), where fp == polyHash of the space-joined
+    * window — identical to polyHash(array_join(slice(toks, p, n), ' ')).
+    * Rolling formulation: one O(chars) fold over the space-joined text
+    * records the running hash/position at every token boundary, then each
+    * window hash is O(1) via h(i..j) = pre(j) - pre(i)·31^(j-i) (mod
+    * 1e9+7) — total O(chars) per document instead of O(n·chars), and no
+    * window strings are ever materialized.
+    */
+  def positionalShingles(toks: ArrayData, n: Int): ArrayData = {
+    val m0 = toks.numElements()
+    val m = m0 - n + 1
+    if (m < 1) return new GenericArrayData(Array.empty[AnyRef])
+    val startPre = new Array[Long](m0); val startPos = new Array[Int](m0)
+    val endPre = new Array[Long](m0); val endPos = new Array[Int](m0)
+    var h = 0L; var pos = 0
+    var t = 0
+    while (t < m0) {
+      if (t > 0) { h = (h * 31 + ' ') % TextFunctions.HashMod; pos += 1 }
+      startPre(t) = h; startPos(t) = pos
+      val s = toks.getUTF8String(t).toString
+      var i = 0
+      while (i < s.length) {
+        h = (h * 31 + s.charAt(i)) % TextFunctions.HashMod; pos += 1; i += 1
+      }
+      endPre(t) = h; endPos(t) = pos
+      t += 1
+    }
+    val pow = new Array[Long](pos + 1)
+    pow(0) = 1L
+    var k = 1
+    while (k <= pos) { pow(k) = pow(k - 1) * 31 % TextFunctions.HashMod; k += 1 }
+    val out = new Array[AnyRef](m)
+    var p = 0
+    while (p < m) {
+      val e = p + n - 1
+      val len = endPos(e) - startPos(p)
+      var fp = (endPre(e) - startPre(p) * pow(len)) % TextFunctions.HashMod
+      if (fp < 0) fp += TextFunctions.HashMod
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](p + 1, fp))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): positional
     * n-token shingle hashes, then the DISTINCT minima of every length-w
     * window over the hash sequence (first-seen order). Shorter-than-w
@@ -309,6 +355,21 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Positional n-gram shingle hashes, as array<struct<p:int,fp:long>>. */
+case class PositionalShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.positionalShingles(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.positionalShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing fingerprints of a token array, as array<long>. */
 case class WinnowFingerprintsExpr(child: Expression, n: Int, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -411,6 +472,8 @@ object HashExpressions {
     GraftShim.column(PolyHashExpr(GraftShim.expression(c)))
   def shingleHashesFast(toks: Column, n: Int): Column =
     GraftShim.column(ShingleHashesExpr(GraftShim.expression(toks), n))
+  def positionalShinglesFast(toks: Column, n: Int): Column =
+    GraftShim.column(PositionalShinglesExpr(GraftShim.expression(toks), n))
   def orderedPairsFast(ids: Column): Column =
     GraftShim.column(OrderedPairsExpr(GraftShim.expression(ids)))
   def winnowFast(toks: Column, n: Int, w: Int): Column =

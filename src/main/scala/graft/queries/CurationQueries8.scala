@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.TextFunctions.{polyHash, polyHashSql, tokens}
+import graft.functions.TextFunctions.{polyHashSql, tokens}
 
 /** Eighth curation batch: physical data-layout planning (Z-order
   * clustering with a min/max pruning-benefit report — the OPTIMIZE
@@ -172,11 +172,17 @@ object CurationQueries8 {
     val tk = Tables(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 8)
+    // All window fingerprints come from one codegen kernel pass per doc:
+    // a rolling prefix-hash fold over the space-joined text makes every
+    // window hash O(1) after an O(chars) precompute — no window strings,
+    // no O(n·chars) refolding. The two consumers below recompute this
+    // map-side projection rather than checkpoint it: the frame is larger
+    // than the text it came from, so re-scanning is the cheaper (and
+    // cluster-safe — no executor-local blocks) side of that trade.
     val w = tk
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - 7)).as("p"))
-      .select(col("doc_id"), col("p"),
-        polyHash(array_join(slice(col("toks"), col("p"), lit(8)), " ")).as("fp"))
+      .select(col("doc_id"),
+        explode(graft.functions.HashExpressions.positionalShinglesFast(col("toks"), 8)).as("pf"))
+      .select(col("doc_id"), col("pf.p").as("p"), col("pf.fp").as("fp"))
     val b = w.groupBy("fp").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2).select("fp")
     val d = w.join(b, "fp").select("doc_id", "p")

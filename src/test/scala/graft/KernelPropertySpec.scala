@@ -77,6 +77,20 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("positionalShingles == per-position slice/join/polyHash reference") {
+    val params = for { ts <- tokens; n <- Gen.chooseNum(1, 5) } yield (ts, n)
+    check(forAll(params) { case (ts, n) =>
+      val got = functions.HashKernels.positionalShingles(arr(ts), n)
+      val rows = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getInt(0), r.getLong(1))
+      }
+      val m = ts.length - n + 1
+      val expect = (0 until math.max(m, 0)).map(p =>
+        (p + 1, polyHashRef(ts.slice(p, p + n).mkString(" "))))
+      Prop(rows == expect) :| s"toks=$ts n=$n got=$rows expect=$expect"
+    })
+  }
+
   test("orderedPairs emits exactly the a<b pairs of the sorted id set") {
     check(forAll(Gen.listOf(Gen.chooseNum(-1000000L, 1000000L))) { ids =>
       val got = functions.HashKernels.orderedPairs(new GenericArrayData(ids.toArray[Any]))
