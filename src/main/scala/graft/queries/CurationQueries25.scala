@@ -24,8 +24,10 @@ object CurationQueries25 {
     * worth knowing before trading a 100-TB index for a ~2.5x smaller (w=4; density 2/(w+1))
     * one. Sampled flags are a SUBSET of exact flags by construction
     * (every selected fingerprint is an 8-gram hash) — the spec pins
-    * it. SCALE: two hash-keyed semi-joins (test side x train side),
-    * both df-capped; the sampled join touches ~2/(w+1) of the mass.
+    * it. SCALE: one hash-keyed aggregate over the exploded 8-gram
+    * frame (df cap + both tiers' train-presence bits per hash) and one
+    * hash-keyed join of the test fifth against it — the corpus never
+    * re-joins per tier or per side.
     */
   val winnowDecontam: QueryDef = QueryDef.sql(
     "q_winnow_decontam",
@@ -61,29 +63,42 @@ object CurationQueries25 {
        |            // greatest((SELECT count(*) FROM exact), 1) AS BIGINT) AS recall_bp,
        |       CAST((SELECT count(DISTINCT h) FROM selk) * 10000
        |            // greatest((SELECT count(DISTINCT h) FROM allk), 1) AS BIGINT) AS index_bp""".stripMargin) { (spark, dir) =>
+    // One exploded pass instead of four: every selected fingerprint is
+    // an 8-gram hash (winnow ⊆ shingle set), so a single (doc_id, h,
+    // sel) frame feeds everything. The per-hash aggregate carries the
+    // df cap AND both tiers' train-presence bits, so "h shared with a
+    // train doc" is answered once per hash, not once per (tier × side)
+    // join — the corpus crosses a hash-keyed exchange exactly twice
+    // (aggregate, then the test-side fifth for flagging) instead of
+    // the former three full join re-computations.
     val toks = split(col("text"), " ")
     val sides = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         shingleHashesFast(toks, 8).as("allh"),
         winnowFast(toks, 8, 4).as("selh"))
-    val allk0 = sides.select(col("doc_id"), explode(col("allh")).as("h"))
-    val df64 = allk0.groupBy("h").agg(count(lit(1)).as("dfh"))
-      .filter(col("dfh") <= 64).select("h")
-    val allk = allk0.join(df64, "h")
-    val selk = sides.select(col("doc_id"), explode(col("selh")).as("h")).join(df64, "h")
-    def testSide(d: org.apache.spark.sql.DataFrame) = d.filter(pmod(col("doc_id"), lit(5L)) === 0)
-    def trainSide(d: org.apache.spark.sql.DataFrame) = d.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
-    val exact = testSide(allk)
-      .join(trainSide(allk).select(col("h")).distinct(), "h")
-      .select("doc_id").distinct().agg(count(lit(1)).as("exact_flagged"))
-    val sampled = testSide(selk)
-      .join(trainSide(selk).select(col("h")).distinct(), "h")
-      .select("doc_id").distinct().agg(count(lit(1)).as("winnow_flagged"))
+    val rows = sides
+      .select(col("doc_id"), explode(col("allh")).as("h"), col("selh"))
+      .select(col("doc_id"), col("h"),
+        array_contains(col("selh"), col("h")).cast("int").as("sel"))
+    val isTrain = (pmod(col("doc_id"), lit(5L)) =!= 0).cast("int")
+    val hAgg = rows.groupBy("h").agg(
+        count(lit(1)).as("dfh"),
+        max(isTrain).as("tr_all"),
+        max(isTrain * col("sel")).as("tr_sel"),
+        max(col("sel")).as("any_sel"))
+      .filter(col("dfh") <= 64)
+    val flags = rows.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .join(hAgg, "h")
+      .groupBy("doc_id").agg(
+        max(col("tr_all")).as("ex"),
+        max(col("sel") * col("tr_sel")).as("sm"))
+      .agg(sum("ex").cast("long").as("exact_flagged"),
+        sum("sm").cast("long").as("winnow_flagged"))
+    val idx = hAgg.agg(count(lit(1)).as("nall"),
+      sum("any_sel").cast("long").as("nsel"))
     val nTest = Tables(spark, dir, "documents")
       .filter(pmod(col("doc_id"), lit(5L)) === 0).agg(count(lit(1)).as("n_test"))
-    val idx = allk.select("h").distinct().agg(count(lit(1)).as("nall"))
-      .crossJoin(broadcast(selk.select("h").distinct().agg(count(lit(1)).as("nsel"))))
-    nTest.crossJoin(broadcast(exact)).crossJoin(broadcast(sampled)).crossJoin(broadcast(idx))
+    nTest.crossJoin(broadcast(flags)).crossJoin(broadcast(idx))
       .select(col("n_test"), col("exact_flagged"), col("winnow_flagged"),
         (col("exact_flagged") - col("winnow_flagged")).as("missed"),
         expr("winnow_flagged * 10000 DIV greatest(exact_flagged, 1)").as("recall_bp"),
