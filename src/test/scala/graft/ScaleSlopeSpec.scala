@@ -122,7 +122,11 @@ class ScaleSlopeSpec extends SparkSpec {
     // round-9: the event interval join — a (user, hour-bucket) equi-join
     // with residual range filter; pinned so it can't regress to the
     // per-user nested loop the range predicate alone would plan
-    "q_interval_join" -> 1.5)
+    "q_interval_join" -> 1.5,
+    // round-9: two-tier decontam rebuilt as one per-hash aggregate +
+    // a test-fifth join (0.13 at 10x, 0.05 at 100x perturbed) — pinned
+    // so a tier can't regress to re-joining the full corpus per side
+    "q_winnow_decontam" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
