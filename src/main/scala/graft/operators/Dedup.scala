@@ -171,32 +171,36 @@ object Dedup {
     */
   def ngramJaccardPairs(hs: DataFrame, idCol: String, threshold: Double,
                         maxDocFreq: Int = 64): DataFrame = {
-    // df-cap as an ANTI-join against the HOT keys (df > cap): the hot
-    // set is the small side (corpus-stopword shingles), so AQE
-    // broadcasts it and the shingle table never shuffles for the
-    // filter. Counting via groupBy keeps map-side combine — a window
-    // over partition h would funnel every hot shingle's rows into one
-    // task, the exact skew this cap exists to remove.
-    val hot = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq).select("h")
-    val hsk = hs.join(hot, Seq("h"), "left_anti")
-    val card = hsk.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
-    // pair generation: ONE shuffle (groupBy h), then pairs exploded
-    // MAP-SIDE from the ≤cap-sized id array — the df-cap bounds every
-    // array at `maxDocFreq`, so no group is ever hot. The previous
-    // self-join on h shuffled the shingle table TWICE and sorted both
-    // sides (sort-merge); at 100x those two corpus-sized sorts were the
-    // spill that pushed the slope super-linear on a single box.
-    // Pairs are emitted by a codegen kernel (`HashKernels.orderedPairs`)
-    // instead of the earlier sort_array + transform/slice/flatten HOF
-    // chain: the HOF chain allocated O(n²) intermediate ARRAYS per group
-    // (every `slice` copies the tail) plus a lambda frame per element;
-    // the kernel builds one 2-long row per pair in a tight loop, and the
-    // downstream explode → groupBy(ida, idb) partial aggregate is plain
-    // codegen HashAggregate on two long keys (round-7 judge item: the
-    // pair-emission stage was the per-pair constant left in the family).
-    val inter = hsk
-      .groupBy("h").agg(collect_list(col(idCol)).as("ids"))
+    // ONE corpus exchange (round 9; was three). The old shape counted
+    // df per h (exchange 1), anti-joined the hot keys off the shingle
+    // table, re-aggregated the kept rows per doc for cardinalities
+    // (exchange 2), and grouped by h again for pair generation
+    // (exchange 3). The fusion: a single groupBy(h) whose aggregate
+    // ([[TypedOps.CappedCollectAggregator]]) carries the EXACT df and
+    // at most cap+1 collected ids — a hot corpus-stopword shingle
+    // buffers O(cap) bytes instead of its whole posting list, which is
+    // what made fusing the df-cap into the collect safe at any skew.
+    // Both downstream consumers — per-doc cardinalities and pair
+    // emission — hang off this ONE aggregate, so the corpus-sized
+    // exchange is written once and the second consumer reads it back
+    // through a ReusedExchange (plan-asserted in PlanShapeSpec).
+    val cappedCollect = org.apache.spark.sql.functions.udaf(
+      new TypedOps.CappedCollectAggregator(maxDocFreq),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val groups = hs.groupBy(col("h"))
+      .agg(cappedCollect(col(idCol)).as("g"))
+      .filter(col("g.n") <= maxDocFreq)
+      .select(col("g.ids").as("ids"))
+    val card = groups.select(explode(col("ids")).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+    // pairs exploded MAP-SIDE from the ≤cap-sized id array — the
+    // df-cap bounds every array at `maxDocFreq`, so no group is ever
+    // hot. Pairs are emitted by a codegen kernel
+    // (`HashKernels.orderedPairs`, which sorts the ids — collected
+    // arrival order never reaches the output) and the downstream
+    // explode → groupBy(ida, idb) partial aggregate is plain codegen
+    // HashAggregate on two long keys.
+    val inter = groups
       .select(explode(
         graft.functions.HashExpressions.orderedPairsFast(col("ids"))).as("p"))
       .select(col("p.ida").as("ida"), col("p.idb").as("idb"))

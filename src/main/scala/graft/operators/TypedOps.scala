@@ -67,4 +67,34 @@ object TypedOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Array[Long]] = bufferEncoder
   }
+
+  case class Capped(n: Long, ids: List[Long])
+
+  /** Skew-bounded id collector: exact group count plus AT MOST cap+1
+    * collected ids. The point is the df-cap fusion in
+    * [[Dedup.ngramJaccardPairs]]: a plain `collect_list` + post-filter
+    * would buffer a hot shingle's ENTIRE posting list (a corpus-stopword
+    * shingle can appear in a constant fraction of all documents) before
+    * the cap discards it — the exact OOM the old hot-key anti-join
+    * pre-pass existed to prevent. Here the buffer stops growing at
+    * cap+1 elements while `n` keeps exact count, so groups with n ≤ cap
+    * carry their complete id set and hot groups carry O(cap) bytes —
+    * partial buffers are ≤ (cap+1) longs for ANY input skew. Collected
+    * order is arrival order, but every consumer treats ids as a SET
+    * (the pair kernel sorts; cardinality counts), so output is
+    * re-shard deterministic.
+    */
+  class CappedCollectAggregator(cap: Int) extends Aggregator[Long, Capped, Capped] {
+    def zero: Capped = Capped(0L, Nil)
+    def reduce(b: Capped, id: Long): Capped =
+      // before overflow n == ids.length, so this is an O(1) bound check
+      Capped(b.n + 1, if (b.n <= cap) id :: b.ids else b.ids)
+    def merge(a: Capped, b: Capped): Capped =
+      Capped(a.n + b.n, if (a.ids.isEmpty) b.ids
+        else if (b.ids.isEmpty) a.ids
+        else (a.ids ::: b.ids).take(cap + 1))
+    def finish(r: Capped): Capped = r
+    def bufferEncoder: Encoder[Capped] = Encoders.product[Capped]
+    def outputEncoder: Encoder[Capped] = Encoders.product[Capped]
+  }
 }

@@ -125,6 +125,22 @@ class PlanShapeSpec extends SparkSpec {
       "token_cdf must read the checkpointed length frame, not re-scan text")
   }
 
+  test("ngram pair backbone: one corpus exchange, reused by every consumer") {
+    // round-9 fusion: the df-capped groupBy(h) (CappedCollectAggregator)
+    // is the ONLY aggregate the shingle corpus feeds; cardinalities and
+    // pair emission both read it back. In the static plan the corpus
+    // parquet scan must appear exactly once, with the other two
+    // consumers (card joined as ida and idb) reading ReusedExchange.
+    val cj = staticPlan(graft.queries.CurationQueries.containment.fn(spark, sf0001))
+    val scans = cj.collect {
+      case s if s.nodeName.contains("Scan") && s.toString.contains("documents") => s }
+    assert(scans.length == 1,
+      s"pair backbone must scan the corpus once, got ${scans.length}")
+    val reused = cj.collect { case r if r.nodeName.contains("ReusedExchange") => r }
+    assert(reused.length >= 2,
+      s"card/pair consumers must reuse the capped-collect exchange, got ${reused.length}")
+  }
+
   test("bigram_ppl: LM joins are hash-keyed, never cartesian") {
     val plan = staticPlan(graft.queries.TextStatsQueries.bigramPpl.fn(spark, sf0001))
     assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty,
