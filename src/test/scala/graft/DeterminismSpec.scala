@@ -58,7 +58,12 @@ class DeterminismSpec extends SparkSpec {
     // round-9: the hour-bucketed interval join (each pair matches in
     // exactly one bucket) and the kernel-emitted collocation pairs
     "q_interval_join",       // bucket explode + residual range filter
-    "q_cooccur_pmi")         // windowed-pairs kernel over sorted positions
+    "q_cooccur_pmi",         // windowed-pairs kernel over sorted positions
+    // round-9 backbone fusion: the capped collector buffers ids in
+    // ARRIVAL order — kept groups (n <= cap) carry their complete set
+    // and the pair kernel sorts, but a truncation bug would surface
+    // here as shard-dependent pair sets
+    "q_containment")         // capped-collect exchange + sorted pair kernel
 
   private def runAll(maxPartBytes: String, shuffleParts: String): Map[String, Seq[String]] = {
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
