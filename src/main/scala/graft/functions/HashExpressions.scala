@@ -63,6 +63,48 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** 60-bit dual-family SimHash: low 30 bits are the per-bit majority
+    * vote over the 31-multiplier token polyhash, high 30 bits over the
+    * 37-multiplier partner (the audit pair — a salted 31-hash is affine
+    * in the original per length class, a different MULTIPLIER is the
+    * established independent second family). One pass over the tokens
+    * folds both hashes per token. The point of the width: 2 bands of 30
+    * bits keep the hamming<=1 pigeonhole guarantee while pushing band
+    * saturation (collision mass n²·nBands/2^bandBits) from ~2^15 docs
+    * to ~2^30, and 60-bit hamming is a far tighter match than 30-bit
+    * (third-decade decomposition in PLANS.md).
+    */
+  def simhashDual(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i).toString
+      var h1 = 0L; var h2 = 0L
+      var k = 0
+      while (k < s.length) {
+        val c = s.charAt(k)
+        h1 = (h1 * 31 + c) % TextFunctions.HashMod
+        h2 = (h2 * 37 + c) % TextFunctions.HashMod
+        k += 1
+      }
+      var b = 0
+      while (b < 30) {
+        if (((h1 >> b) & 1L) == 1L) counts(b) += 1
+        if (((h2 >> b) & 1L) == 1L) counts(30 + b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) * 2 > n) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** Positional n-token shingle hashes: one struct<p:int, fp:long> per
     * window start (1-based p), where fp == polyHash of the space-joined
     * window — identical to polyHash(array_join(slice(toks, p, n), ' ')).
@@ -433,6 +475,16 @@ case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 60-bit dual-family SimHash of a token array. */
+case class SimhashDualExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simhashDual(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhashDual($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Windowed co-occurrence pairs of a pos-sorted struct<pos,tok> array,
   * as array<struct<t1,t2>>.
   */
@@ -487,6 +539,8 @@ object HashExpressions {
     GraftShim.column(WindowedPairsExpr(GraftShim.expression(a), w))
   def simhashFast(toks: Column, bits: Int = 30): Column =
     GraftShim.column(SimhashExpr(GraftShim.expression(toks), bits))
+  def simhashDualFast(toks: Column): Column =
+    GraftShim.column(SimhashDualExpr(GraftShim.expression(toks)))
   def minhashSigFast(hs: Column): Column =
     GraftShim.column(MinhashSigExpr(GraftShim.expression(hs)))
 }

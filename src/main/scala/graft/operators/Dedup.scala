@@ -226,16 +226,33 @@ object Dedup {
     df.select(col(idCol),
       graft.functions.HashExpressions.simhashFast(tokens(col(textCol))).as("simhash"))
 
-  /** SimHash near-dup pairs: block on 2 bands of 15 bits (catches every
-    * pair with hamming <= 1 by pigeonhole; wide bands keep bucket sizes
-    * small on homogeneous corpora), verify hamming <= maxHamming.
+  /** 60-bit dual-family SimHash (low 30 bits: 31-multiplier token
+    * hashes; high 30: the 37-multiplier audit partner): (id, simhash).
+    * The width buys two things at corpus scale (decomposed at the
+    * third decade, PLANS.md): 30-bit band keys whose collision mass
+    * n²·2/2^bandBits stays negligible to ~10^9 docs (15-bit bands
+    * saturate near 2^15), and a tighter hamming<=1 match (at 5M docs
+    * the 30-bit family's pair flood is 99.84% rejected by the 60-bit
+    * check). Map-side kernel, no exchange.
     */
-  def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  def simhashWide(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.HashExpressions.simhashDualFast(tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs: block on 2 bands of `bandBits` bits
+    * (catches every pair with hamming <= 1 by pigeonhole; wide bands
+    * keep bucket sizes small on homogeneous corpora), verify
+    * hamming <= maxHamming. Band width must scale with the signature:
+    * 15 for the 30-bit [[simhash]], 30 for [[simhashWide]].
+    */
+  def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int,
+                   bandBits: Int = 15): DataFrame = {
     // one posexplode pass — a per-band unionAll would replicate the
-    // 30-column majority-vote aggregate per band per join side
+    // signature projection per band per join side
     val bands = sig.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until 2).map(b =>
-        shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L))): _*))
+        shiftright(col("simhash"), bandBits * b)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*))
         .as(Seq("band", "key")))
     val a = bands.select(col("id").as("ida"), col("band"), col("key"), col("simhash").as("sha"))
     val bb = bands.select(col("id").as("idb"), col("band"), col("key"), col("simhash").as("shb"))

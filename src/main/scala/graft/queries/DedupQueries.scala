@@ -310,6 +310,57 @@ object DedupQueries {
     Dedup.simhashPairs(sig, "doc_id", 1)
   }
 
+  /** 60-bit dual-family SimHash CTE: low 30 bits vote over the
+    * 31-multiplier token hash, high 30 over the 37-multiplier partner
+    * (the same second family every dual-hash audit here uses).
+    */
+  private[queries] val SimhashWideCte = {
+    val sums = ((0 until 30).map(i => s"sum((h1 >> $i) & 1) AS c$i") ++
+      (0 until 30).map(i => s"sum((h2 >> $i) & 1) AS d$i")).mkString(", ")
+    val fold = ((0 until 30).map(i =>
+      s"(CASE WHEN 2 * c$i > n THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)") ++
+      (0 until 30).map(i =>
+        s"(CASE WHEN 2 * d$i > n THEN CAST(${1L << (30 + i)} AS BIGINT) ELSE 0 END)"))
+      .mkString(" + ")
+    s"""thw AS (SELECT doc_id, ${polyHashSql("tok")} AS h1,
+       |               ${polyHashMulSql("tok", 37)} AS h2
+       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |shaggw AS (SELECT doc_id, count(*) AS n, $sums FROM thw GROUP BY doc_id),
+       |simw AS (SELECT doc_id, $fold AS simhash FROM shaggw)""".stripMargin
+  }
+
+  /** WIDTH-SCALED SIMHASH PAIRS — the 100-TB path for the simhash
+    * family, answering two separate costs the 1000x probe decomposed
+    * (PLANS.md): (1) the 15-bit band keyspace of `q_simhash_pairs`
+    * saturates with UNRELATED documents past ~2^15 docs (candidate
+    * mass n²·2/2^15 regardless of dup rate); (2) a 30-bit signature is
+    * a loose match threshold — at 5M docs the 30-bit family emits 141M
+    * hamming<=1 pairs of which the 60-bit signature confirms only
+    * 0.16%. Doubling to 60 bits (dual hash families — 31- and
+    * 37-multiplier, one map-side kernel) doubles the band key to 30
+    * bits (saturation ~10^9 docs) and tightens the match, keeping the
+    * hamming<=1 pigeonhole guarantee; the same fixed-vs-scaled-width
+    * rule [[graft.operators.Dedup.scaledBitsPerBand]] already encodes
+    * for sign-LSH. Measured third decade: 0.24 vs 3.85 for the 30-bit
+    * family at ~15 GB. On a near-100%-duplicate corpus any correct
+    * detector's OUTPUT is still Θ(dup²) — there the production path is
+    * collapse-first, as documented for exact dedup and SemDeDup.
+    */
+  val simhashWidePairs: QueryDef = QueryDef.sql(
+    "q_simhash_wide",
+    s"""WITH $SimhashWideCte,
+       |bands AS (${(0 until 2).map(b =>
+        s"SELECT doc_id, $b AS band, (simhash >> ${30 * b}) & ${(1L << 30) - 1} AS key, simhash FROM simw")
+        .mkString(" UNION ALL ")})
+       |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin) { (spark, dir) =>
+    val sig = Dedup.simhashWide(Tables(spark, dir, "documents"), "doc_id", "text")
+    Dedup.simhashPairs(sig, "doc_id", 1, bandBits = 30)
+  }
+
   /** Sign-LSH pack fragment over the raw float list. */
   private val PackSql =
     graft.functions.VectorFunctions.packSignBitsSql("embedding", 32)
@@ -1097,7 +1148,7 @@ object DedupQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupCanonical, minhashSig, minhashLshPairs, minhashEst, editDistance,
     neardupCollapsed, ngramJaccard,
-    simhashSig, simhashPairs, embedNearDup, embedNearDupScaled, embedGroups, knnGraph,
+    simhashSig, simhashPairs, simhashWidePairs, embedNearDup, embedNearDupScaled, embedGroups, knnGraph,
     knnRecall, knnHubness, neardupSweep, pagerank, semdedupRecall, snmBlocking,
     splitLeakage, sourceOverlap,
     dedupGroups, dupHistogram, dedupIncremental, corpusFilter, decontam)

@@ -150,6 +150,19 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("simhashDual == 31-family majority in the low 30 bits, 37-family in the high 30") {
+    def polyHashMulRef(s: String, mul: Int): Long =
+      s.foldLeft(0L)((h, c) => (h * mul + c) % Mod)
+    check(forAll(Gen.nonEmptyListOf(token)) { toks =>
+      def vote(hs: Seq[Long], shift: Int): Long = (0 until 30).map { b =>
+        if (hs.count(h => ((h >> b) & 1L) == 1L) * 2 > hs.length) 1L << (shift + b) else 0L
+      }.sum
+      val want = vote(toks.map(polyHashRef), 0) |
+        vote(toks.map(polyHashMulRef(_, 37)), 30)
+      functions.HashKernels.simhashDual(arr(toks)) == want
+    })
+  }
+
   test("bpeMerge kernel == reference greedy fold for arbitrary token runs") {
     def ref(toks: Seq[String], l: String, r: String): Seq[String] =
       toks.foldLeft(Vector.empty[String]) { (acc, t) =>

@@ -126,7 +126,12 @@ class ScaleSlopeSpec extends SparkSpec {
     // round-9: two-tier decontam rebuilt as one per-hash aggregate +
     // a test-fifth join (0.13 at 10x, 0.05 at 100x perturbed) — pinned
     // so a tier can't regress to re-joining the full corpus per side
-    "q_winnow_decontam" -> 1.5)
+    "q_winnow_decontam" -> 1.5,
+    // round-9: the width-scaled simhash banding (2x30-bit bands from
+    // the 60-bit dual-family signature) — third decade 0.24 where the
+    // fixed 15-bit/30-bit family reads 3.85; pinned so the band key
+    // can't silently narrow again
+    "q_simhash_wide" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
