@@ -63,6 +63,7 @@ object SparkEntry {
       graft.queries.EventQueries2.all ++
       graft.queries.CurationQueries30.all ++
       graft.queries.CurationQueries31.all ++
+      graft.queries.CurationQueries32.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.HashExpressions.positionalShinglesFast
+import graft.functions.TextFunctions.tokens
+
+/** Thirty-second batch: coverage-driven selection and exact repeated
+  * substrings — two operators the curation surface still lacked.
+  *
+  * `q_kcenter_coreset` is greedy farthest-first traversal (Gonzalez
+  * 1985), the coreset-selection primitive behind diversity-driven data
+  * pruning (Sener & Savarese 2018): unlike `q_mmr_select`, whose greedy
+  * runs over a 16-row retrieval shortlist, k-center's argmax is over
+  * the WHOLE corpus each round — so the distributed part is the whole
+  * point, and the driver holds only the k selected centers.
+  *
+  * `q_longest_repeat` answers the exact-substring question the
+  * suffix-array dedup literature (Lee et al. 2022) builds an index
+  * for — the corpus's longest token span occurring at least twice —
+  * WITHOUT a suffix array: binary search on span width, each probe one
+  * corpus pass of the rolling positional-shingle kernel, candidates
+  * text-verified so hash collisions can never distort the answer.
+  */
+object CurationQueries32 {
+
+  private val K = 8 // k-center selections
+  private val Q20 = 1048576.0 // quantization grid shared with q_mmr_select
+
+  /** K-CENTER CORESET — greedy farthest-first traversal: seed with the
+    * lowest vec_id, then k−1 times pick the point maximizing its
+    * distance to the nearest already-selected center (squared L2 on the
+    * Q20 integer grid — exact in both engines, the `q_mmr_select`
+    * discipline; ties to lower vec_id). The per-step radius is the
+    * classic 2-approximation certificate: after k picks every point
+    * sits within radius_q of a center. This is the data-pruning
+    * selection that maximizes COVERAGE of embedding space (where MMR
+    * balances relevance, and SemDeDup removes redundancy).
+    *
+    * SCALE: each round is a map-only distance evaluation against ≤k
+    * broadcast centers (zip_with/aggregate integer algebra inside
+    * whole-stage codegen) feeding a TakeOrderedAndProject(1) — no
+    * shuffle, no materialized distance matrix; driver state is k rows.
+    * K scans of the corpus total. At 100 TB the same loop holds
+    * (centers stay a driver-side array); when K grows past tens one
+    * switches to the running-min-dist variant (persist one column,
+    * compare against the single new center per round — O(N·K) work in
+    * amortized one pass) or composes per-partition candidates first.
+    */
+  val kcenterCoreset: QueryDef = QueryDef.sql(
+    "q_kcenter_coreset", {
+      val mind = "list_min(list_transform(vecs, v -> CAST(list_sum(" +
+        "list_transform(list_zip(i.e, v), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)))"
+      def pick(sel: String) =
+        s"""(SELECT $sel FROM iv i WHERE NOT list_contains(ids, i.vec_id)
+           |ORDER BY $mind DESC, i.vec_id LIMIT 1)""".stripMargin
+      s"""WITH RECURSIVE
+         |iv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * $Q20) AS BIGINT)) AS e
+         |       FROM embeddings),
+         |sel AS (
+         |  SELECT 1 AS step,
+         |         (SELECT vec_id FROM iv ORDER BY vec_id LIMIT 1) AS picked,
+         |         CAST(0 AS BIGINT) AS radius_q,
+         |         [(SELECT e FROM iv ORDER BY vec_id LIMIT 1)] AS vecs,
+         |         [(SELECT vec_id FROM iv ORDER BY vec_id LIMIT 1)] AS ids
+         |  UNION ALL
+         |  SELECT step + 1, ${pick("i.vec_id")}, ${pick(mind)},
+         |         list_append(vecs, ${pick("i.e")}),
+         |         list_append(ids, ${pick("i.vec_id")})
+         |  FROM sel WHERE step < $K)
+         |SELECT CAST(step AS BIGINT) AS step, CAST(picked AS BIGINT) AS picked, radius_q
+         |FROM sel""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * lit(Q20)).cast("long")).as("e"))
+    val seed = emb.orderBy("vec_id").limit(1).collect()(0)
+    var centers = Vector((seed.getLong(0), seed.getSeq[Long](1).toArray))
+    var out = Vector((1L, seed.getLong(0), 0L))
+    for (step <- 2 to K) {
+      // min squared distance to the ≤k broadcast centers: pure map-side
+      // integer algebra, then a heap-select of the single farthest point
+      val mind = centers.map { case (_, c) =>
+        aggregate(zip_with(col("e"), typedLit(c.toSeq),
+          (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b)
+      }.reduce(least(_, _))
+      val far = emb.filter(!col("vec_id").isInCollection(centers.map(_._1)))
+        .withColumn("mind", mind)
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      centers = centers :+ ((far.getLong(0), far.getSeq[Long](1).toArray))
+      out = out :+ ((step.toLong, far.getLong(0), far.getLong(2)))
+    }
+    out.toDF("step", "picked", "radius_q")
+  }
+
+  /** LONGEST REPEATED SPAN — the exact answer to "what is the longest
+    * token sequence this corpus contains twice?" (overlaps and
+    * same-document repeats count, spans never cross documents): binary
+    * search on the span width S with the monotone predicate "some
+    * width-S span occurs ≥2 times". Each probe is one corpus pass of
+    * the rolling prefix-hash kernel (every width-S window hash in
+    * O(chars) per doc), a fingerprint-keyed count, and a TEXT
+    * verification of the surviving candidates — fingerprints prune,
+    * never decide, so the 2^30 hash space cannot produce a phantom
+    * repeat (and verified truth keeps the predicate monotone, which
+    * collision noise alone would break). The winner is the
+    * lexicographically least maximal span with its exact occurrence
+    * count. Where `q_repeated_spans` mines per-document islands of
+    * duplicated fixed-width windows, this is the corpus-level suffix-
+    * array question answered in O(log L) passes — at 100 TB, log of
+    * the max DOCUMENT length (~dozens of rounds-free probes), each
+    * linear, map-side, and shuffle-bounded by the candidate set; a
+    * distributed suffix array would pay log N global sort rounds for
+    * the same answer.
+    *
+    * Oracle: the real suffix-sort construction — every token suffix,
+    * char-sorted (the space separator sorts below all token chars, so
+    * equal-token-prefix groups stay contiguous), adjacent-pair token
+    * LCP via the first-mismatch position of the zipped lists, max LCP
+    * = the span width, then the least witness and its prefix count.
+    */
+  val longestRepeat: QueryDef = QueryDef.sql(
+    "q_longest_repeat",
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |suf AS (SELECT doc_id, p, toks[p:len(toks)] AS st
+       |        FROM tk, unnest(range(1, len(toks) + 1)) t(p)),
+       |srt AS (SELECT st, lead(st) OVER (ORDER BY array_to_string(st, ' ')) AS nx FROM suf),
+       |l AS (SELECT st,
+       |             CASE WHEN nx IS NULL THEN 0
+       |                  ELSE coalesce(list_position(list_transform(list_zip(st, nx),
+       |                         p -> coalesce(p[1] = p[2], false)), false) - 1,
+       |                       least(len(st), len(nx))) END AS lcp
+       |      FROM srt),
+       |best AS (SELECT max(lcp) AS len FROM l),
+       |win AS (SELECT min(array_to_string(st[1:len], ' ')) AS span
+       |        FROM l, best WHERE lcp = len AND len >= 1),
+       |occ AS (SELECT count(*) AS n FROM suf, best, win
+       |        WHERE len(st) >= len AND array_to_string(st[1:len], ' ') = span)
+       |SELECT CAST(best.len AS BIGINT) AS lrs_len, CAST(occ.n AS BIGINT) AS n_occ, win.span
+       |FROM best, win, occ WHERE best.len >= 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val tk = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+
+    // width-S spans occurring ≥2 times, verified on text: fingerprint
+    // groups prune to candidates, a re-slice groups the actual spans
+    def verifiedSpans(s: Int): DataFrame = {
+      val w = tk.filter(size(col("toks")) >= s)
+        .select(col("doc_id"),
+          explode(positionalShinglesFast(col("toks"), s)).as("pf"))
+        .select(col("doc_id"), col("pf.p").as("p"), col("pf.fp").as("fp"))
+      val cand = w.groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      w.join(cand, "fp")
+        .join(tk, "doc_id")
+        .select(array_join(slice(col("toks"), col("p"), lit(s)), " ").as("span"))
+        .groupBy("span").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= 2)
+    }
+    def repeatedAt(s: Int): Boolean = !verifiedSpans(s).isEmpty
+
+    val empty = Seq.empty[(Long, Long, String)].toDF("lrs_len", "n_occ", "span")
+    val maxLen = tk.agg(max(size(col("toks"))).as("m")).collect()(0).getInt(0)
+    if (maxLen < 1 || !repeatedAt(1)) empty
+    else {
+      var lo = 1; var hi = maxLen
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (repeatedAt(mid)) lo = mid else hi = mid - 1
+      }
+      verifiedSpans(lo)
+        .orderBy("span").limit(1)
+        .select(lit(lo.toLong).as("lrs_len"), col("n_occ"), col("span"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(kcenterCoreset, longestRepeat)
+}

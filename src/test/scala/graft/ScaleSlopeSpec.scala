@@ -131,7 +131,14 @@ class ScaleSlopeSpec extends SparkSpec {
     // the 60-bit dual-family signature) — third decade 0.24 where the
     // fixed 15-bit/30-bit family reads 3.85; pinned so the band key
     // can't silently narrow again
-    "q_simhash_wide" -> 1.5)
+    "q_simhash_wide" -> 1.5,
+    // round-9 batch 32: k-center is K map-only scans + TakeOrdered(1)
+    // per round (no shuffle, no distance matrix) and the LRS binary
+    // search is O(log maxDocLen) verified shingle passes — both pinned
+    // so a round can't grow a corpus-sized shuffle or the verify step
+    // a corpus-wide span materialization
+    "q_kcenter_coreset" -> 1.5,
+    "q_longest_repeat" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
