@@ -142,8 +142,12 @@ object CurationQueries32 {
        |SELECT CAST(best.len AS BIGINT) AS lrs_len, CAST(occ.n AS BIGINT) AS n_occ, win.span
        |FROM best, win, occ WHERE best.len >= 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // one materialization feeds all ~log L probes (each probe reads tk
+    // twice: window pass + verify re-slice) — the q_bpe_learn pattern;
+    // without it every probe re-scans parquet and re-tokenizes
     val tk = Tables(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint()
 
     // width-S spans occurring ≥2 times, verified on text: fingerprint
     // groups prune to candidates, a re-slice groups the actual spans
@@ -163,16 +167,21 @@ object CurationQueries32 {
 
     val empty = Seq.empty[(Long, Long, String)].toDF("lrs_len", "n_occ", "span")
     val maxLen = tk.agg(max(size(col("toks"))).as("m")).collect()(0).getInt(0)
-    if (maxLen < 1 || !repeatedAt(1)) empty
+    if (maxLen < 1) empty
     else {
+      // no upfront repeatedAt(1) guard: S=1 is the most EXPENSIVE probe
+      // (every token a candidate), and bisection doesn't need it — if no
+      // width repeats, every probe is false, lo converges to 1, and the
+      // final verifiedSpans(1) comes back empty
       var lo = 1; var hi = maxLen
       while (lo < hi) {
         val mid = (lo + hi + 1) / 2
         if (repeatedAt(mid)) lo = mid else hi = mid - 1
       }
-      verifiedSpans(lo)
+      val win = verifiedSpans(lo)
         .orderBy("span").limit(1)
         .select(lit(lo.toLong).as("lrs_len"), col("n_occ"), col("span"))
+      if (lo == 1 && win.isEmpty) empty else win
     }
   }
 

@@ -128,5 +128,49 @@ object EventQueries2 {
         (col("pus") - col("cus")).as("gap_us"))
   }
 
-  val all: Seq[QueryDef] = Seq(eventTransitions, audienceOverlap, intervalJoin)
+  /** INTERVAL ANTI-JOIN — clicks with NO purchase from the same user
+    * within ±1 hour: the attribution-gap report (what share of ad
+    * clicks never converted inside the window), and the batch twin of
+    * the null-padded rows the streaming LEFT OUTER interval join
+    * ([[graft.streaming.EventStreams.intervalJoinsLeftOuter]]) emits
+    * at state-eviction time.
+    *
+    * SCALE: the same (user, hour-bucket) EQUI-join blocking as
+    * `q_interval_join` — never a nested-loop range anti-join. A click
+    * is unmatched iff NONE of its ≤3 buckets matched, so the anti side
+    * is a distinct matched-click set (bare BIGINT ids across the
+    * shuffle) followed by a left_anti equi-join — both
+    * hash-partitioned, both AQE-splittable. The oracle states the
+    * same thing as a plain NOT EXISTS range predicate.
+    */
+  val intervalUnmatched: QueryDef = QueryDef.sql(
+    "q_interval_unmatched",
+    """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS pus
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, CAST(c.cus AS BIGINT) AS cus
+      |FROM c WHERE NOT EXISTS (
+      |  SELECT 1 FROM p WHERE p.user_id = c.user_id
+      |    AND p.pus BETWEEN c.cus - 3600000000 AND c.cus + 3600000000)""".stripMargin) {
+    (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("cus"))
+    val cb = c.withColumn("hb", explode(sequence(
+      expr("cus div 3600000000 - 1"), expr("cus div 3600000000 + 1"))))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("pus"))
+      .withColumn("hb", expr("pus div 3600000000"))
+    val matched = cb.join(p, cb("user_id") === p("p_user") && cb("hb") === p("hb"))
+      .filter(col("pus") >= col("cus") - 3600000000L &&
+        col("pus") <= col("cus") + 3600000000L)
+      .select("click_id").distinct()
+    c.join(matched, Seq("click_id"), "left_anti")
+      .select(col("user_id"), col("click_id"), col("cus"))
+  }
+
+  val all: Seq[QueryDef] = Seq(eventTransitions, audienceOverlap, intervalJoin,
+    intervalUnmatched)
 }

@@ -101,6 +101,31 @@ object EventStreams {
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
 
+  /** Stream-stream LEFT OUTER interval join — the same dual-watermark
+    * attribution as [[intervalJoins]] plus the unmatched clicks: a
+    * click with no purchase within ±1 h emits ONCE, null-padded, when
+    * the watermark passes the point where a match has become
+    * impossible (its buffered state evicts). The outer rows are
+    * delayed BY CONSTRUCTION to state-eviction time — the engine can
+    * only know "no purchase will ever match" once the purchase
+    * watermark clears cts + 1 h — which is why outer results trail the
+    * inner stream by watermark delay + join range, and why clicks
+    * still inside that horizon at shutdown never emit a null row
+    * (asserted against the batch twin in the spec). State bounds are
+    * identical to the inner form; matched rows are identical to the
+    * inner form row-for-row.
+    */
+  def intervalJoinsLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("cts", "2 hours")
+      .join(
+        purchases.withColumnRenamed("user_id", "p_user")
+          .withWatermark("pts", "2 hours"),
+        expr("user_id = p_user AND " +
+          "pts BETWEEN cts - INTERVAL 1 HOUR AND cts + INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+
   case class DriftScore(hour_ts: Long, n_events: Long, psi_q40: Long)
 
   /** Streaming distribution-drift monitor — the streaming face of the

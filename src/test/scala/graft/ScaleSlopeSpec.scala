@@ -138,7 +138,11 @@ class ScaleSlopeSpec extends SparkSpec {
     // so a round can't grow a corpus-sized shuffle or the verify step
     // a corpus-wide span materialization
     "q_kcenter_coreset" -> 1.5,
-    "q_longest_repeat" -> 1.5)
+    "q_longest_repeat" -> 1.5,
+    // round-9 batch 33: the interval ANTI join must keep the hour-bucket
+    // equi-blocking of q_interval_join — a regression to the bare range
+    // predicate plans a per-user nested loop
+    "q_interval_unmatched" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)

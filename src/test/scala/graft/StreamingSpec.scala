@@ -100,6 +100,59 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("left-outer stream-stream interval join: inner rows exact, null rows are the evicted unmatched clicks") {
+    val (dir, schema) = batchEvents
+    val sliced = java.nio.file.Files.createTempDirectory("events-lo-sliced").toString
+    val ev = spark.read.parquet(dir)
+    // half-split by time so both join sides buffer state across triggers
+    val mm = ev.agg(unix_micros(min(col("ts"))).as("a"),
+      unix_micros(max(col("ts"))).as("b")).head()
+    val midUs = (mm.getLong(0) + mm.getLong(1)) / 2
+    ev.filter(unix_micros(col("ts")) <= midUs).coalesce(1).write.parquet(s"$sliced/s=0")
+    ev.filter(unix_micros(col("ts")) > midUs).coalesce(1).write.parquet(s"$sliced/s=1")
+    def side(df: org.apache.spark.sql.DataFrame, t: String, tsName: String, idName: String) =
+      df.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts").as(tsName), col("event_id").as(idName))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$sliced/*")
+    val joined = EventStreams.intervalJoinsLeftOuter(
+      side(src, "click", "cts", "click_id"),
+      side(src, "purchase", "pts", "purchase_id"))
+    val sq = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssljoin").start()
+    try {
+      sq.processAllAvailable()
+      val out = spark.sql("SELECT user_id, click_id, purchase_id, gap_us FROM ssljoin")
+      // matched rows must be the inner join, row-for-row (the registry
+      // q_interval_join is the oracle-checked truth)
+      val inner = out.filter(col("purchase_id").isNotNull)
+      val batchInner = graft.queries.EventQueries2.intervalJoin.fn(spark, sf0001)
+      assert(inner.count() == batchInner.count())
+      assert(inner.exceptAll(batchInner).isEmpty && batchInner.exceptAll(inner).isEmpty)
+      // null-padded rows: every one must be a genuinely unmatched click
+      // (q_interval_unmatched is the batch anti-join twin), and every
+      // click whose eviction point lies safely behind the final
+      // watermark must have emitted exactly its one outer row
+      val nulls = out.filter(col("purchase_id").isNull).select("click_id")
+      val um = graft.queries.EventQueries2.intervalUnmatched.fn(spark, sf0001)
+      assert(nulls.count() > 0, "no outer row emitted — state eviction never fired")
+      assert(nulls.count() == nulls.distinct().count(), "an outer row emitted twice")
+      assert(nulls.exceptAll(um.select("click_id")).isEmpty,
+        "stream emitted a null row for a click the batch twin matched")
+      // final global watermark = min(max cts, max pts) − 2 h delay; a
+      // click is definitely evicted once cts + 1 h (join range) clears
+      // it, with a 10-minute safety margin against boundary semantics
+      val ev0 = Tables.events(spark, sf0001)
+      def maxTs(t: String): Long = ev0.filter(col("event_type") === t)
+        .agg(unix_micros(max(col("ts")))).head().getLong(0)
+      val wmUs = math.min(maxTs("click"), maxTs("purchase")) - 2L * 3600000000L
+      val definite = um.filter(col("cus") + 3600000000L < wmUs - 600000000L)
+      assert(definite.count() > 0, "fixture has no safely-evictable unmatched click")
+      assert(definite.select("click_id").join(nulls, Seq("click_id"), "left_anti").isEmpty,
+        "an evictable unmatched click never emitted its outer row")
+    } finally sq.stop()
+  }
+
   test("stream-static enrichment: every event joins the broadcast dim, no state") {
     val (dir, schema) = batchEvents
     val dim = Tables.events(spark, sf0001)
