@@ -214,15 +214,20 @@ object Dedup {
   }
 
   /** 30-bit SimHash over token hashes (majority vote per bit):
-    * (id, simhash).
+    * (id, simhash). FIXTURE-ONLY since round 10: its pair stream
+    * floods at corpus scale (15-bit band keyspace saturates past
+    * ~2^15 docs; measured decade 3.85 / 141M hamming<=1 pairs at 5M
+    * docs, 99.84% rejected by the wider signature) — every registry
+    * query and graph consumer now builds on [[simhashWide]]. Kept as
+    * the property-tested kernel reference and for narrow-signature
+    * audits.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     // map-side kernel (round 9): the explode → groupBy(30 bit-sums)
     // formulation pushed every token occurrence through a doc-keyed
     // 31-column aggregate shuffle; the per-bit majority vote is a pure
     // per-document function, so it now runs inside the scan projection —
-    // the signature stage has NO exchange at any scale. Same integer
-    // math; the DuckDB SimhashCte is unchanged.
+    // the signature stage has NO exchange at any scale.
     df.select(col(idCol),
       graft.functions.HashExpressions.simhashFast(tokens(col(textCol))).as("simhash"))
 

@@ -18,7 +18,11 @@ object CurationQueries11 {
 
   /** TRIANGLE COUNT + global clustering coefficient over the SimHash
     * near-dup graph (hamming ≤ 1 pairs, the `q_simhash_pairs` edge
-    * set). Edges are oriented ida < idb, so each triangle a<b<c is
+    * set — the 60-bit dual-family signature since round 10: the 30-bit
+    * graph this rode before floods with chance collisions at corpus
+    * scale, decade 3.85 / 141M pairs at 5M docs, which would have made
+    * triangles/GCC quadratic exactly when a 100-TB user runs them).
+    * Edges are oriented ida < idb, so each triangle a<b<c is
     * counted exactly once by the two-join path a→b→c ∧ a→c; wedges
     * come from the degree table (Σ d·(d−1)/2), and GCC = 3·Δ/wedges
     * in basis points. A high GCC says near-dup pairs come in CLIQUES
@@ -29,14 +33,8 @@ object CurationQueries11 {
     */
   val triangleCount: QueryDef = QueryDef.sql(
     "q_triangle_count",
-    s"""WITH ${DedupQueries.SimhashCte},
-       |bands AS (${(0 until 2).map(b =>
-        s"SELECT doc_id, $b AS band, (simhash >> ${15 * b}) & 32767 AS key, simhash FROM sim")
-        .mkString(" UNION ALL ")}),
-       |e AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-       |      FROM bands a JOIN bands b
-       |        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+    s"""WITH ${DedupQueries.SimhashWideCte},
+       |${DedupQueries.SimhashWideEdgeCte},
        |tri AS (SELECT count(*) AS t
        |        FROM e e1 JOIN e e2 ON e2.ida = e1.idb
        |                  JOIN e e3 ON e3.ida = e1.ida AND e3.idb = e2.idb),
@@ -49,12 +47,12 @@ object CurationQueries11 {
        |SELECT n_nodes, n_edges, CAST(t AS BIGINT) AS n_triangles,
        |       CAST((3 * t * 10000) // greatest(wedges, 1) AS BIGINT) AS gcc_bp
        |FROM w, ne, tri""".stripMargin) { (spark, dir) =>
-    val sig = Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text")
+    val sig = Dedup.simhashWide(Tables(spark, dir, "documents"), "doc_id", "text")
     // the edge set feeds FIVE consumers (two triangle-join legs, the
     // wedge/degree table, and both scalar counts); localCheckpoint
     // materializes the node-bounded edge list once instead of
     // re-running the simhash + band-join pipeline per consumer
-    val e = Dedup.simhashPairs(sig, "doc_id", 1)
+    val e = Dedup.simhashPairs(sig, "doc_id", 1, bandBits = 30)
       .select(col("ida"), col("idb")).distinct()
       .localCheckpoint()
     val e1 = e

@@ -220,7 +220,10 @@ object CurationQueries14 {
   }
 
   /** CROSS-SOURCE NEAR-DUP MATRIX — the SimHash near-dup pair stream
-    * (hamming ≤ 1, the `q_simhash_pairs` edge set) aggregated by the
+    * (hamming ≤ 1, the `q_simhash_pairs` edge set — the 60-bit
+    * dual-family signature since round 10, so source triage inherits
+    * the corpus-scale band keyspace instead of the flooding 30-bit
+    * graph) aggregated by the
     * SOURCE pair it connects, with each cell's share of total pair mass
     * in basis points. The triage view for dedup priority: a heavy
     * diagonal cell says a source duplicates ITSELF (template boilerplate
@@ -233,14 +236,8 @@ object CurationQueries14 {
     */
   val sourceDupMatrix: QueryDef = QueryDef.sql(
     "q_source_dup_matrix",
-    s"""WITH ${DedupQueries.SimhashCte},
-       |bands AS (${(0 until 2).map(b =>
-        s"SELECT doc_id, $b AS band, (simhash >> ${15 * b}) & 32767 AS key, simhash FROM sim")
-        .mkString(" UNION ALL ")}),
-       |e AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-       |      FROM bands a JOIN bands b
-       |        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+    s"""WITH ${DedupQueries.SimhashWideCte},
+       |${DedupQueries.SimhashWideEdgeCte},
        |lab AS (SELECT doc_id, source FROM documents),
        |m AS (SELECT least(la.source, lb.source) AS src_a,
        |             greatest(la.source, lb.source) AS src_b, count(*) AS n
@@ -252,8 +249,8 @@ object CurationQueries14 {
        |       CAST((n * 10000) // t AS BIGINT) AS pair_share_bp
        |FROM m, tot""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
-    val sig = Dedup.simhash(docs, "doc_id", "text")
-    val e = Dedup.simhashPairs(sig, "doc_id", 1).select("ida", "idb")
+    val sig = Dedup.simhashWide(docs, "doc_id", "text")
+    val e = Dedup.simhashPairs(sig, "doc_id", 1, bandBits = 30).select("ida", "idb")
     val lab = docs.select(col("doc_id"), col("source"))
     val m = e
       .join(lab.select(col("doc_id").as("ida"), col("source").as("sa")), "ida")

@@ -100,17 +100,23 @@ class CurationSpec14 extends SparkSpec {
     val docs = Tables(spark, sf0001, "documents")
       .select(col("doc_id"), col("text"), col("source")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    def polyHash(s: String): Long =
-      s.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    def polyHashMul(s: String, mul: Int): Long =
+      s.foldLeft(0L)((h, c) => (h * mul + c) % 1000000007L)
+    // 60-bit dual-family signature (round 10: the graph consumers ride
+    // the wide family) — 31-multiplier votes in the low 30 bits,
+    // 37-multiplier in the high 30
     val sig = docs.map { case (id, text, src) =>
-      val hs = text.split(" ", -1).map(polyHash)
-      val sh = (0 until 30).map { i =>
-        val ones = hs.count(h => ((h >> i) & 1L) == 1L)
-        if (2 * ones > hs.length) 1L << i else 0L
-      }.sum
-      (id, sh, src)
+      val toks = text.split(" ", -1)
+      def vote(mul: Int, shift: Int): Long = {
+        val hs = toks.map(polyHashMul(_, mul))
+        (0 until 30).map { i =>
+          val ones = hs.count(h => ((h >> i) & 1L) == 1L)
+          if (2 * ones > hs.length) 1L << (shift + i) else 0L
+        }.sum
+      }
+      (id, vote(31, 0) | vote(37, 30), src)
     }
-    // all-pairs hamming <= 1 — the 2x15-bit band join catches exactly
+    // all-pairs hamming <= 1 — the 2x30-bit band join catches exactly
     // this set by pigeonhole, so brute force is the full ground truth
     val pairs = for {
       (ia, sa, ra) <- sig; (ib, sb, rb) <- sig

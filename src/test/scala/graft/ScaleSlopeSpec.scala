@@ -127,11 +127,12 @@ class ScaleSlopeSpec extends SparkSpec {
     // a test-fifth join (0.13 at 10x, 0.05 at 100x perturbed) — pinned
     // so a tier can't regress to re-joining the full corpus per side
     "q_winnow_decontam" -> 1.5,
-    // round-9: the width-scaled simhash banding (2x30-bit bands from
-    // the 60-bit dual-family signature) — third decade 0.24 where the
-    // fixed 15-bit/30-bit family reads 3.85; pinned so the band key
-    // can't silently narrow again
-    "q_simhash_wide" -> 1.5,
+    // round-10: the whole simhash graph family now rides the 60-bit
+    // dual-family signature (third decade 0.24 where the retired
+    // 15-bit-band/30-bit family read 3.85) — q_simhash_pairs above is
+    // the wide form, and the graph consumers are pinned here so none
+    // can silently narrow back to a saturating band key
+    "q_source_dup_matrix" -> 1.5,
     // round-9 batch 32: k-center is K map-only scans + TakeOrdered(1)
     // per round (no shuffle, no distance matrix) and the LRS binary
     // search is O(log maxDocLen) verified shingle passes — both pinned
