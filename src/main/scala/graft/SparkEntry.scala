@@ -64,6 +64,7 @@ object SparkEntry {
       graft.queries.CurationQueries30.all ++
       graft.queries.CurationQueries31.all ++
       graft.queries.CurationQueries32.all ++
+      graft.queries.CurationQueries33.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 

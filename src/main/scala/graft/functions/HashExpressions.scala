@@ -105,6 +105,30 @@ object HashKernels {
     sig
   }
 
+  /** Token-hash bucket histogram: per-bucket counts of tokens whose
+    * polyHash lands in each of nBuckets buckets — the hashed
+    * bag-of-words featurizer (the fastText trick) behind the
+    * quality-classifier training loop. One pass, O(chars) per doc;
+    * returns array<long> of length nBuckets.
+    */
+  def bucketCounts(toks: ArrayData, nBuckets: Int): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Long](nBuckets)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i).toString
+      var h = 0L
+      var k = 0
+      while (k < s.length) {
+        h = (h * 31 + s.charAt(k)) % TextFunctions.HashMod
+        k += 1
+      }
+      out((h % nBuckets).toInt) += 1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Positional n-token shingle hashes: one struct<p:int, fp:long> per
     * window start (1-based p), where fp == polyHash of the space-joined
     * window — identical to polyHash(array_join(slice(toks, p, n), ' ')).
@@ -475,6 +499,16 @@ case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Hashed bag-of-words bucket counts of a token array, as array<long>. */
+case class BucketCountsExpr(child: Expression, nBuckets: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.bucketCounts(v.asInstanceOf[ArrayData], nBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bucketCounts($c, $nBuckets)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 60-bit dual-family SimHash of a token array. */
 case class SimhashDualExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -541,6 +575,8 @@ object HashExpressions {
     GraftShim.column(SimhashExpr(GraftShim.expression(toks), bits))
   def simhashDualFast(toks: Column): Column =
     GraftShim.column(SimhashDualExpr(GraftShim.expression(toks)))
+  def bucketCountsFast(toks: Column, nBuckets: Int): Column =
+    GraftShim.column(BucketCountsExpr(GraftShim.expression(toks), nBuckets))
   def minhashSigFast(hs: Column): Column =
     GraftShim.column(MinhashSigExpr(GraftShim.expression(hs)))
 }

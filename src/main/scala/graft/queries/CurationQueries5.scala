@@ -104,45 +104,9 @@ object CurationQueries5 {
       ((col("sy") - slope * col("sx")) / col("n") / Q20.toDouble).as("intercept_ln"))
   }
 
-  /** Linear quality-classifier inference — a fixed-weight scoring head
-    * over the `q_quality_filter` features, applied as one map-only
-    * integer expression per document (the shape of fastText/logreg
-    * quality-classifier INFERENCE at corpus scale: the model is weights
-    * in the plan, the data never shuffles). The logit stays in exact
-    * integer feature space; the sigmoid is monotone, so the keep
-    * decision `logit > 0` is identical to `p > 0.5` without computing
-    * any exp.
-    */
-  val qualityLogreg: QueryDef = QueryDef.sql(
-    "q_quality_logreg",
-    """WITH m AS (
-      |  SELECT doc_id,
-      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
-      |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) AS BIGINT) AS n_stop
-      |  FROM documents),
-      |r AS (
-      |  SELECT doc_id, n_tokens,
-      |         CAST(floor(n_uniq * 10000.0 / n_tokens) AS BIGINT) AS uniq_bp,
-      |         CAST(floor(n_stop * 10000.0 / n_tokens) AS BIGINT) AS stop_bp
-      |  FROM m)
-      |SELECT doc_id,
-      |       100 * n_tokens + 3 * uniq_bp - 5 * stop_bp - 12000 AS logit_q,
-      |       (100 * n_tokens + 3 * uniq_bp - 5 * stop_bp - 12000) > 0 AS keep
-      |FROM r""".stripMargin) { (spark, dir) =>
-    val toks = split(col("text"), " ")
-    val logit = lit(100L) * col("n_tokens") + lit(3L) * col("uniq_bp") -
-      lit(5L) * col("stop_bp") - lit(12000L)
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_uniq"),
-        size(filter(toks, t => t === "a" || t === "the")).cast("long").as("n_stop"))
-      .select(col("doc_id"), col("n_tokens"),
-        floor(col("n_uniq") * 10000.0 / col("n_tokens")).cast("long").as("uniq_bp"),
-        floor(col("n_stop") * 10000.0 / col("n_tokens")).cast("long").as("stop_bp"))
-      .select(col("doc_id"), logit.as("logit_q"), (logit > 0).as("keep"))
-  }
+  // q_quality_logreg moved to CurationQueries33 (round 10): inference
+  // now consumes the weights LEARNED by q_quality_train's gradient
+  // loop instead of a hand-fixed vector.
 
   /** Temperature-flattened source mixing: sampling weight ∝ n^(1/2)
     * instead of ∝ n — the standard low-resource upsampling rule. sqrt
@@ -260,6 +224,6 @@ object CurationQueries5 {
       .unionAll(stage("40_decontam", s4))
   }
 
-  val all: Seq[QueryDef] = Seq(retention, zipfFit, qualityLogreg, temperatureMix,
+  val all: Seq[QueryDef] = Seq(retention, zipfFit, temperatureMix,
     pipelineFunnel)
 }

@@ -51,21 +51,35 @@ class CurationSpec5 extends SparkSpec {
     assert(math.abs(icept - (sy - expSlope * sx) / nn / 1048576.0) < 1e-12)
   }
 
-  test("quality logreg: keep iff logit positive; logit matches the feature recount") {
-    val out = graft.queries.CurationQueries5.qualityLogreg.fn(spark, sf0001).collect()
+  test("quality logreg: keep iff learned logit >= 0; logit matches the feature recount") {
+    // final-step learned weights from the training trajectory
+    val steps = graft.queries.CurationQueries33.qualityTrain.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lastStep = steps.map(_._1).max
+    val w = steps.filter(_._1 == lastStep).sortBy(_._2).map(_._3)
+    assert(w.length == 68 && w.exists(_ != 0L), "trained weights must be non-trivial")
+    val out = graft.queries.CurationQueries33.qualityLogreg.fn(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
     var kept = 0
     for (r <- Tables(spark, sf0001, "documents").select("doc_id", "text").collect()) {
-      val toks = r.getString(1).split(" ")
-      val uniqBp = toks.distinct.length.toLong * 10000 / toks.length
-      val stopBp = toks.count(t => t == "a" || t == "the").toLong * 10000 / toks.length
-      val logit = 100L * toks.length + 3 * uniqBp - 5 * stopBp - 12000
+      val toks = r.getString(1).split(" ", -1)
+      val nt = toks.length.toLong
+      val buckets = new Array[Long](64)
+      toks.foreach(t => buckets((polyHash(t) % 64).toInt) += 1)
+      val f = buckets.map(_ * 10000 / nt) ++ Array(
+        math.min(nt, 100) * 100,
+        toks.distinct.length.toLong * 10000 / nt,
+        toks.count(t => t == "a" || t == "the").toLong * 10000 / nt,
+        10000L)
+      val logit = f.zip(w).map { case (x, wj) => x * wj }.sum / 10000L
       val (gotLogit, gotKeep) = out(r.getLong(0))
       assert(gotLogit == logit, s"doc ${r.getLong(0)}")
-      assert(gotKeep == (logit > 0))
+      assert(gotKeep == (logit >= 0))
       if (gotKeep) kept += 1
     }
-    // the head must actually separate: both classes present in the fixture
+    // the learned head must actually separate: both classes present
     assert(kept > 0 && kept < out.size, s"degenerate split: $kept of ${out.size}")
   }
 

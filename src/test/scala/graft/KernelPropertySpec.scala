@@ -140,6 +140,21 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bucketCounts kernel == histogram of polyHash(tok) % nBuckets") {
+    check(forAll(Gen.listOf(token)) { toks =>
+      val got = {
+        val g = functions.HashKernels.bucketCounts(arr(toks), 64)
+        (0 until g.numElements()).map(g.getLong)
+      }
+      val want = {
+        val c = new Array[Long](64)
+        toks.foreach(t => c((polyHashRef(t) % 64).toInt) += 1)
+        c.toSeq
+      }
+      got == want
+    })
+  }
+
   test("simhash kernel == per-bit majority vote of token polyhashes") {
     check(forAll(Gen.nonEmptyListOf(token)) { toks =>
       val hs = toks.map(polyHashRef)
