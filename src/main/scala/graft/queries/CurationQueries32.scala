@@ -71,29 +71,81 @@ object CurationQueries32 {
          |  FROM sel WHERE step < $K)
          |SELECT CAST(step AS BIGINT) AS step, CAST(picked AS BIGINT) AS picked, radius_q
          |FROM sel""".stripMargin
-    }) { (spark, dir) =>
+    }) { (spark, dir) => kcenterRun(spark, dir, K, incremental = false) }
+
+  /** Shared greedy farthest-first loop behind both k-center queries.
+    * `incremental = false` is the literal Gonzalez form: each round
+    * recomputes min-dist against ALL ≤k broadcast centers (O(k·d) per
+    * point per round — fine at small K, K full-width scans total).
+    * `incremental = true` is the running-min-dist variant the round-9
+    * design note documented for large K: the frame carries one
+    * persisted `mind` column and each round folds in ONLY the newest
+    * center (`mind := least(mind, dist²(e, c_new))`) before the
+    * argmax — O(d) per point per round, so per-round cost is FLAT in
+    * K instead of linear. Identical picks by construction: after
+    * round r both forms hold mind = min over centers 1..r of dist²,
+    * the same integer, and ties break on the same vec_id order — a
+    * property test pins the trajectories equal, and both queries
+    * share one oracle. Cache discipline: at most two generations of
+    * the (vec_id, e, mind) frame live (MEMORY_AND_DISK_SER, the BPE
+    * sliding window).
+    */
+  private[graft] def kcenterRun(spark: SparkSession, dir: String, k: Int,
+      incremental: Boolean): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"),
         x => floor(x.cast("double") * lit(Q20)).cast("long")).as("e"))
     val seed = emb.orderBy("vec_id").limit(1).collect()(0)
     var centers = Vector((seed.getLong(0), seed.getSeq[Long](1).toArray))
     var out = Vector((1L, seed.getLong(0), 0L))
-    for (step <- 2 to K) {
-      // min squared distance to the ≤k broadcast centers: pure map-side
-      // integer algebra, then a heap-select of the single farthest point
-      val mind = centers.map { case (_, c) =>
-        aggregate(zip_with(col("e"), typedLit(c.toSeq),
-          (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b)
-      }.reduce(least(_, _))
-      val far = emb.filter(!col("vec_id").isInCollection(centers.map(_._1)))
-        .withColumn("mind", mind)
+    def dist2To(c: Array[Long]) =
+      aggregate(zip_with(col("e"), typedLit(c.toSeq),
+        (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b)
+    var frame = emb.withColumn("mind", lit(Long.MaxValue))
+    var prevGen: Option[DataFrame] = None
+    for (step <- 2 to k) {
+      val newest = centers.last._2
+      if (incremental) {
+        frame = frame
+          .withColumn("mind", least(col("mind"), dist2To(newest)))
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      } else {
+        // recompute against the full center set (the literal form)
+        val mind = centers.map { case (_, c) => dist2To(c) }.reduce(least(_, _))
+        frame = emb.withColumn("mind", mind)
+      }
+      val far = frame.filter(!col("vec_id").isInCollection(centers.map(_._1)))
+        .select(col("vec_id"), col("e"), col("mind"))
         .orderBy(col("mind").desc, col("vec_id")).limit(1)
         .collect()(0)
+      // the argmax above MATERIALIZED this generation into cache — only
+      // now is the previous one safe to drop (unpersisting before the
+      // action would force every round to recompute the whole fold
+      // chain from the scan: O(k) per round, the exact cost this
+      // variant exists to avoid)
+      if (incremental) {
+        prevGen.foreach(_.unpersist(false))
+        prevGen = Some(frame)
+      }
       centers = centers :+ ((far.getLong(0), far.getSeq[Long](1).toArray))
       out = out :+ ((step.toLong, far.getLong(0), far.getLong(2)))
     }
+    prevGen.foreach(_.unpersist(false))
     out.toDF("step", "picked", "radius_q")
+  }
+
+  /** RUNNING-MIN-DIST K-CENTER — the large-K twin of
+    * [[kcenterCoreset]] (same picks, same oracle; see [[kcenterRun]]):
+    * per-round work drops from O(k·d) to O(d) per point, which is the
+    * difference between K scans costing Θ(K²·d·N) total and Θ(K·d·N)
+    * — at K in the hundreds (coreset sizes for real pruning runs) the
+    * literal form pays a quadratic the incremental form does not.
+    */
+  val kcenterInc: QueryDef = QueryDef.sql(
+    "q_kcenter_inc", kcenterCoreset.oracle.get) { (spark, dir) =>
+    kcenterRun(spark, dir, K, incremental = true)
   }
 
   /** LONGEST REPEATED SPAN — the exact answer to "what is the longest
@@ -185,5 +237,5 @@ object CurationQueries32 {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(kcenterCoreset, longestRepeat)
+  val all: Seq[QueryDef] = Seq(kcenterCoreset, kcenterInc, longestRepeat)
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch-32 checks: the two k-center forms must be pick-for-pick
+  * identical (the running-min-dist rewrite is an algebraic
+  * strength-reduction, not an approximation), and the greedy radius
+  * certificate must behave like Gonzalez's proof says it does.
+  */
+class CurationSpec32 extends SparkSpec {
+
+  test("k-center: literal and running-min-dist forms pick identical trajectories") {
+    val lit8 = graft.queries.CurationQueries32.kcenterRun(spark, sf0001, 8, incremental = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val inc8 = graft.queries.CurationQueries32.kcenterRun(spark, sf0001, 8, incremental = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(lit8.sameElements(inc8), "trajectories must match pick-for-pick")
+    // ...and at a deeper K than the registry query uses, so the parity
+    // argument is exercised past the fixture configuration
+    val lit12 = graft.queries.CurationQueries32.kcenterRun(spark, sf0001, 12, incremental = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val inc12 = graft.queries.CurationQueries32.kcenterRun(spark, sf0001, 12, incremental = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(lit12.sameElements(inc12))
+    assert(lit12.take(8).map(t => (t._2, t._3)).sameElements(lit8.map(t => (t._2, t._3))),
+      "greedy prefix property: first 8 picks of K=12 equal the K=8 run")
+  }
+
+  test("k-center radius certificate is non-increasing and picks are distinct") {
+    val rows = graft.queries.CurationQueries32.kcenterRun(spark, sf0001, 8, incremental = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val radii = rows.drop(1).map(_._3) // step 1 seeds with radius 0 by convention
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a },
+      s"farthest-first radii must be non-increasing: ${radii.mkString(",")}")
+    assert(rows.map(_._2).distinct.length == rows.length, "picks must be distinct")
+    assert(radii.head > 0, "fixture embeddings are not all identical")
+  }
+}

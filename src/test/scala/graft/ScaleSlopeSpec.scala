@@ -139,6 +139,10 @@ class ScaleSlopeSpec extends SparkSpec {
     // so a round can't grow a corpus-sized shuffle or the verify step
     // a corpus-wide span materialization
     "q_kcenter_coreset" -> 1.5,
+    // round-10: the running-min-dist twin — same picks, one persisted
+    // column, O(d) per point per round; pinned so the fold-in can't
+    // regress to a full-center-set recompute or a shuffle
+    "q_kcenter_inc" -> 1.5,
     "q_longest_repeat" -> 1.5,
     // round-9 batch 33: the interval ANTI join must keep the hour-bucket
     // equi-blocking of q_interval_join — a regression to the bare range
