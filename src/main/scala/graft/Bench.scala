@@ -44,7 +44,15 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val pass1 = names.map(n => n -> timed(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), timed(n)))
+    val pass2 = names.map(n => n -> timed(n)).toMap
+    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
+      .filterNot { case (n, _) => failed.contains(n) }
+    // per-query run-to-run spread (|p1 - p2|): two same-HEAD r9 runs
+    // differed by up to 30% on single queries, which is bigger than
+    // most real regressions — recording the spread next to the min
+    // turns round-over-round diffs into signal (a delta smaller than
+    // the query's own spread is noise by definition)
+    val spreads = names.map(n => n -> math.abs(pass1(n) - pass2(n)))
       .filterNot { case (n, _) => failed.contains(n) }
     // JSON-escape keys: a query name containing a quote/backslash/control
     // char must not produce an invalid artifact
@@ -56,10 +64,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+      .mkString("{", ",", "}")
     val failedJson = failed.toSeq.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
     println(json)
     // the driver captures a bounded stdout tail, which has truncated the
     // per-query map in past rounds — persist the full line as an artifact

@@ -675,8 +675,15 @@ object TextStatsQueries {
     * (cost bounded by DOCUMENT length, never corpus size) —
     * corpus-linear per round.
     */
-  val bpeLearn: QueryDef = {
-    val iters = 5
+  /** The unrolled DuckDB training rounds behind the BPE oracles:
+    * CTEs p1,b1,t1 .. p_iters,b_iters,t_iters over a base CTE named
+    * t0(doc_id, toks). Strictly sequential — one merge learned and
+    * applied per round — so a bug in the Spark side's round-fusion
+    * guard surfaces as a correctness failure, never silent drift.
+    * Shared by `q_bpe_learn` (the trajectory) and `q_bpe_encode`
+    * (which consumes the final generation t_iters).
+    */
+  private[queries] def bpeRoundCtes(iters: Int): String = {
     def pairCte(i: Int) =
       s"""p$i AS (SELECT toks[pos] AS l, toks[pos + 1] AS r, count(*) AS cnt
          |        FROM t${i - 1}, unnest(range(1, len(toks))) u(pos)
@@ -691,8 +698,15 @@ object TextStatsQueries {
          |                      THEN acc[1:len(acc)-1] || [acc[len(acc)] || ' ' || x[1]]
          |                      ELSE acc || x END) AS toks
          |       FROM t${i - 1}, b$i)""".stripMargin
-    val rounds = (1 to iters).map(i =>
+    (1 to iters).map(i =>
       s"${pairCte(i)},\n${bestCte(i)},\n${applyCte(i)}").mkString(",\n")
+  }
+
+  private[queries] val BpeIters = 5
+
+  val bpeLearn: QueryDef = {
+    val iters = BpeIters
+    val rounds = bpeRoundCtes(iters)
     val unions = (1 to iters).map(i =>
       s"""SELECT $i AS iter, l AS merge_l, r AS merge_r, cnt,
          |       (SELECT sum(len(toks)) FROM t$i) AS nt FROM b$i""".stripMargin)
@@ -835,7 +849,71 @@ object TextStatsQueries {
     out.toSeq.toDF("iter", "merge_l", "merge_r", "n_pair", "n_tokens")
   }
 
+  /** BPE ENCODE — the inference half of the tokenizer-training pair
+    * (the round-9 verdict's "finish the train→infer story"): learn the
+    * merge table ([[learnBpeMerges]], same loop as `q_bpe_learn`), then
+    * encode the corpus with it and emit per-doc token ids. The merges
+    * are KNOWN once learned, so the apply step is ONE map-side pass
+    * chaining all `bpeMergeFast` kernels (greedy left-to-right
+    * non-overlapping per merge, in learned order) — not one pass per
+    * merge. Ids come from the encoded corpus's own vocabulary, ranked
+    * lexicographically (deterministic in both engines); the id
+    * sequence is pinned exactly by an order-weighted checksum
+    * (Σ pos·id) next to Σ id and the count — stronger than comparing
+    * arrays, with none of the list-compare fragility. chars_per_tok_q
+    * is the Q20 chars-per-token after encoding, the post-merge
+    * counterpart of `q_bpe_tokens`' regex estimate (merges only grow
+    * it: tokens shrink in count, never in covered chars).
+    *
+    * SCALE: training as `q_bpe_learn`; encoding adds one map-only fold
+    * pass, a Zipf-bounded vocabulary aggregate + rank (vocabulary-
+    * sized window, the `q_zipf_fit` shape), one token→id join (vocab
+    * side broadcasts at realistic vocabulary sizes), and one doc-keyed
+    * aggregate — all corpus-linear.
+    */
+  val bpeEncode: QueryDef = QueryDef.sql(
+    "q_bpe_encode",
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |${bpeRoundCtes(BpeIters)},
+       |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS id
+       |      FROM (SELECT DISTINCT unnest(toks) AS tok FROM t$BpeIters)),
+       |e AS (SELECT doc_id, pos, toks[pos] AS tok
+       |      FROM t$BpeIters, unnest(range(1, len(toks) + 1)) u(pos)),
+       |j AS (SELECT e.doc_id, e.pos, v.id FROM e JOIN v USING (tok)),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |               CAST(sum(id) AS BIGINT) AS id_sum,
+       |               CAST(sum(pos * id) AS BIGINT) AS id_posw
+       |        FROM j GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_tok, a.id_sum, a.id_posw,
+       |       CAST(length(d.text) AS BIGINT) * 1048576 // a.n_tok AS chars_per_tok_q
+       |FROM agg a JOIN documents d USING (doc_id)""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val merges = learnBpeMerges(spark, base, BpeIters)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    // one map pass: chain the learned merges in order inside the scan
+    val enc = base.select(col("doc_id"),
+      merges.foldLeft(col("toks")) { case (c, (l, r)) =>
+        graft.functions.HashExpressions.bpeMergeFast(c, l, r)
+      }.as("toks"))
+      .localCheckpoint() // feeds vocab, the id join, and the per-doc agg
+    val v = enc.select(explode(col("toks")).as("tok")).distinct()
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("tok"))).cast("long"))
+    val e = enc.select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val agg = e.join(v, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("id").cast("long").as("id_sum"),
+        sum(col("pos") * col("id")).cast("long").as("id_posw"))
+    agg.join(docs.select(col("doc_id"), length(col("text")).cast("long").as("nc")), "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("id_sum"), col("id_posw"),
+        expr("nc * 1048576 DIV n_tok").as("chars_per_tok_q"))
+  }
+
   val all: Seq[QueryDef] = Seq(fingerprint, tokenStats, langId, sampleSplit,
     docFreq, seqPack, bpeTokens, bm25, hybridRrf, domainMix, repetition,
-    windowDecontam, keywords, bigramLm, bigramPpl, weightedSample, bpeLearn)
+    windowDecontam, keywords, bigramLm, bigramPpl, weightedSample, bpeLearn,
+    bpeEncode)
 }
