@@ -110,8 +110,13 @@ object CurationQueries33 {
 
   /** Shared oracle CTEs: features + the recursive training trajectory.
     * `st.w` is the weight list AFTER `step` steps (step 0 = zeros).
+    * `trainPred` restricts the TRAINING rows (the `feat_tr` CTE) — the
+    * held-out-eval query trains on the complement of its eval split;
+    * the full-corpus queries pass TRUE.
     */
-  private[queries] val TrainCtes = {
+  private[queries] val TrainCtes = trainCtes("TRUE")
+
+  private[queries] def trainCtes(trainPred: String): String = {
     val hb = s"list_transform(toks, t -> (${polyHashSql("t")}) % $D)"
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |mq AS (SELECT doc_id, toks,
@@ -128,8 +133,9 @@ object CurationQueries33 {
        |                  [least(nt, 100) * 100, (n_uniq * 10000) // nt,
        |                   (n_stop * 10000) // nt, CAST(10000 AS BIGINT)]) AS f
        |         FROM mq),
+       |feat_tr AS (SELECT * FROM feat WHERE $trainPred),
        |ff AS (SELECT list(f ORDER BY doc_id) AS m, CAST(count(*) AS BIGINT) AS n
-       |       FROM feat),
+       |       FROM feat_tr),
        |st AS (
        |  SELECT 0 AS step, list_transform(range(0, $F), x -> CAST(0 AS BIGINT)) AS w
        |  UNION ALL
@@ -143,7 +149,7 @@ object CurationQueries33 {
        |                          524288 + (CAST(list_sum(list_transform(list_zip(w, f),
        |                            p -> p[1] * p[2])) AS BIGINT) // 10000) // 4))
        |                      ORDER BY doc_id)
-       |                FROM feat) AS E
+       |                FROM feat_tr) AS E
        |        FROM st) z, ff
        |  WHERE k < $Steps)""".stripMargin
   }
@@ -207,5 +213,85 @@ object CurationQueries33 {
     res
   }
 
-  val all: Seq[QueryDef] = Seq(qualityTrain, qualityLogreg)
+  /** HELD-OUT CLASSIFIER EVAL — the third leg of the train→infer→eval
+    * triad: train the logistic scorer on 4/5 of the corpus
+    * (`doc_id % 5 <> 0` — deterministic, engine-portable systematic
+    * split), score the held-out fifth, and report exact ROC-AUC (with
+    * the average-rank tie convention — scores live on the quantized
+    * logit grid, so ties are the NORM, not a corner case) plus
+    * threshold-0 accuracy. AUC is computed from the rank identity
+    * AUC = (Σ_{i∈pos} rank_i − P(P+1)/2) / (P·N); doubling both sides
+    * keeps every intermediate on the integer grid (rank2 of a tied
+    * group = 2·cum_less + n + 1).
+    *
+    * SCALE: the corpus-shaped work is one map-side scoring pass and
+    * ONE value-keyed aggregate (GROUP BY logit — the quantized-grid
+    * keyspace, thousands of distinct values at any corpus size, the
+    * `q_quality_calibration` histogram discipline). The rank window
+    * runs over that bounded distinct-score frame, never over rows —
+    * the single-partition window warning is a keyspace-bounded frame,
+    * not a corpus sort. Everything after is two scalar aggregates.
+    */
+  val qualityAuc: QueryDef = QueryDef.sql(
+    "q_quality_auc",
+    s"""WITH RECURSIVE
+       |${trainCtes("doc_id % 5 <> 0")},
+       |wf AS (SELECT w FROM st WHERE step = $Steps),
+       |ho AS (SELECT f.y,
+       |              CAST(list_sum(list_transform(list_zip(wf.w, f.f),
+       |                p -> p[1] * p[2])) AS BIGINT) // 10000 AS logit
+       |       FROM feat f, wf WHERE f.doc_id % 5 = 0),
+       |bys AS (SELECT logit, CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(y) AS BIGINT) AS npos
+       |        FROM ho GROUP BY 1),
+       |cum AS (SELECT logit, n, npos,
+       |               CAST(coalesce(sum(n) OVER (ORDER BY logit
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cl
+       |        FROM bys),
+       |tot AS (SELECT CAST(sum(npos) AS BIGINT) AS p,
+       |               CAST(sum(n - npos) AS BIGINT) AS nn,
+       |               CAST(sum(npos * (2 * cl + n + 1)) AS BIGINT) AS r2
+       |        FROM cum),
+       |acc AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       |               CAST(sum(CASE WHEN (logit >= 0) = (y = 1) THEN 1 ELSE 0 END)
+       |                 AS BIGINT) AS n_right
+       |        FROM ho)
+       |SELECT t.p AS pos_eval, t.nn AS neg_eval, a.n_eval,
+       |       CASE WHEN t.p * t.nn = 0 THEN CAST(NULL AS BIGINT)
+       |            ELSE (t.r2 - t.p * (t.p + 1)) * 1048576 // (2 * t.p * t.nn)
+       |       END AS auc_q,
+       |       CASE WHEN a.n_eval = 0 THEN CAST(NULL AS BIGINT)
+       |            ELSE a.n_right * 1048576 // a.n_eval END AS acc_q
+       |FROM tot t, acc a""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val feats = features(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val w = train(feats.filter(col("doc_id") % 5 =!= 0)).last
+    val wc = typedLit(w.toSeq)
+    val ho = feats.filter(col("doc_id") % 5 === 0)
+      .withColumn("dot",
+        aggregate(zip_with(col("f"), wc, (x, y) => x * y), lit(0L), (a, b) => a + b))
+      .select(col("y"), expr("dot DIV 10000").as("logit"))
+    val bys = ho.groupBy("logit")
+      .agg(count(lit(1)).cast("long").as("n"), sum("y").as("npos"))
+    // ordered window over the DISTINCT-logit frame only (quantized
+    // keyspace — bounded at any corpus size), never over rows
+    val cum = bys.withColumn("cl", coalesce(sum("n").over(
+      Window.orderBy("logit").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = cum.agg(sum("npos").as("p"), sum(col("n") - col("npos")).as("nn"),
+      sum(col("npos") * (col("cl") * 2 + col("n") + 1)).as("r2"))
+    val acc = ho.agg(count(lit(1)).cast("long").as("n_eval"),
+      sum(when((col("logit") >= 0) === (col("y") === 1), 1L).otherwise(0L)).as("n_right"))
+    val res = tot.crossJoin(acc).select(
+      col("p").as("pos_eval"), col("nn").as("neg_eval"), col("n_eval"),
+      when(col("p") * col("nn") === 0, lit(null).cast("long"))
+        .otherwise(expr("(r2 - p * (p + 1)) * 1048576 DIV (2 * p * nn)")).as("auc_q"),
+      when(col("n_eval") === 0, lit(null).cast("long"))
+        .otherwise(expr("n_right * 1048576 DIV n_eval")).as("acc_q"))
+      .localCheckpoint()
+    feats.unpersist(false)
+    res
+  }
+
+  val all: Seq[QueryDef] = Seq(qualityTrain, qualityLogreg, qualityAuc)
 }

@@ -47,9 +47,19 @@ object ScaleProbe {
     * overlap is partial — a realistic near-dup texture rather than
     * all-or-nothing.
     */
+  /** `skewEventsPermille > 0` models the interval-join adversary the
+    * round-9 verdict asked to MEASURE rather than assert: a bot-burst
+    * user — that permille of all events (hash-chosen, deterministic)
+    * remapped to ONE user id AND compressed into ONE wall-clock hour.
+    * A merely-hot user does NOT stress the (user, hour-bucket)
+    * equi-blocking: the bucket component already diffuses their events
+    * across ~720 hourly cells. The hot CELL — same user, same hour —
+    * is the case only AQE's skew split can save, so that is what the
+    * replica builds.
+    */
   def buildReplica(spark: SparkSession, src: String, dst: String, factor: Int,
                    perturbText: Boolean, idStep: Long = 100000000L,
-                   zipfVocab: Boolean = false): Unit = {
+                   zipfVocab: Boolean = false, skewEventsPermille: Int = 0): Unit = {
     if (new java.io.File(s"$dst/documents.parquet/_SUCCESS").exists()) return
     new java.io.File(dst).mkdirs()
     val zipfG = math.max(2L, math.ceil(math.pow(factor.toDouble, 0.7)).toLong)
@@ -89,7 +99,19 @@ object ScaleProbe {
     replicate("lineitem", Seq("l_orderkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("customer", Seq("c_custkey"))
-    replicate("events", Seq("event_id", "user_id"))
+    replicate("events", Seq("event_id", "user_id"), df =>
+      if (skewEventsPermille <= 0) df
+      else {
+        // burst hour: noon of the corpus's middle day; position inside
+        // the hour inherited from the original µs so burst events stay
+        // distinct and ordered
+        val hit = pmod(xxhash64(col("event_id")), lit(1000L)) < lit(skewEventsPermille.toLong)
+        val burstBase = lit(1705320000000000L) // 2024-01-15 12:00:00 UTC, µs
+        df.withColumn("user_id", when(hit, lit(777L)).otherwise(col("user_id")))
+          .withColumn("ts", when(hit,
+            timestamp_micros(burstBase + pmod(unix_micros(col("ts")), lit(3600000000L))))
+            .otherwise(col("ts")))
+      })
     // small dims copied as-is
     Seq("supplier", "part", "nation", "region").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -125,9 +147,13 @@ object ScaleProbe {
     // GRAFT_PROBE_ZIPF=1: Zipf-vocab replica (see buildReplica) — the
     // realistic-text counterpart of the linear-vocab perturbed replica
     val zipfVocab = sys.env.get("GRAFT_PROBE_ZIPF").contains("1")
+    // GRAFT_PROBE_SKEW_EVENTS=<permille>: bot-burst events replica (see
+    // buildReplica) for the interval-join skew measurement
+    val skewPermille = sys.env.get("GRAFT_PROBE_SKEW_EVENTS").map(_.toInt).getOrElse(0)
     val dst = sys.env.getOrElse("GRAFT_PROBE_DST",
       s"/tmp/graft_scale_x$factor" +
-        (if (zipfVocab) "_zf" else if (perturbText) "_pt" else ""))
+        (if (zipfVocab) "_zf" else if (perturbText) "_pt" else "") +
+        (if (skewPermille > 0) s"_sk$skewPermille" else ""))
     // partitions sized like a cluster would size them (∝ data), not like
     // the 1x bench: a 100x replica through 16 shuffle partitions measures
     // single-box spill, not the plan (GRAFT_PROBE_PARTITIONS to override)
@@ -140,7 +166,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    buildReplica(spark, src, dst, factor, perturbText, idStep, zipfVocab)
+    buildReplica(spark, src, dst, factor, perturbText, idStep, zipfVocab, skewPermille)
 
     // q_embed_neardup_scaled probes UNEDITED: the query itself derives
     // its band width from the corpus count (Dedup.scaledBitsPerBand), so
