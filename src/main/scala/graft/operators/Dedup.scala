@@ -38,9 +38,27 @@ object Dedup {
     df.sparkSession.conf.getOption("spark.graft.agg.targetPartitionBytes")
       .map(_.toLong).getOrElse(64L << 20)
 
-  /** Exact duplicate groups on `keyCol`: (keep_id = min id, n_copies). */
+  /** Narrow CONTENT KEY for "group identical strings" operators:
+    * (xxhash64, md5, length) — 192+ bits of independent evidence, so
+    * key equality is document equality for any physically realizable
+    * corpus (the content-addressed-storage convention; a collision
+    * needs both a 64-bit and a 128-bit hash to collide at equal
+    * length). The point is the SHUFFLE: grouping a 100-TB corpus by
+    * raw text keys moves and compares multi-KB strings through every
+    * exchange; the content key moves ~40 bytes and compares in a few
+    * instructions. Probed at the third decade: q_dedup_cost's
+    * text-keyed exact tier was the whale in its 1.36 decade slope.
+    */
+  def contentKey(c: Column): Column =
+    struct(xxhash64(c).as("h64"), md5(c.cast("binary")).as("h128"),
+      length(c).as("len"))
+
+  /** Exact duplicate groups on `keyCol`: (keep_id = min id, n_copies).
+    * Groups on [[contentKey]] of the key column, not the raw string —
+    * one NARROW shuffle at any document size.
+    */
   def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
-    df.groupBy(col(keyCol))
+    df.groupBy(contentKey(col(keyCol)).as("ck"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
@@ -226,24 +244,50 @@ object Dedup {
     val groups = keyed.groupBy(col("h"))
       .agg(cappedCollect(col(idCol)).as("g"))
       .filter(col("g.n") <= maxDocFreq)
-      .select(col("g.ids").as("ids"))
-    val card = groups.select(explode(col("ids")).as(idCol))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("c"))
-    // pairs exploded MAP-SIDE from the ≤cap-sized id array — the
-    // df-cap bounds every array at `maxDocFreq`, so no group is ever
-    // hot. Pairs are emitted by a codegen kernel
-    // (`HashKernels.orderedPairs`, which sorts the ids — collected
-    // arrival order never reaches the output) and the downstream
-    // explode → groupBy(ida, idb) partial aggregate is plain codegen
-    // HashAggregate on two long keys.
-    val inter = groups
+      .select(col("h"), col("g.ids").as("ids"))
+    // CARDINALITY RIDES THE PAIR KEY (round 10). The old tail joined
+    // per-doc cardinalities onto the pair stream — at threshold 0 that
+    // re-shuffled the Θ(pairs) stream TWICE more after its groupBy
+    // (measured at the third decade: 1.16B pairs, ~32 GB per extra
+    // exchange, the whole cost of the query's tail). Instead the
+    // posting table (Θ(postings), 4.5x smaller here and smaller still
+    // at higher dup rates) picks up its doc's kept-cardinality c and
+    // packs it into the low 16 bits of the id; the pair groupBy keys
+    // on the PACKED ids, so (ca, cb) arrive with the pair for free and
+    // the pair stream crosses exactly ONE exchange. Preconditions —
+    // id < 2^47 and per-doc kept cardinality < 2^16 — are runtime-
+    // asserted in the packing projection (the coalesce keeps
+    // assert_true in the value path so pruning cannot drop it).
+    // cardinality via a count-over-window on the posting table — NOT a
+    // separate card branch + join: a second consumer of the posting
+    // subtree defeats exchange reuse (measured: the join form planned
+    // TWO corpus scans, re-running tokenize+shingle+capped-collect
+    // twice), while the window keeps the whole backbone one linear
+    // chain with a single corpus scan.
+    val posting = groups.select(col("h"), explode(col("ids")).as("id"))
+    val packed = posting
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .select(col("h"),
+        (shiftleft(col("id"), 16) + col("c") + coalesce(
+          assert_true(col("c") <= 65535L && col("id") < (1L << 47),
+            lit("ngramJaccardPairs: id or per-doc cardinality exceeds packing bounds"))
+            .cast("long"), lit(0L))).as("pid"))
+    // regroup by h: ≤cap pids per group (df-cap bounds every array) —
+    // pairs then explode MAP-SIDE via the sorting codegen kernel
+    // (packed order == id order: id occupies the high bits), and the
+    // groupBy(pa, pb) partial aggregate is plain codegen HashAggregate
+    // on two long keys, cardinalities embedded.
+    val inter = packed.groupBy("h").agg(collect_list(col("pid")).as("pids"))
       .select(explode(
-        graft.functions.HashExpressions.orderedPairsFast(col("ids"))).as("p"))
-      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("i"))
+        graft.functions.HashExpressions.orderedPairsFast(col("pids"))).as("p"))
+      .select(col("p.ida").as("pa"), col("p.idb").as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("i"))
     inter
-      .join(card.withColumnRenamed(idCol, "ida").withColumnRenamed("c", "ca"), "ida")
-      .join(card.withColumnRenamed(idCol, "idb").withColumnRenamed("c", "cb"), "idb")
+      .select(shiftright(col("pa"), 16).as("ida"),
+        shiftright(col("pb"), 16).as("idb"), col("i"),
+        col("pa").bitwiseAND(lit(65535L)).as("ca"),
+        col("pb").bitwiseAND(lit(65535L)).as("cb"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("ca") + col("cb") - col("i")))
       .filter(col("jaccard") >= threshold)
@@ -285,6 +329,11 @@ object Dedup {
     * keep bucket sizes small on homogeneous corpora), verify
     * hamming <= maxHamming. Band width must scale with the signature:
     * 15 for the 30-bit [[simhash]], 30 for [[simhashWide]].
+    */
+  /** Pairs travel as BARE LONGS end to end — labels rejoin afterwards
+    * via broadcast of the (small) pair stream. Measured at the third
+    * decade: carrying a label column through the band join widened the
+    * candidate distinct and ran 1.9x slower than the rejoin shape.
     */
   def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int,
                    bandBits: Int = 15): DataFrame = {

@@ -153,8 +153,14 @@ object CurationQueries11 {
       .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
     val tok = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("nt"))
     val tot = tok.agg(sum("nt").cast("long").as("t"))
+    // exact tier: ONE narrow shuffle — window over the content key on a
+    // (doc_id, ck) frame. The previous text-keyed group + text-keyed
+    // join moved the full corpus text through two exchanges and was the
+    // whale in this query's third-decade probe (decade 1.36).
     val exactDrop = docs
-      .join(docs.groupBy("text").agg(min("doc_id").as("m")), "text")
+      .select(col("doc_id"), Dedup.contentKey(col("text")).as("ck"))
+      .withColumn("m", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ck")))
       .filter(col("doc_id") > col("m")).select(col("doc_id"))
     // ONE pass over the pair stream for both similarity tiers: fold the
     // two thresholds into per-doc flags (map-side partial max), then

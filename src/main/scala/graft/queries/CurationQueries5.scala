@@ -197,7 +197,11 @@ object CurationQueries5 {
           .cast("long"))
       .filter(col("nt") >= 20 && col("uniq_bp") >= 4000 && col("stop_bp") <= 1000)
       .select("doc_id", "text", "nt")
-    val ex = s1.groupBy("text").agg(min(col("doc_id")).as("kdoc"))
+    // keeper ids via the narrow content key — never group by raw text
+    // (the Dedup.contentKey shuffle discipline)
+    val ex = s1.select(col("doc_id"),
+        graft.operators.Dedup.contentKey(col("text")).as("ck"))
+      .groupBy("ck").agg(min(col("doc_id")).as("kdoc"))
       .select(col("kdoc").as("doc_id"))
     val s2 = s1.join(ex, "doc_id")
     val sp = tok.select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))

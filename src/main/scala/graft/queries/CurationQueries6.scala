@@ -139,9 +139,14 @@ object CurationQueries6 {
       |FROM documents d LEFT JOIN g ON g.keep_id = d.doc_id
       |GROUP BY d.source""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
-    val keepers = docs.groupBy("text").agg(min(col("doc_id")).as("keep_id"))
+    // narrow content-key group (Dedup.contentKey discipline) and a
+    // narrow (doc_id, source) probe side — text never enters a shuffle
+    val keepers = docs
+      .select(col("doc_id"), graft.operators.Dedup.contentKey(col("text")).as("ck"))
+      .groupBy("ck").agg(min(col("doc_id")).as("keep_id"))
       .select(col("keep_id"), lit(1).as("kept"))
-    docs.join(keepers, col("keep_id") === col("doc_id"), "left")
+    docs.select(col("doc_id"), col("source"))
+      .join(keepers, col("keep_id") === col("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), count(col("kept")).as("n_kept"))
       .select(col("source"), col("n_docs"), col("n_kept"),

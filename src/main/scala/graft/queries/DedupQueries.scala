@@ -245,8 +245,16 @@ object DedupQueries {
        |$BandsCte,
        |${interJaccardSql(BandCandCte, 0.2)}""".stripMargin) {
     (spark, dir) =>
+    // representatives need their TEXT downstream (the shingle pass), so
+    // the corpus-sized exchange is irreducible — but its KEY is the
+    // narrow content key, not the raw string (window over ck; grouping
+    // by text would hash and compare multi-KB keys in every exchange)
     val reps = Tables(spark, dir, "documents")
-      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .withColumn("m", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(
+          Dedup.contentKey(col("text")))))
+      .filter(col("doc_id") === col("m"))
+      .select(col("doc_id"), col("text"))
     val sets = Dedup.shingleSets(reps, "doc_id", "text", 3)
     val sig = Dedup.minhashFromSets(sets, "doc_id")
     val cand = Dedup.lshCandidates(sig, "doc_id")
@@ -1094,13 +1102,16 @@ object DedupQueries {
     import org.apache.spark.sql.expressions.Window
     val stop = Seq("the", "a", "key", "value", "table")
     val toks = graft.functions.TextFunctions.tokens(col("text"))
+    // all per-doc stats are computed MAP-SIDE first, so the keeper
+    // window's exchange carries four longs + the narrow content key per
+    // row — neither text nor the token array ever shuffles
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), toks.as("toks"),
-        min(col("doc_id")).over(Window.partitionBy(col("text"))).as("keeper"))
-      .select(col("doc_id"), col("keeper"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        size(filter(col("toks"), x => x.isin(stop: _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"),
+        graft.operators.Dedup.contentKey(col("text")).as("ck"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(filter(toks, x => x.isin(stop: _*))).cast("long").as("n_stop"))
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("ck"))))
       .select(col("doc_id"), col("keeper"), col("n_tokens"),
         ((least(col("n_tokens"), lit(100)).cast("double") / 100.0)
           * (lit(0.5) + lit(0.5) * col("n_distinct").cast("double") / col("n_tokens"))

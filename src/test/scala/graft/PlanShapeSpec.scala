@@ -126,19 +126,25 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("ngram pair backbone: one corpus exchange, reused by every consumer") {
-    // round-9 fusion: the df-capped groupBy(h) (CappedCollectAggregator)
-    // is the ONLY aggregate the shingle corpus feeds; cardinalities and
-    // pair emission both read it back. In the static plan the corpus
-    // parquet scan must appear exactly once, with the other two
-    // consumers (card joined as ida and idb) reading ReusedExchange.
+    // round-10 shape: ONE LINEAR CHAIN. The df-capped groupBy(h)
+    // (CappedCollectAggregator) is the only aggregate the shingle
+    // corpus feeds; per-doc cardinality is a count-over-window on the
+    // posting table and rides the pair keys as packed low bits, so the
+    // pair stream crosses exactly one exchange and there is NO join
+    // anywhere in the backbone (the round-9 card joins re-shuffled the
+    // Θ(pairs) stream twice; the interim card-branch+join form planned
+    // a second corpus scan). Contract: corpus scanned once, zero
+    // joins, and a Window node present for the cardinality.
     val cj = staticPlan(graft.queries.CurationQueries.containment.fn(spark, sf0001))
     val scans = cj.collect {
       case s if s.nodeName.contains("Scan") && s.toString.contains("documents") => s }
     assert(scans.length == 1,
       s"pair backbone must scan the corpus once, got ${scans.length}")
-    val reused = cj.collect { case r if r.nodeName.contains("ReusedExchange") => r }
-    assert(reused.length >= 2,
-      s"card/pair consumers must reuse the capped-collect exchange, got ${reused.length}")
+    val joins = cj.collect { case j if j.nodeName.contains("Join") => j }
+    assert(joins.isEmpty,
+      s"pair backbone must be join-free (cardinality rides the pair key), got:\n$joins")
+    assert(cj.collectFirst { case w if w.nodeName.contains("Window") => w }.nonEmpty,
+      "per-doc cardinality must come from the posting-table window")
   }
 
   test("bigram_ppl: LM joins are hash-keyed, never cartesian") {
