@@ -752,21 +752,41 @@ object TextStatsQueries {
     * oracle stays STRICTLY sequential, so a guard bug surfaces as a
     * correctness failure, not silent drift.
     *
-    * CACHE DISCIPLINE (the round-8 decade constant): generations
-    * persist MEMORY_AND_DISK_SER and unpersist on a sliding window —
-    * as soon as round k's pair-count job materializes generation k,
-    * generation k-1 is dropped, so at most TWO generations are live at
-    * any moment (the round-8 code kept all five until the end: 5x the
-    * token corpus pinned in cache at the 15 GB replica).
+    * RECOMPUTE, DON'T CACHE (round 10 — the third-decade whale): round
+    * k's frame is rebuilt from the SCAN as one projection of k-1 nested
+    * fold kernels, never persisted. The round-9 form kept a sliding
+    * two-generation MEMORY_AND_DISK_SER window; controlled stage probes
+    * at the third decade measured ONE columnar cache fill of the token
+    * frame at 35.5 s / 5M docs vs 0.7 s / 500k — slope 5.07, while the
+    * pair-count aggregate it was saving scales at 0.61 (6.4 s at 5M,
+    * strings vs packed-long keys indistinguishable). Recomputing every
+    * generation from parquet costs k map-only codegen passes — bounded
+    * by iters, each cheaper than one cache fill — and holds ZERO bytes
+    * in the block manager, which is also the only posture that survives
+    * a 100-TB corpus (nothing corpus-sized is ever resident). The
+    * whole learn loop re-probed at 0.69 after this change (was 2.49).
+    *
+    * nt ACCOUNTING across rebuilds: round k's post-merge token count is
+    * observed by the first job that scans a frame containing fold k —
+    * i.e. round k+1's pair-count job (or the closing count() for the
+    * last round). Each rebuilt frame carries observe nodes ONLY for the
+    * merges added by the previous round, so no observation is ever
+    * re-fired by later rebuilds.
     */
   def learnBpeMerges(spark: org.apache.spark.sql.SparkSession,
       base: org.apache.spark.sql.DataFrame, iters: Int): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    import org.apache.spark.storage.StorageLevel
-    var toks = base
     val merges = collection.mutable.Buffer.empty[(Long, String, String, Long)]
     val ntOf = collection.mutable.Map.empty[Int, () => Long]
-    var gens = List.empty[org.apache.spark.sql.DataFrame]
+    // merges whose nt observation has already been WIRED into a frame
+    // (the next job to scan that frame fires it) — rebuilt frames fold
+    // these as plain nested kernels with no observe
+    var wired = Vector.empty[(String, String)]
+    def folded(ms: Seq[(String, String)]): org.apache.spark.sql.Column =
+      ms.foldLeft(col("toks")) { case (c, (l, r)) =>
+        graft.functions.HashExpressions.bpeMergeFast(c, l, r)
+      }
+    var toks = base
     var iter = 1
     while (iter <= iters) {
       val pc = toks.filter(size(col("toks")) >= 2)
@@ -787,11 +807,9 @@ object TextStatsQueries {
           count(when(mHit, lit(1))).as("mcnt"))
         .select(lit("guard").as("tag"), lit("").as("l"), lit("").as("r"),
           lit(0L).as("cnt"), col("bound"), col("mcnt"))
-      // ONE job: top-2 + guard (and round k-1's cache fill + nt obs)
+      // ONE job: top-2 + guard (and round k-1's nt observation fires
+      // here — this is the first job to scan the frame carrying it)
       val rows = top2.unionByName(guard).collect()
-      // the current generation is materialized now — drop older ones
-      gens.drop(1).foreach(_.unpersist(false))
-      gens = gens.take(1)
       val tops = rows.filter(_.getString(0) == "top")
         .sortBy(r => (-r.getLong(3), r.getString(1), r.getString(2)))
       // a corpus can run out of adjacent pairs before the last round
@@ -808,16 +826,21 @@ object TextStatsQueries {
         }
         merges += ((iter.toLong, l1, r1, cnt1))
         if (sys.env.contains("GRAFT_BPE_DEBUG"))
-          System.err.println(s"[bpe] iter=$iter fuse=$fuse top=($l1,$r1,$cnt1) " +
+          System.err.println(s"[bpe] t=${System.nanoTime() / 1000000}ms iter=$iter fuse=$fuse top=($l1,$r1,$cnt1) " +
             s"second=${second.map(s => (s.getString(1), s.getString(2), s.getLong(3)))} " +
             s"bound=$bound mcnt=$mcnt")
+        // REBUILD the frame from the scan: all previously-observed
+        // merges as one nested-kernel projection (collapsible, computed
+        // once per row), then this round's merge(s) with fresh observe
+        // nodes — no persist, nothing corpus-sized resident anywhere
+        val prior = base.select(col("doc_id"), folded(wired).as("toks"))
         if (!fuse) {
           val o = new org.apache.spark.sql.Observation(s"bpe_nt_$iter")
-          toks = toks.withColumn("toks", graft.functions.HashExpressions.bpeMergeFast(col("toks"), l1, r1))
+          toks = prior
+            .withColumn("toks", graft.functions.HashExpressions.bpeMergeFast(col("toks"), l1, r1))
             .observe(o, sum(size(col("toks"))).cast("long").as("nt"))
-            .persist(StorageLevel.MEMORY_AND_DISK_SER)
           ntOf(iter) = () => o.get("nt").asInstanceOf[Long]
-          gens = toks :: gens
+          wired = wired :+ ((l1, r1))
           iter += 1
         } else {
           val s = second.get
@@ -827,25 +850,23 @@ object TextStatsQueries {
           // two selects, NOT one: toks1 is referenced twice (observed and
           // folded again), which blocks CollapseProject from inlining the
           // first fold into the second — each fold runs once per row
-          toks = toks
+          toks = prior
             .select(col("doc_id"), graft.functions.HashExpressions.bpeMergeFast(col("toks"), l1, r1).as("toks1"))
             .select(col("doc_id"), col("toks1"),
               graft.functions.HashExpressions.bpeMergeFast(col("toks1"), l2, r2).as("toks"))
             .observe(o, sum(size(col("toks1"))).cast("long").as("nt1"),
               sum(size(col("toks"))).cast("long").as("nt2"))
             .select(col("doc_id"), col("toks"))
-            .persist(StorageLevel.MEMORY_AND_DISK_SER)
           ntOf(iter) = () => o.get("nt1").asInstanceOf[Long]
           ntOf(iter + 1) = () => o.get("nt2").asInstanceOf[Long]
-          gens = toks :: gens
+          wired = wired ++ Seq((l1, r1), (l2, r2))
           iter += 2
         }
       }
     }
-    // fire the final generation's observation (nothing scans it otherwise)
+    // fire the final frame's observation (nothing scans it otherwise)
     toks.count()
     val out = merges.map { case (i, l, r, cnt) => (i, l, r, cnt, ntOf(i.toInt)()) }
-    gens.foreach(_.unpersist(false))
     out.toSeq.toDF("iter", "merge_l", "merge_r", "n_pair", "n_tokens")
   }
 
@@ -866,10 +887,28 @@ object TextStatsQueries {
     * it: tokens shrink in count, never in covered chars).
     *
     * SCALE: training as `q_bpe_learn`; encoding adds one map-only fold
-    * pass, a Zipf-bounded vocabulary aggregate + rank (vocabulary-
-    * sized window, the `q_zipf_fit` shape), one token→id join (vocab
-    * side broadcasts at realistic vocabulary sizes), and one doc-keyed
-    * aggregate — all corpus-linear.
+    * pass, a vocabulary rank, one token→id join, and one doc-keyed
+    * aggregate. Two shapes here were measured super-linear at the
+    * third decade (x100→x1000 slope 1.31) in their first form and
+    * rewritten:
+    * - the rank was `row_number` over an UNPARTITIONED window — every
+    *   distinct token sorted on ONE task (fine at Zipf vocabularies,
+    *   a serial corpus-scale sort under the adversarial linear-vocab
+    *   replica). Now: total-order sort + `zipWithIndex` — the global
+    *   contiguous rank computed with distributed range-sort and a
+    *   per-partition offset pass, identical ids by construction.
+    * - the token→id join carried no strategy hint, so it planned as a
+    *   sort-merge join — the exploded corpus sorted BY TOKEN STRING.
+    *   Now an explicit BROADCAST of the vocab side: a post-merge
+    *   vocabulary is tokenizer-sized (thousands to ~1M entries) in any
+    *   corpus a tokenizer is FOR, so the token→id map rides the task
+    *   closure and the exploded corpus never shuffles for the join at
+    *   all; the per-doc aggregate then partial-aggregates inside the
+    *   scan partitions (docs are contiguous), so the only exchange in
+    *   the whole tail is doc-keyed — Θ(docs), not Θ(tokens). (A
+    *   shuffle_hash form was measured first: it avoids the sort but
+    *   still pays two token-scale exchanges — join shuffle + the
+    *   doc_id partials scattered by it.)
     */
   val bpeEncode: QueryDef = QueryDef.sql(
     "q_bpe_encode",
@@ -892,18 +931,25 @@ object TextStatsQueries {
     val merges = learnBpeMerges(spark, base, BpeIters)
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2)))
-    // one map pass: chain the learned merges in order inside the scan
+    // one map pass: chain the learned merges in order inside the scan.
+    // Deliberately NOT cached/checkpointed: enc is a pure codegen map
+    // over the scan, and its consumers (vocab rank + the id join side)
+    // recompute it rather than pin a corpus-sized block set in the
+    // block manager — the same measured trade as the training loop's
+    // recompute discipline (one columnar cache FILL of the token frame
+    // costs 5.5x the map pass it saves at the 15 GB replica, slope
+    // 5.07 across the decade; see learnBpeMerges)
     val enc = base.select(col("doc_id"),
       merges.foldLeft(col("toks")) { case (c, (l, r)) =>
         graft.functions.HashExpressions.bpeMergeFast(c, l, r)
       }.as("toks"))
-      .localCheckpoint() // feeds vocab, the id join, and the per-doc agg
+    import spark.implicits._
     val v = enc.select(explode(col("toks")).as("tok")).distinct()
-      .withColumn("id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("tok"))).cast("long"))
+      .orderBy("tok").as[String].rdd.zipWithIndex()
+      .map { case (t, i) => (t, i + 1L) }.toDF("tok", "id")
     val e = enc.select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-    val agg = e.join(v, "tok")
+    val agg = e.join(broadcast(v), "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("id").cast("long").as("id_sum"),
         sum(col("pos") * col("id")).cast("long").as("id_posw"))

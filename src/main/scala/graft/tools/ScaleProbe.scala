@@ -179,8 +179,15 @@ object ScaleProbe {
     val only = args.drop(1).toSet
     val toProbe = if (only.isEmpty) probes
       else only.toSeq.sorted.filter(graft.SparkEntry.queries.contains)
+    // GRAFT_PROBE_PASSES>1: min-of-k warm timing per side. The single
+    // cold pass reads the Nx side's files straight off disk while the 1x
+    // side sits in page cache — measured on q_bpe_learn at the third
+    // decade: 252 s cold vs 117 s warm, a 2x bias on the SLOPE itself
+    // for scan-heavy queries. Slope probes measure the PLAN, so warm
+    // both sides.
+    val passes = sys.env.get("GRAFT_PROBE_PASSES").map(_.toInt).getOrElse(1)
     toProbe.foreach { name =>
-      val (t1, tn, s) = slope(spark, src, dst, factor, name)
+      val (t1, tn, s) = slope(spark, src, dst, factor, name, passes)
       println(f"$name%-20s $t1%8.2f $tn%8.2f $s%7.2f")
     }
     spark.stop()

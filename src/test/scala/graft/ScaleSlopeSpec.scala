@@ -147,7 +147,28 @@ class ScaleSlopeSpec extends SparkSpec {
     // round-9 batch 33: the interval ANTI join must keep the hour-bucket
     // equi-blocking of q_interval_join — a regression to the bare range
     // predicate plans a per-user nested loop
-    "q_interval_unmatched" -> 1.5)
+    "q_interval_unmatched" -> 1.5,
+    // round-10: the tokenizer TRAINING loop. Third-decade probe read
+    // 2.49 from the per-generation columnar cache (one MEMORY_AND_DISK
+    // _SER fill of the token frame measured at slope 5.07 across the
+    // decade, 5.5x the pair-count job it was saving); generations now
+    // REBUILD from the scan as nested fold kernels — pinned so a
+    // persist can't creep back into the loop
+    "q_bpe_learn" -> 1.5,
+    // round-10: the tokenizer-inference pass. First third-decade probe
+    // read 1.31 from three shapes this gate holds down: the generation
+    // cache above, the vocab rank as an UNPARTITIONED window (serial
+    // corpus-scale sort under a linear-vocab adversary), and the
+    // token→id join planning as a corpus-sorted SMJ — now recompute +
+    // zipWithIndex rank + vocab broadcast (re-probed decade 0.65)
+    "q_bpe_encode" -> 1.5,
+    // round-10: the classifier training loop is k bounded-round corpus
+    // scans (hashed-feature dot products) + a 1024-bucket gradient agg;
+    // the eval adds one scoring pass + a distinct-logit rank. Pinned so
+    // a round can't grow a corpus-keyed shuffle or the rank window a
+    // corpus-sized frame
+    "q_quality_train" -> 1.5,
+    "q_quality_auc" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
