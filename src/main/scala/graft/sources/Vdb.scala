@@ -130,6 +130,32 @@ object Vdb {
     }
   }
 
+  /** Compact N `.vdb` index directories into one: union the part files,
+    * drop exact-duplicate entries, and rewrite at a chosen part count.
+    * This is the index-maintenance half the reference workflow implies —
+    * each `rag-embed-dir` run appends a new index, so a standing corpus
+    * accumulates many small files with re-embedded duplicates
+    * (`vector-db.c` has no merge tool; re-embedding is the only path).
+    *
+    * Dedup groups on [[graft.operators.Dedup.contentKey]] of the TEXT
+    * (the narrow-shuffle convention — identical chunk text means
+    * identical embedding for any deterministic embedder, so keeping one
+    * row per content key is exact, not lossy). The embedding array
+    * rides the exchange as payload because the output needs it — the
+    * KEY stays ~40 bytes at any document size. `targetParts > 0`
+    * repartitions before the write (compaction's point is fewer,
+    * bigger parts); 0 keeps the dedup output partitioning.
+    */
+  def compact(spark: SparkSession, inDirs: Seq[String], outDir: String,
+              targetParts: Int = 0, tpe: Byte = TypeDouble): Unit = {
+    val all = inDirs.map(readDir(spark, _)).reduce(_ unionByName _)
+      .withColumn("ck", graft.operators.Dedup.contentKey(col("text")))
+      .dropDuplicates("ck")
+      .drop("ck")
+    val sized = if (targetParts > 0) all.repartition(targetParts) else all
+    writeDir(sized, "text", "embedding", outDir, tpe)
+  }
+
   /** Reference-compatible single file (for hand-off to the C tools only
     * — a `.vdb` file is inherently single-writer interchange, not a scale
     * path). Rows STREAM through the driver: the format is header (which

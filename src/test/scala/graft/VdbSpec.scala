@@ -76,6 +76,23 @@ class VdbSpec extends SparkSpec {
     assert(got == Seq(("alpha", Seq(0.5, 1.5)), ("beta", Seq(-0.5, 2.0))))
   }
 
+  test("compact merges index dirs, drops exact duplicates, controls part count") {
+    val dirA = Files.createTempDirectory("vdbcompactA").toString
+    val dirB = Files.createTempDirectory("vdbcompactB").toString
+    val out = Files.createTempDirectory("vdbcompactOut").toString
+    // two incremental indexes sharing one re-embedded chunk ("beta")
+    Vdb.writeDir(Seq(("alpha", Seq(0.5, 1.5)), ("beta", Seq(-0.5, 2.0)))
+      .toDF("text", "embedding").repartition(2), "text", "embedding", dirA)
+    Vdb.writeDir(Seq(("beta", Seq(-0.5, 2.0)), ("gamma", Seq(3.0, 4.0)))
+      .toDF("text", "embedding").repartition(2), "text", "embedding", dirB)
+    Vdb.compact(spark, Seq(dirA, dirB), out, targetParts = 1)
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".vdb")) == 1)
+    val got = Vdb.readDir(spark, out).orderBy("text")
+      .as[(String, Seq[Double])].collect().toSeq
+    assert(got == Seq(("alpha", Seq(0.5, 1.5)), ("beta", Seq(-0.5, 2.0)),
+      ("gamma", Seq(3.0, 4.0))))
+  }
+
   test("DataSource V2: spark.read.format over a .vdb directory") {
     val dir = java.nio.file.Files.createTempDirectory("vdbdsv2").toString
     val df = Seq((0L, "dsv2 row a", Seq(1.0, 2.0)), (1L, "dsv2 row b", Seq(3.0, 4.0)))
