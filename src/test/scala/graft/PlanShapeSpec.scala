@@ -147,6 +147,30 @@ class PlanShapeSpec extends SparkSpec {
       "per-doc cardinality must come from the posting-table window")
   }
 
+  test("bpe_encode: vocab join broadcasts, one doc-keyed exchange, no SMJ, no cache") {
+    // round-10 shape: after training (driver loop), the encode tail is
+    // scan → nested fold kernels → posexplode → BroadcastHashJoin
+    // against the vocab → partial-agg by doc_id → ONE shuffle. A
+    // regression to SMJ sorts the exploded corpus by token string; a
+    // second ShuffleExchange means the join started scattering doc_id
+    // partials corpus-wide; an InMemoryTableScan means the measured
+    // 5x-per-decade columnar cache fill crept back (PLANS.md, the BPE
+    // cache whale).
+    val plan = staticPlan(graft.queries.TextStatsQueries.bpeEncode.fn(spark, sf0001))
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.isEmpty, "token->id join regressed to a corpus-sorted SMJ")
+    val bhj = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2, s"vocab + doc-length joins must broadcast, got ${bhj.size}")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"encode tail must shuffle only the doc-keyed aggregate, got ${shuffles.size}")
+    val cached = plan.collect { case c if c.nodeName.contains("InMemory") => c }
+    assert(cached.isEmpty, "corpus-sized frame pinned in the block manager")
+  }
+
   test("bigram_ppl: LM joins are hash-keyed, never cartesian") {
     val plan = staticPlan(graft.queries.TextStatsQueries.bigramPpl.fn(spark, sf0001))
     assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty,
