@@ -57,12 +57,32 @@ object ScaleProbe {
     * is the case only AQE's skew split can save, so that is what the
     * replica builds.
     */
+  /** `dupDocsPermille > 0` models the MEGA-DUPLICATE cluster — the
+    * Zipf-dup adversary of real crawls, where one boilerplate page is
+    * duplicated across the whole corpus: that permille of all document
+    * rows (hash-chosen, deterministic, applied AFTER any perturbation
+    * so the copies stay byte-identical) get ONE shared text. A raw
+    * pairwise reporter is Θ(cluster²) on it BY DEFINITION (every pair
+    * in the cluster is a true near-dup pair), and all of that output
+    * funnels through a single LSH band bucket — the one-hot-bucket
+    * skew case. The collapse-first pipeline (exact-dedup to canonical
+    * representatives, THEN LSH) is the survival path this replica
+    * exists to measure against the raw reporter.
+    */
   def buildReplica(spark: SparkSession, src: String, dst: String, factor: Int,
                    perturbText: Boolean, idStep: Long = 100000000L,
-                   zipfVocab: Boolean = false, skewEventsPermille: Int = 0): Unit = {
+                   zipfVocab: Boolean = false, skewEventsPermille: Int = 0,
+                   dupDocsPermille: Int = 0): Unit = {
     if (new java.io.File(s"$dst/documents.parquet/_SUCCESS").exists()) return
     new java.io.File(dst).mkdirs()
     val zipfG = math.max(2L, math.ceil(math.pow(factor.toDouble, 0.7)).toLong)
+    val megaDup: DataFrame => DataFrame = df =>
+      if (dupDocsPermille <= 0) df
+      else df.withColumn("text",
+        when(pmod(xxhash64(col("doc_id")), lit(1000L)) < lit(dupDocsPermille.toLong),
+          // a fixed realistic-length boilerplate page, same for every hit
+          lit(("table scan merge join filter " * 12).trim))
+          .otherwise(col("text")))
 
     def replicate(name: String, idCols: Seq[String],
                   perturb: DataFrame => DataFrame = identity): Unit = {
@@ -78,7 +98,7 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
     }
 
-    replicate("documents", Seq("doc_id"), df =>
+    replicate("documents", Seq("doc_id"), df => megaDup(
       if (zipfVocab)
         df.withColumn("text",
           array_join(transform(split(col("text"), " "), t => {
@@ -90,7 +110,7 @@ object ScaleProbe {
       else if (!perturbText) df
       else df.withColumn("text",
         array_join(transform(split(col("text"), " "),
-          t => concat(t, lit("_"), col("_copy"))), " ")))
+          t => concat(t, lit("_"), col("_copy"))), " "))))
     replicate("embeddings", Seq("vec_id"), df =>
       // deterministic per-copy perturbation so replicas aren't identical
       df.withColumn("embedding",
@@ -150,10 +170,14 @@ object ScaleProbe {
     // GRAFT_PROBE_SKEW_EVENTS=<permille>: bot-burst events replica (see
     // buildReplica) for the interval-join skew measurement
     val skewPermille = sys.env.get("GRAFT_PROBE_SKEW_EVENTS").map(_.toInt).getOrElse(0)
+    // GRAFT_PROBE_DUP_DOCS=<permille>: mega-duplicate-cluster replica
+    // (see buildReplica) for the collapse-first-vs-raw-reporter story
+    val dupPermille = sys.env.get("GRAFT_PROBE_DUP_DOCS").map(_.toInt).getOrElse(0)
     val dst = sys.env.getOrElse("GRAFT_PROBE_DST",
       s"/tmp/graft_scale_x$factor" +
         (if (zipfVocab) "_zf" else if (perturbText) "_pt" else "") +
-        (if (skewPermille > 0) s"_sk$skewPermille" else ""))
+        (if (skewPermille > 0) s"_sk$skewPermille" else "") +
+        (if (dupPermille > 0) s"_dup$dupPermille" else ""))
     // partitions sized like a cluster would size them (∝ data), not like
     // the 1x bench: a 100x replica through 16 shuffle partitions measures
     // single-box spill, not the plan (GRAFT_PROBE_PARTITIONS to override)
@@ -166,7 +190,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    buildReplica(spark, src, dst, factor, perturbText, idStep, zipfVocab, skewPermille)
+    buildReplica(spark, src, dst, factor, perturbText, idStep, zipfVocab,
+      skewPermille, dupPermille)
 
     // q_embed_neardup_scaled probes UNEDITED: the query itself derives
     // its band width from the corpus count (Dedup.scaledBitsPerBand), so
