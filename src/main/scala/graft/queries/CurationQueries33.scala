@@ -47,9 +47,18 @@ object CurationQueries33 {
     * stats live on the same [0, 10000] grid as the bias, so no feature
     * scales with document length — the fastText dense+hashed hybrid.
     */
-  private def features(spark: SparkSession, dir: String): DataFrame = {
+  private def features(spark: SparkSession, dir: String): DataFrame =
+    featuresOf(Tables(spark, dir, "documents"))
+
+  /** The feature projection over an explicit (doc_id, text) frame —
+    * map-only (tokenize + codegen bucket histogram + integer ratios),
+    * so the SAME expression scores a batch corpus or an unbounded
+    * document stream ([[graft.streaming.QualityStreams]]): no shuffle,
+    * no state, identical values by construction.
+    */
+  private[graft] def featuresOf(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id"), toks.as("toks"),
         size(toks).cast("long").as("nt"),
         size(array_distinct(toks)).cast("long").as("n_uniq"),
@@ -107,6 +116,12 @@ object CurationQueries33 {
     }
     traj.toSeq
   }
+
+  /** Final learned weights over an explicit feature frame — the
+    * artifact a batch session hands to the streaming scorer.
+    */
+  private[graft] def learnedWeights(feats: DataFrame): Array[Long] =
+    train(feats).last
 
   /** Shared oracle CTEs: features + the recursive training trajectory.
     * `st.w` is the weight list AFTER `step` steps (step 0 = zeros).

@@ -521,6 +521,28 @@ class StreamingSpec extends SparkSpec {
     assert(b.isEmpty)
   }
 
+  test("streaming quality scorer: batch-learned weights, streamed scores equal batch exactly") {
+    // the deployment shape of the learned filter: train in batch,
+    // score the crawl stream map-side with the weights as literals —
+    // no join, no state, append mode; streamed == q_quality_logreg
+    val srcDir = Files.createTempDirectory("qdocs-stream").toString
+    Tables(spark, sf0001, "documents").select("doc_id", "text")
+      .write.mode("overwrite").parquet(srcDir)
+    val w = graft.queries.CurationQueries33.learnedWeights(
+      graft.queries.CurationQueries33.featuresOf(
+        Tables(spark, sf0001, "documents")))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = graft.streaming.QualityStreams.scoredDocs(stream, w.toSeq)
+      .writeStream.outputMode("append").format("memory").queryName("qscore").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT * FROM qscore")
+    val want = graft.SparkEntry.queries("q_quality_logreg")(spark, sf0001)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming shard manifest: latest snapshots equal the batch manifest") {
     // many small files + maxFilesPerTrigger=2 => the xor fold really runs
     // across micro-batches; the property under test is that ANY batching
