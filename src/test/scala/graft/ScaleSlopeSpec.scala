@@ -179,4 +179,25 @@ class ScaleSlopeSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"super-linear scale slopes: ${bad.mkString("; ")}")
   }
+
+  test("mega-dup cluster: collapse-first and the capped backbone stay flat") {
+    // the Zipf-dup adversary (PLANS.md round 10): 2% of all rows share
+    // ONE text — a ~1000-copy cluster at this replica. The exact tier
+    // folds it to one representative (collapse-first near-dup never
+    // bands the clones) and the df-cap routes its shingles out of the
+    // pair backbone (mega-clusters belong to the exact tier). Gated so
+    // neither mechanism can silently regress to feeding the cluster
+    // into pair generation — the raw banded reporter is deliberately
+    // NOT gated here, its answer is Θ(cluster²) by definition.
+    val dupDst = s"/tmp/graft_scale_sf001_x${factor}_dup20"
+    ScaleProbe.buildReplica(spark, src, dupDst, factor,
+      perturbText = true, dupDocsPermille = 20)
+    val bad = Seq("q_dedup_exact", "q_neardup_collapsed", "q_dedup_groups")
+      .flatMap { name =>
+        val (t1, tn, s) = ScaleProbe.slope(spark, src, dupDst, factor, name)
+        info(f"$name%-18s 1x=$t1%6.2fs ${factor}x=$tn%6.2fs slope=$s%5.2f (max 1.5)")
+        if (s > 1.5) Some(f"$name slope $s%.2f > 1.5") else None
+      }
+    assert(bad.isEmpty, s"mega-dup cluster leaked into pair generation: ${bad.mkString("; ")}")
+  }
 }
