@@ -168,6 +168,7 @@ class ScaleSlopeSpec extends SparkSpec {
     // a round can't grow a corpus-keyed shuffle or the rank window a
     // corpus-sized frame
     "q_quality_train" -> 1.5,
+    "q_quality_logreg" -> 1.5,
     "q_quality_auc" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
