@@ -251,18 +251,27 @@ object CurationQueries14 {
     val docs = Tables(spark, dir, "documents")
     val sig = Dedup.simhashWide(docs, "doc_id", "text")
     // pairs stay BARE LONGS through the band join and distinct; the
-    // id→source joins then broadcast the pair-derived side against a
-    // narrow (doc_id, source) scan — never a corpus exchange. (Probed
-    // both ways at the third decade: carrying source as a pair-stream
-    // payload widened the candidate distinct and measured 1.9x SLOWER
-    // at 100x, so this shape is the keeper; its 0.94 decade is the
-    // linear signature+band-exchange mechanism, not a join artifact.)
+    // id→source lookups then BROADCAST THE LABEL MAP (narrow
+    // (doc_id, source) projection, Θ(docs) and bounded by the corpus)
+    // and stream the pair side through both hash joins — the pair
+    // stream never shuffles for the lookups and, critically, never
+    // rides a broadcast: its size is data-dependent and unbounded (a
+    // mega-duplicate cluster makes band pairs Θ(cluster²), which would
+    // blow the driver's broadcast limit — the round-11 ADVICE finding;
+    // the earlier shape broadcast the pair-derived side). At true
+    // cluster scale the label map outgrows broadcast too and these
+    // fall back to doc-keyed shuffle joins — slow-but-bounded, never a
+    // driver failure. (Probed both ways at the third decade: carrying
+    // source as a pair-stream payload widened the candidate distinct
+    // and measured 1.9x SLOWER at 100x, so the lookup-after-distinct
+    // shape is the keeper; its 0.42 decade is the linear
+    // signature+band-exchange mechanism, not a join artifact.)
     val e = Dedup.simhashPairs(sig, "doc_id", 1, bandBits = 30).select("ida", "idb")
     val lab = docs.select(col("doc_id"), col("source"))
-    val withA = lab.select(col("doc_id").as("ida"), col("source").as("sa"))
-      .join(broadcast(e), "ida")
-    val m = lab.select(col("doc_id").as("idb"), col("source").as("sb"))
-      .join(broadcast(withA), "idb")
+    val withA = e
+      .join(broadcast(lab.select(col("doc_id").as("ida"), col("source").as("sa"))), "ida")
+    val m = withA
+      .join(broadcast(lab.select(col("doc_id").as("idb"), col("source").as("sb"))), "idb")
       .groupBy(least(col("sa"), col("sb")).as("src_a"),
         greatest(col("sa"), col("sb")).as("src_b"))
       .agg(count(lit(1)).as("n"))

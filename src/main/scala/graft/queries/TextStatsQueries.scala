@@ -766,6 +766,18 @@ object TextStatsQueries {
     * a 100-TB corpus (nothing corpus-sized is ever resident). The
     * whole learn loop re-probed at 0.69 after this change (was 2.49).
     *
+    * ITERS BOUND: rebuilding round k from the scan re-folds all k-1
+    * prior merges, so total training work is Θ(iters²·corpus) map
+    * passes and the rebuilt projection nests iters kernels deep. Both
+    * are the RIGHT trade at vocabulary-probe scale (iters ≲ ~64; the
+    * measured cache-fill alternative costs 5.5x per round), but this
+    * loop is NOT the tool for production-size merge tables: at
+    * thousands of merges the quadratic term dominates and the nested
+    * chain risks JVM/codegen method-size limits — that regime needs a
+    * periodic checkpoint cadence (persist every K rounds, the exact
+    * arithmetic the ledger rule would re-run at that scale) which this
+    * engine deliberately doesn't carry until a consumer needs it.
+    *
     * nt ACCOUNTING across rebuilds: round k's post-merge token count is
     * observed by the first job that scans a frame containing fold k —
     * i.e. round k+1's pair-count job (or the closing count() for the
@@ -909,6 +921,13 @@ object TextStatsQueries {
     *   shuffle_hash form was measured first: it avoids the sort but
     *   still pays two token-scale exchanges — join shuffle + the
     *   doc_id partials scattered by it.)
+    * - (round 11) the doc char count rides the encode projection as a
+    *   column and comes out of the per-doc aggregate as `max(nc)` —
+    *   there is NO second join against the documents scan. The earlier
+    *   form joined the aggregate back to a narrow docs projection with
+    *   no hint, so its "one doc-keyed exchange" claim silently leaned
+    *   on auto-broadcast firing over a Θ(docs) side — config-sensitive
+    *   at sf and plain wrong at scale (the ADVICE finding).
     */
   val bpeEncode: QueryDef = QueryDef.sql(
     "q_bpe_encode",
@@ -939,21 +958,27 @@ object TextStatsQueries {
     // recompute discipline (one columnar cache FILL of the token frame
     // costs 5.5x the map pass it saves at the 15 GB replica, slope
     // 5.07 across the decade; see learnBpeMerges)
-    val enc = base.select(col("doc_id"),
-      merges.foldLeft(col("toks")) { case (c, (l, r)) =>
+    val enc = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("nc"),
+      merges.foldLeft(tokens(col("text"))) { case (c, (l, r)) =>
         graft.functions.HashExpressions.bpeMergeFast(c, l, r)
       }.as("toks"))
     import spark.implicits._
     val v = enc.select(explode(col("toks")).as("tok")).distinct()
       .orderBy("tok").as[String].rdd.zipWithIndex()
       .map { case (t, i) => (t, i + 1L) }.toDF("tok", "id")
-    val e = enc.select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-    val agg = e.join(broadcast(v), "tok")
+    // nc is functionally dependent on doc_id: it rides the exploded
+    // frame as an 8-byte payload and folds back out of the aggregate as
+    // max() — no second join against the documents scan (see docstring)
+    val e = enc.select(col("doc_id"), col("nc"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("nc"),
+        (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    e.join(broadcast(v), "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("id").cast("long").as("id_sum"),
-        sum(col("pos") * col("id")).cast("long").as("id_posw"))
-    agg.join(docs.select(col("doc_id"), length(col("text")).cast("long").as("nc")), "doc_id")
+        sum(col("pos") * col("id")).cast("long").as("id_posw"),
+        max("nc").as("nc"))
       .select(col("doc_id"), col("n_tok"), col("id_sum"), col("id_posw"),
         expr("nc * 1048576 DIV n_tok").as("chars_per_tok_q"))
   }

@@ -35,6 +35,11 @@ object Vdb {
   val TypeDouble: Byte = 1
   val TypeBinary: Byte = 0
 
+  /** Sentinel for [[compact]]: detect the type tag from the input part
+    * headers instead of assuming one.
+    */
+  val TypeAuto: Byte = -1
+
   // ---- serialization ----------------------------------------------------
 
   /** Serialize rows (text, vector) into one .vdb byte stream. Both type
@@ -145,15 +150,45 @@ object Vdb {
     * KEY stays ~40 bytes at any document size. `targetParts > 0`
     * repartitions before the write (compaction's point is fewer,
     * bigger parts); 0 keeps the dedup output partitioning.
+    *
+    * Two guard rails (round-11 ADVICE): the output dir must hold no
+    * `.vdb` parts — a rewrite at a lower part count over leftover parts
+    * would leave stale files that `readDir` happily unions back in,
+    * silently reintroducing the duplicates compaction just removed —
+    * and the output TYPE TAG defaults to [[TypeAuto]]: detected from
+    * the input part headers (which must agree), so compacting a binary
+    * index can't silently inflate it 64x to doubles or lossy-binarize a
+    * double index. Passing an explicit tag is an intentional RE-ENCODE
+    * (e.g. double → binary quantization at compaction time) and is
+    * honored as such.
     */
   def compact(spark: SparkSession, inDirs: Seq[String], outDir: String,
-              targetParts: Int = 0, tpe: Byte = TypeDouble): Unit = {
+              targetParts: Int = 0, tpe: Byte = TypeAuto): Unit = {
+    val stale = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".vdb"))
+    require(stale.isEmpty,
+      s"compact: $outDir already contains ${stale.length} .vdb part(s); " +
+        "a partial overwrite would leave stale parts that readDir unions back in — " +
+        "compact into an empty directory")
+    val outType = if (tpe != TypeAuto) tpe else {
+      val inTypes = inDirs.flatMap { d =>
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".vdb")).map { f =>
+            val in = new java.io.FileInputStream(f)
+            try { val h = new Array[Byte](5); in.read(h); h(4) } finally in.close()
+          }
+      }.distinct
+      require(inTypes.size == 1,
+        s"compact: input dirs carry type tags ${inTypes.mkString(",")} — " +
+          "mixed or absent; pass an explicit tpe to re-encode")
+      inTypes.head
+    }
     val all = inDirs.map(readDir(spark, _)).reduce(_ unionByName _)
       .withColumn("ck", graft.operators.Dedup.contentKey(col("text")))
       .dropDuplicates("ck")
       .drop("ck")
     val sized = if (targetParts > 0) all.repartition(targetParts) else all
-    writeDir(sized, "text", "embedding", outDir, tpe)
+    writeDir(sized, "text", "embedding", outDir, outType)
   }
 
   /** Reference-compatible single file (for hand-off to the C tools only

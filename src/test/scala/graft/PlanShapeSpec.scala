@@ -160,9 +160,15 @@ class PlanShapeSpec extends SparkSpec {
     val smj = plan.collect {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
     assert(smj.isEmpty, "token->id join regressed to a corpus-sorted SMJ")
+    // round 11: the vocab join is the ONLY join — the doc char count
+    // rides the encode projection and folds out of the aggregate as
+    // max(nc), so a second join of any kind means the Θ(docs)
+    // back-join crept back in (it leaned on auto-broadcast firing)
+    val joins = plan.collect { case j if j.nodeName.contains("Join") => j }
+    assert(joins.size == 1, s"encode tail must have exactly the vocab join, got:\n$joins")
     val bhj = plan.collect {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
-    assert(bhj.size >= 2, s"vocab + doc-length joins must broadcast, got ${bhj.size}")
+    assert(bhj.size == 1, s"vocab join must broadcast, got ${bhj.size}")
     val shuffles = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
     assert(shuffles.size <= 1,

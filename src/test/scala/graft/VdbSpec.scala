@@ -91,6 +91,27 @@ class VdbSpec extends SparkSpec {
       .as[(String, Seq[Double])].collect().toSeq
     assert(got == Seq(("alpha", Seq(0.5, 1.5)), ("beta", Seq(-0.5, 2.0)),
       ("gamma", Seq(3.0, 4.0))))
+    // re-compacting into a dir that already holds parts must FAIL, not
+    // leave stale higher-numbered parts for readDir to union back in
+    val err = intercept[IllegalArgumentException] {
+      Vdb.compact(spark, Seq(dirA, dirB), out, targetParts = 1)
+    }
+    assert(err.getMessage.contains("stale"))
+  }
+
+  test("compact preserves the input type tag (TypeAuto detection)") {
+    val dirBin = Files.createTempDirectory("vdbcompactBin").toString
+    val out = Files.createTempDirectory("vdbcompactBinOut").toString
+    Vdb.writeDir(Seq(("sign test", Seq(0.5, -1.5, 2.0)))
+      .toDF("text", "embedding"), "text", "embedding", dirBin, Vdb.TypeBinary)
+    Vdb.compact(spark, Seq(dirBin), out, targetParts = 1)
+    // output header carries the binary tag, not a silent 64x double inflation
+    val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".vdb")).head
+    val in = new java.io.FileInputStream(part)
+    val head = try { val h = new Array[Byte](5); in.read(h); h } finally in.close()
+    assert(head(4) == Vdb.TypeBinary)
+    val got = Vdb.readDir(spark, out).as[(String, Seq[Double])].collect().toSeq
+    assert(got == Seq(("sign test", Seq(1.0, 0.0, 1.0))))
   }
 
   test("DataSource V2: spark.read.format over a .vdb directory") {
