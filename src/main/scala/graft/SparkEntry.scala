@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.RelationalQueries.all ++
       graft.queries.EventQueries.all ++
       graft.queries.TextStatsQueries.all ++
+      graft.queries.TextStatsQueries2.all ++
       graft.queries.DedupQueries.all ++
       graft.queries.AnnQueries.all ++
       graft.queries.PipelineQueries.all ++

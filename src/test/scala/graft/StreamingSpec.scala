@@ -543,6 +543,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming BPE tokenizer: batch-learned merges+vocab, streamed ids equal batch exactly") {
+    // the tokenize-as-you-crawl deployment shape: merge table + vocab
+    // are batch artifacts entering the stream as literals; the fold is
+    // map-only HOFs over each row's own token array (no explode, no
+    // state), so streamed per-doc token ids == q_bpe_encode row-for-row
+    val srcDir = Files.createTempDirectory("bpedocs-stream").toString
+    Tables(spark, sf0001, "documents").select("doc_id", "text")
+      .write.mode("overwrite").parquet(srcDir)
+    val (merges, vocab) =
+      graft.queries.TextStatsQueries.tokenizerArtifacts(spark, sf0001)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = graft.streaming.TokenizerStreams.encodedDocs(stream, merges, vocab)
+      .writeStream.outputMode("append").format("memory").queryName("bpetok").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT * FROM bpetok")
+    val want = SparkEntry.queries("q_bpe_encode")(spark, sf0001)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming shard manifest: latest snapshots equal the batch manifest") {
     // many small files + maxFilesPerTrigger=2 => the xor fold really runs
     // across micro-batches; the property under test is that ANY batching
