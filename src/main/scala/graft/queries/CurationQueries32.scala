@@ -89,7 +89,19 @@ object CurationQueries32 {
     * share one oracle. Cache discipline: at most two generations of
     * the (vec_id, e, mind) frame live (MEMORY_AND_DISK_SER, the BPE
     * sliding window).
+    *
+    * LINEAGE TRUNCATION (round 11 — found by the K∈{256,1024} probe
+    * the verdict asked for): persist truncates EXECUTION but not the
+    * LOGICAL plan — each round's frame nests every prior fold, so
+    * Catalyst re-analyzes an O(step)-deep tree per round (per-round
+    * cost measured 0.127 s at K=32 → 0.249 s at K=256 on sf0.1, and
+    * the K=256 run CRASHED outright on a default JVM stack — analyzer
+    * recursion over the 255-deep tree). Every [[CkptEvery]] rounds the
+    * generation is `localCheckpoint`ed instead: flat LogicalRDD plan,
+    * bounded analyzer depth, per-round cost flat in K (re-probed
+    * receipts in PLANS.md; ScaleSlopeSpec gates the flatness ratio).
     */
+  private val CkptEvery = 32
   private[graft] def kcenterRun(spark: SparkSession, dir: String, k: Int,
       incremental: Boolean): DataFrame = {
     import spark.implicits._
@@ -105,12 +117,25 @@ object CurationQueries32 {
         (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b)
     var frame = emb.withColumn("mind", lit(Long.MaxValue))
     var prevGen: Option[DataFrame] = None
+    var sinceCkpt = 0
     for (step <- 2 to k) {
       val newest = centers.last._2
       if (incremental) {
-        frame = frame
-          .withColumn("mind", least(col("mind"), dist2To(newest)))
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val folded = frame.withColumn("mind", least(col("mind"), dist2To(newest)))
+        sinceCkpt += 1
+        if (sinceCkpt >= CkptEvery) {
+          // truncate the logical lineage: eager localCheckpoint yields a
+          // flat LogicalRDD, so analyzer work stays bounded at any K;
+          // the checkpoint job replaces (not adds to) the argmax's
+          // materialization work, and stale checkpoint blocks are
+          // reclaimed by the ContextCleaner once unreferenced
+          frame = folded.localCheckpoint()
+          sinceCkpt = 0
+          prevGen.foreach(_.unpersist(false))
+          prevGen = None
+        } else {
+          frame = folded.persist(StorageLevel.MEMORY_AND_DISK_SER)
+        }
       } else {
         // recompute against the full center set (the literal form)
         val mind = centers.map { case (_, c) => dist2To(c) }.reduce(least(_, _))

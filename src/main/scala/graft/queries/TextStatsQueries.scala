@@ -717,6 +717,9 @@ object TextStatsQueries {
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), Seq[(Long, String, String, Long, Long)]]()
 
+  /** See [[graft.queries.CurationQueries33.clearSessionMemo]]. */
+  private[graft] def clearSessionMemo(): Unit = mergeCache.clear()
+
   private[queries] def learnedMergeRows(spark: org.apache.spark.sql.SparkSession,
       dir: String, iters: Int): Seq[(Long, String, String, Long, Long)] =
     mergeCache.computeIfAbsent((dir, iters), _ =>

@@ -142,11 +142,25 @@ object ScaleProbe {
     * scale after one untimed warm run — the same variance hedge Bench
     * uses; slope ≈ t_Nx / (t_1x · N), ≤1 is linear-or-better.
     */
+  /** Session-memoized trajectories (quality triad, BPE merges) would
+    * turn a slope into a cached-vs-uncached artifact: the warm run
+    * populates the 1x side's memo, so its timed pass reads driver
+    * state while the Nx side trains fresh (first observed as fake
+    * 6.4x "slopes" when the round-11 memos landed). Probes measure
+    * the MECHANISM, training included, so every timed pass starts
+    * memo-cold on both sides.
+    */
+  private def clearMemos(): Unit = {
+    graft.queries.CurationQueries33.clearSessionMemo()
+    graft.queries.TextStatsQueries.clearSessionMemo()
+  }
+
   def slope(spark: SparkSession, src: String, dst: String, factor: Int,
             name: String, passes: Int = 1): (Double, Double, Double) = {
     val fn = graft.SparkEntry.queries(name)
     fn(spark, src).count() // warm
     def time(dir: String): Double = (1 to passes).map { _ =>
+      clearMemos()
       val t0 = System.nanoTime(); fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9
     }.min
     val t1 = time(src)
@@ -209,7 +223,12 @@ object ScaleProbe {
     // side sits in page cache — measured on q_bpe_learn at the third
     // decade: 252 s cold vs 117 s warm, a 2x bias on the SLOPE itself
     // for scan-heavy queries. Slope probes measure the PLAN, so warm
-    // both sides.
+    // both sides. Round-11 note: some shuffle-heavy queries have a LONG
+    // JIT/GC warmup tail — q_ngram_jaccard at 100x measured
+    // 46/24/19/15.7/15.3/15.3 s across six consecutive runs, so
+    // passes=3 still lands anywhere on that curve (recorded decades
+    // swung 0.10-0.25). passes=5 converges: two independent probe runs
+    // both read decade 0.11. Use passes>=5 when pinning such a query.
     val passes = sys.env.get("GRAFT_PROBE_PASSES").map(_.toInt).getOrElse(1)
     toProbe.foreach { name =>
       val (t1, tn, s) = slope(spark, src, dst, factor, name, passes)

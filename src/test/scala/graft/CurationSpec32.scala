@@ -24,6 +24,15 @@ class CurationSpec32 extends SparkSpec {
     assert(lit12.sameElements(inc12))
     assert(lit12.take(8).map(t => (t._2, t._3)).sameElements(lit8.map(t => (t._2, t._3))),
       "greedy prefix property: first 8 picks of K=12 equal the K=8 run")
+    // ...and ACROSS the lineage-truncation boundary (CkptEvery = 32):
+    // round 33+ folds on a localCheckpointed generation, which must be
+    // value-identical to the persisted one
+    val lit36 = graft.queries.CurationQueries32.kcenterRun(spark, sf0001, 36, incremental = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val inc36 = graft.queries.CurationQueries32.kcenterRun(spark, sf0001, 36, incremental = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(lit36.sameElements(inc36),
+      "trajectories must match across the localCheckpoint cadence")
   }
 
   test("k-center radius certificate is non-increasing and picks are distinct") {

@@ -193,12 +193,40 @@ class ScaleSlopeSpec extends SparkSpec {
     val dupDst = s"/tmp/graft_scale_sf001_x${factor}_dup20"
     ScaleProbe.buildReplica(spark, src, dupDst, factor,
       perturbText = true, dupDocsPermille = 20)
-    val bad = Seq("q_dedup_exact", "q_neardup_collapsed", "q_dedup_groups")
+    // q_pipeline_funnel: the documented pipeline default (quality →
+    // exact dedup → split → decontam) composed end-to-end — round-11
+    // verdict item 4 asked for the full funnel, not just its stages,
+    // to be measured against the dup-cluster adversary (100x receipt:
+    // slope 0.05 on the 2% replica, PLANS.md round 11)
+    val bad = Seq("q_dedup_exact", "q_neardup_collapsed", "q_dedup_groups",
+        "q_pipeline_funnel")
       .flatMap { name =>
         val (t1, tn, s) = ScaleProbe.slope(spark, src, dupDst, factor, name)
         info(f"$name%-18s 1x=$t1%6.2fs ${factor}x=$tn%6.2fs slope=$s%5.2f (max 1.5)")
         if (s > 1.5) Some(f"$name slope $s%.2f > 1.5") else None
       }
     assert(bad.isEmpty, s"mega-dup cluster leaked into pair generation: ${bad.mkString("; ")}")
+  }
+
+  test("k-center running-min per-round cost stays flat in K (lineage truncation)") {
+    // round-11 probe receipt: without the CkptEvery localCheckpoint the
+    // incremental form's logical plan nests one fold per round —
+    // per-round cost measured 2x between K=32 and K=256 on sf0.1, and
+    // the K=256 run crashed a default JVM stack in the analyzer. With
+    // truncation, per-round is flat (0.089 s at K=256 ≈ 0.088 s at
+    // K=1024). Gate: the per-round ratio across a span crossing two
+    // checkpoint boundaries stays near 1 (1.5 = loose vs job-latency
+    // noise; the broken form measured ~2 and rising).
+    def perRound(k: Int): Double = {
+      val t0 = System.nanoTime()
+      graft.queries.CurationQueries32.kcenterRun(spark, src, k, incremental = true).count()
+      (System.nanoTime() - t0) / 1e9 / (k - 1)
+    }
+    perRound(4) // warm codegen + scan
+    val small = perRound(16)
+    val large = perRound(96)
+    info(f"per-round: K=16 $small%.3fs K=96 $large%.3fs ratio ${large / small}%.2f")
+    assert(large <= small * 1.5,
+      f"per-round cost grows with K (${large / small}%.2fx): lineage truncation regressed")
   }
 }
