@@ -48,6 +48,17 @@ object Dedup {
     * exchange; the content key moves ~40 bytes and compares in a few
     * instructions. Probed at the third decade: q_dedup_cost's
     * text-keyed exact tier was the whale in its 1.36 decade slope.
+    *
+    * CAVEAT (adversarial corpora): this makes "exact duplicate" a
+    * CONVENTION, not a guarantee — md5 collisions are constructible
+    * and xxhash64 trivially so, so an adversary who controls document
+    * bytes can forge a pair that collides on both components at equal
+    * length. Chance collision stays negligible (a random corpus needs
+    * ~2^96 docs), and the per-round DuckDB oracles group RAW TEXT, so
+    * any collision on fixture-scale data surfaces as a correctness
+    * failure rather than silent data loss. A pipeline that must be
+    * collision-proof against hostile inputs should add a byte-equality
+    * verify within each content-key group (one extra narrow pass).
     */
   def contentKey(c: Column): Column =
     struct(xxhash64(c).as("h64"), md5(c.cast("binary")).as("h128"),
