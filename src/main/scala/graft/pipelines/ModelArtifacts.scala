@@ -1,0 +1,69 @@
+package graft.pipelines
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Persisted training artifacts — the CROSS-SESSION half of the
+  * train-once story (round-11; the in-session half is the
+  * (dir, split)-keyed memo in [[graft.queries.CurationQueries33]] /
+  * [[graft.queries.TextStatsQueries]]). A real pipeline trains its
+  * learned components once and ships them as small files; inference
+  * sessions — batch or streaming — load them and never touch the
+  * training corpus (the reference's pluggable-metric extension point,
+  * vector-db.h:16-18, implies exactly this "bring your own scorer"
+  * artifact). Everything here is tokenizer/model-sized (dozens to ~1M
+  * rows), so artifacts are single-digit-KB parquet: the LOAD side
+  * collects to the driver and hands literals to the map-only scoring /
+  * tokenizing projections ([[graft.streaming.QualityStreams]],
+  * [[graft.streaming.TokenizerStreams]]) — no join against the
+  * artifact at any corpus size.
+  *
+  * Round-trips are exact by construction (integer weights on the Q20
+  * grid; merge/vocab tables are strings + longs — no floats anywhere),
+  * pinned by ModelArtifactsSpec: save → load → infer equals the
+  * in-session training path bit-for-bit.
+  */
+object ModelArtifacts {
+
+  /** Quality-classifier weights (Q20 integer grid), ordered by feature
+    * index j. One parquet row per weight.
+    */
+  def saveWeights(spark: SparkSession, w: Seq[Long], path: String): Unit = {
+    import spark.implicits._
+    w.zipWithIndex.map { case (wq, j) => (j.toLong, wq) }
+      .toDF("j", "w_q").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadWeights(spark: SparkSession, path: String): Array[Long] =
+    spark.read.parquet(path).orderBy("j")
+      .collect().map(_.getLong(1))
+
+  /** Ordered BPE merge table. One parquet row per merge, `iter` is the
+    * learned order (1-based) — the order IS the tokenizer.
+    */
+  def saveMerges(spark: SparkSession, merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => ((i + 1).toLong, l, r) }
+      .toDF("iter", "merge_l", "merge_r").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("iter")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Token→id vocabulary (lexicographic 1-based rank, the
+    * `q_bpe_encode` convention).
+    */
+  def saveVocab(spark: SparkSession, vocab: Map[String, Long], path: String): Unit = {
+    import spark.implicits._
+    vocab.toSeq.toDF("tok", "id")
+      .repartition(1).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadVocab(spark: SparkSession, path: String): Map[String, Long] =
+    spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+}

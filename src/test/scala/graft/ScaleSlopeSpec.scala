@@ -169,7 +169,12 @@ class ScaleSlopeSpec extends SparkSpec {
     // corpus-sized frame
     "q_quality_train" -> 1.5,
     "q_quality_logreg" -> 1.5,
-    "q_quality_auc" -> 1.5)
+    "q_quality_auc" -> 1.5,
+    // round-11: the BPE-id packer — doc-scale shard window + map-side
+    // token positions + broadcast vocab + one block-keyed exchange
+    // (0.05 at 100x perturbed when added); pinned so the shard window
+    // can't regress to a token-scale or global sort
+    "q_seq_pack_bpe" -> 1.5)
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
