@@ -177,6 +177,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(cached.isEmpty, "corpus-sized frame pinned in the block manager")
   }
 
+  test("seq_pack_bpe: one shard exchange, broadcast vocab, doc-scale window") {
+    // round-11 shape: scan → doc-scale Window over ONE lang exchange →
+    // posexplode with map-side global positions → BroadcastHashJoin
+    // against the vocab → (lang, bin) aggregate that REUSES the lang
+    // partitioning (ClusteredDistribution(lang, bin) is satisfied by
+    // hashpartitioning(lang)), so the whole packer is ONE shuffle. A
+    // second exchange means the aggregate stopped riding the window's
+    // partitioning; an SMJ means the exploded token stream sorted by
+    // token string; a missing Window means the cum-offset moved to
+    // token granularity or a global sort.
+    val plan = staticPlan(graft.queries.TextStatsQueries2.seqPackBpe.fn(spark, sf0001))
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.size == 1,
+      s"packer must shuffle once (the shard window), got ${shuffles.size}")
+    val bhj = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+    assert(bhj.size == 1, s"vocab join must broadcast, got ${bhj.size}")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }.isEmpty,
+      "token->id join regressed to a corpus-sorted SMJ")
+    assert(plan.collectFirst { case w if w.nodeName.contains("Window") => w }.nonEmpty,
+      "doc-scale shard window missing")
+  }
+
   test("bigram_ppl: LM joins are hash-keyed, never cartesian") {
     val plan = staticPlan(graft.queries.TextStatsQueries.bigramPpl.fn(spark, sf0001))
     assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty,
