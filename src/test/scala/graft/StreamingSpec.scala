@@ -565,6 +565,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming decontam: crawl stream vs standing index equals the batch evidence") {
+    // crawl-time benchmark decontamination: the protected split's
+    // df-capped fingerprint index is built in batch; the incoming
+    // stream is checked via a stateless stream-static left-semi join.
+    // Streamed evidence rows == the batch twin over the same index.
+    val srcDir = Files.createTempDirectory("decontam-stream").toString
+    val docs = Tables(spark, sf0001, "documents").select("doc_id", "text")
+    // the "crawl" is the train-side stream; the protected split is the
+    // test fifth (the q_winnow_decontam split convention)
+    val crawl = docs.filter(col("doc_id") % 5 =!= 0)
+    crawl.write.mode("overwrite").parquet(srcDir)
+    val index = graft.streaming.DecontamStreams
+      .protectedIndex(docs, col("doc_id") % 5 === 0)
+      .localCheckpoint() // standing artifact: fixed at build time
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = graft.streaming.DecontamStreams.contamHits(stream, index)
+      .writeStream.outputMode("append").format("memory").queryName("contam").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT * FROM contam")
+    val want = graft.streaming.DecontamStreams.contamHits(crawl, index)
+    assert(got.count() == want.count() && want.count() > 0,
+      "fixture must produce contamination evidence")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming shard manifest: latest snapshots equal the batch manifest") {
     // many small files + maxFilesPerTrigger=2 => the xor fold really runs
     // across micro-batches; the property under test is that ANY batching
