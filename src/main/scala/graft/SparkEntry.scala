@@ -66,6 +66,7 @@ object SparkEntry {
       graft.queries.CurationQueries31.all ++
       graft.queries.CurationQueries32.all ++
       graft.queries.CurationQueries33.all ++
+      graft.queries.CurationQueries34.all ++
       graft.queries.PqQueries.all ++
       graft.queries.PerceptualQueries.all
 

@@ -58,7 +58,9 @@ object Dedup {
     * any collision on fixture-scale data surfaces as a correctness
     * failure rather than silent data loss. A pipeline that must be
     * collision-proof against hostile inputs should add a byte-equality
-    * verify within each content-key group (one extra narrow pass).
+    * verify within each content-key group — implemented as
+    * [[collisionAudit]] (one extra keyed pass; `q_dedup_audit`
+    * oracle-checks the operator on a deliberately narrow key).
     */
   def contentKey(c: Column): Column =
     struct(xxhash64(c).as("h64"), md5(c.cast("binary")).as("h128"),
@@ -72,6 +74,26 @@ object Dedup {
     df.groupBy(contentKey(col(keyCol)).as("ck"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
+
+  /** Byte-equality VERIFY pass for key-grouped dedup — the
+    * hostile-input option the [[contentKey]] caveat names: given any
+    * grouping key expression, returns the groups whose members are NOT
+    * all byte-identical, i.e. key collisions that would silently merge
+    * distinct documents. One keyed aggregate; the min/max pair of the
+    * raw string per key is the collision witness (a group is uniform
+    * iff min == max), so the raw text crosses the exchange once as
+    * agg PAYLOAD — partial aggregation keeps per-partition state to
+    * two strings per key, and the output is empty on honest corpora.
+    * Run it after (or beside) the content-key dedup when inputs are
+    * adversarial; an empty result certifies the narrow-key dedup was
+    * exact BYTE equality on this corpus, not just hash equality.
+    */
+  def collisionAudit(df: DataFrame, keyExpr: Column, textCol: String): DataFrame =
+    df.groupBy(keyExpr.as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(textCol)).as("lo"), max(col(textCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("k"), col("n_docs"))
 
   /** Exploded distinct shingle table: (id, s). */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

@@ -42,6 +42,18 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("collisionAudit: empty under contentKey, catches a deliberately weak key") {
+    val df = Seq((1L, "alpha"), (2L, "bravo"), (3L, "alpha"), (4L, "delta"))
+      .toDF("id", "t")
+    // the real key: no collisions on any honest corpus — empty audit
+    assert(Dedup.collisionAudit(df, Dedup.contentKey(col("t")), "t").isEmpty)
+    // a weak key (length only): "alpha"/"bravo"/"delta" all collide at
+    // len 5 — the audit must surface exactly that group with its size
+    val got = Dedup.collisionAudit(df, length(col("t")), "t")
+      .select("k", "n_docs").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((5, 4L)))
+  }
+
   test("jaccardForPairs computes |A∩B| / |A∪B|") {
     val hs = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 20L), (2L, 30L), (2L, 40L)).toDF("id", "h")
     val pairs = Seq((1L, 2L)).toDF("ida", "idb")
