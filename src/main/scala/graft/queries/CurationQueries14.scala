@@ -248,33 +248,60 @@ object CurationQueries14 {
        |SELECT src_a, src_b, CAST(n AS BIGINT) AS n_pairs,
        |       CAST((n * 10000) // t AS BIGINT) AS pair_share_bp
        |FROM m, tot""".stripMargin) { (spark, dir) =>
+    // WEIGHTED-REPRESENTATIVE REWRITE (round 11): the raw band join
+    // enumerates every member pair, which is Θ(cluster²) on a
+    // mega-duplicate cluster BY CONSTRUCTION — but this query's OUTPUT
+    // is only a |sources|²-row matrix, and exact duplicates make the
+    // pair counts pure ALGEBRA: byte-identical docs have identical
+    // signatures (the simhash kernel is a function of the text), so
+    // (a) every within-cluster member pair is a hamming-0 near-dup —
+    //     count C(n,2) per (cluster, source) and n_s1·n_s2 across the
+    //     cluster's source split, never enumerating members; and
+    // (b) two clusters' members either ALL pair or NONE do (band match
+    //     + hamming threshold depend only on the two signatures), so
+    //     cross-cluster counts are rep-pair × n_a(src)·n_b(src).
+    // Identical output to the raw enumeration (the unchanged DuckDB
+    // oracle checks exactly that), but pair generation runs over
+    // DISTINCT TEXTS: the mega-dup adversary collapses to one rep
+    // before any band join. The signature rides the collapse exchange
+    // as a LONG next to the narrow content key (min over identical
+    // values — exact), so raw text never shuffles. The rep-pair stream
+    // is never broadcast (the round-11 ADVICE discipline); the
+    // cluster-source count table is the broadcast side, Θ(texts).
     val docs = Tables(spark, dir, "documents")
-    val sig = Dedup.simhashWide(docs, "doc_id", "text")
-    // pairs stay BARE LONGS through the band join and distinct; the
-    // id→source lookups then BROADCAST THE LABEL MAP (narrow
-    // (doc_id, source) projection, Θ(docs) and bounded by the corpus)
-    // and stream the pair side through both hash joins — the pair
-    // stream never shuffles for the lookups and, critically, never
-    // rides a broadcast: its size is data-dependent and unbounded (a
-    // mega-duplicate cluster makes band pairs Θ(cluster²), which would
-    // blow the driver's broadcast limit — the round-11 ADVICE finding;
-    // the earlier shape broadcast the pair-derived side). At true
-    // cluster scale the label map outgrows broadcast too and these
-    // fall back to doc-keyed shuffle joins — slow-but-bounded, never a
-    // driver failure. (Probed both ways at the third decade: carrying
-    // source as a pair-stream payload widened the candidate distinct
-    // and measured 1.9x SLOWER at 100x, so the lookup-after-distinct
-    // shape is the keeper; its 0.42 decade is the linear
-    // signature+band-exchange mechanism, not a join artifact.)
-    val e = Dedup.simhashPairs(sig, "doc_id", 1, bandBits = 30).select("ida", "idb")
-    val lab = docs.select(col("doc_id"), col("source"))
-    val withA = e
-      .join(broadcast(lab.select(col("doc_id").as("ida"), col("source").as("sa"))), "ida")
-    val m = withA
-      .join(broadcast(lab.select(col("doc_id").as("idb"), col("source").as("sb"))), "idb")
-      .groupBy(least(col("sa"), col("sb")).as("src_a"),
-        greatest(col("sa"), col("sb")).as("src_b"))
-      .agg(count(lit(1)).as("n"))
+    val base = docs.select(col("doc_id"), col("source"),
+      Dedup.contentKey(col("text")).as("ck"),
+      graft.functions.HashExpressions
+        .simhashDualFast(graft.functions.TextFunctions.tokens(col("text"))).as("simhash"))
+    // one cluster row per distinct text: id + signature (both exact
+    // mins over identical values), plus the per-(cluster, source)
+    // member counts that weight the algebra
+    val cl = base.groupBy("ck")
+      .agg(min(col("doc_id")).as("rid"), min(col("simhash")).as("simhash"))
+    val cs = base.groupBy("ck", "source").agg(count(lit(1)).as("n"))
+      .join(cl.select(col("ck"), col("rid")), "ck")
+      .select(col("rid"), col("source"), col("n"))
+      .localCheckpoint() // Θ(texts × sources) weight table, read 4x below
+    // (b) cross-cluster: band-join the DISTINCT-text signatures only
+    val e = Dedup.simhashPairs(cl.select(col("rid"), col("simhash")), "rid", 1, bandBits = 30)
+      .select("ida", "idb")
+    val cross = e
+      .join(broadcast(cs.select(col("rid").as("ida"), col("source").as("sa"), col("n").as("na"))), "ida")
+      .join(broadcast(cs.select(col("rid").as("idb"), col("source").as("sb"), col("n").as("nb"))), "idb")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        (col("na") * col("nb")).as("w"))
+    // (a) within-cluster: same-source C(n,2) + cross-source n·m cells
+    val same = cs.filter(col("n") >= 2)
+      .select(col("source").as("src_a"), col("source").as("src_b"),
+        (col("n") * (col("n") - 1) / 2).cast("long").as("w"))
+    val diff = cs.select(col("rid"), col("source").as("sa"), col("n").as("na"))
+      .join(cs.select(col("rid"), col("source").as("sb"), col("n").as("nb")), "rid")
+      .filter(col("sa") < col("sb"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        (col("na") * col("nb")).as("w"))
+    val m = cross.unionByName(same).unionByName(diff)
+      .groupBy("src_a", "src_b").agg(sum("w").as("n"))
       .localCheckpoint() // sources²-row matrix feeds both the total and the output
     val tot = m.agg(sum("n").cast("long").as("t"))
     m.crossJoin(broadcast(tot))
