@@ -126,19 +126,66 @@ object DedupQueries {
        |FROM prs JOIN so sa ON sa.doc_id = prs.ida
        |         JOIN so sb ON sb.doc_id = prs.idb
        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    // WEIGHTED-REPRESENTATIVE REWRITE (round 11, the
+    // q_source_dup_matrix argument applied to the MinHash family):
+    // candidates (band match on the signature) and the verify
+    // (jaccard of the two shingle sets) are both functions of TEXT
+    // alone, so exact-duplicate clusters either all-pair or none —
+    // collapse to distinct texts before any pair machinery and
+    // reconstruct counts as algebra over (cluster, source) weights:
+    // within-cluster C(n,2)/n·m (jaccard 1 ≥ 0.2 whenever the text
+    // has a shingle at all — empty-set docs never sign, matching
+    // shingleSets' filter), cross-cluster rep-pair × n_a·n_b. The
+    // per-doc minhash signature is computed MAP-SIDE and rides the
+    // collapse exchange as 8 longs (min over identical values) —
+    // raw text and shingle sets never shuffle for the collapse; the
+    // verify joins rep PAIRS against the map-side set frame exactly
+    // as before, just over rep ids. Identical output to the raw
+    // enumeration — oracle unchanged. Mega-dup 2% replica at 100x:
+    // 1.09 → see PLANS.md round 11.
     val docs = Tables(spark, dir, "documents")
-    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
-    val sig = Dedup.minhashFromSets(sets, "doc_id")
-    val prs = Dedup.jaccardForPairsSets(Dedup.lshCandidates(sig, "doc_id"), sets, "doc_id")
+    val base = docs.select(col("doc_id"), col("source"),
+      Dedup.contentKey(col("text")).as("ck"),
+      sort_array(graft.functions.HashExpressions.shingleHashesFast(
+        tokens(col("text")), 3)).as("hset"))
+      .select(col("doc_id"), col("source"), col("ck"),
+        (size(col("hset")) >= 1).as("hasSh"),
+        graft.functions.HashExpressions.minhashSigFast(col("hset")).as("sig"))
+    val cl = base.groupBy("ck")
+      .agg(min(col("doc_id")).as("rid"), min(col("hasSh")).as("hasSh"),
+        min(col("sig")).as("sig"))
+      .localCheckpoint() // Θ(texts) cluster frame feeds sigs + weights
+    val cs = base.groupBy("ck", "source").agg(count(lit(1)).as("n"))
+      .join(cl.select(col("ck"), col("rid"), col("hasSh")), "ck")
+      .select(col("rid"), col("source"), col("n"), col("hasSh"))
+      .localCheckpoint() // Θ(texts × sources) weight table, read 4x
+    val repSig = cl.filter(col("hasSh"))
+      .select(Seq(col("rid")) ++ (0 until 8).map(i => col(s"sig.m$i").as(s"m$i")): _*)
+    val sets = docs.select(col("doc_id").as("rid"),
+      sort_array(graft.functions.HashExpressions.shingleHashesFast(
+        tokens(col("text")), 3)).as("hset"))
+      .filter(size(col("hset")) >= 1)
+    val e = Dedup.jaccardForPairsSets(
+        Dedup.lshCandidates(repSig, "rid"), sets, "rid")
       .filter(col("jaccard") >= 0.2)
       .select(col("ida"), col("idb"))
-    val so = docs.select(col("doc_id"), col("source"))
-    prs
-      .join(so.select(col("doc_id").as("ida"), col("source").as("sa")), "ida")
-      .join(so.select(col("doc_id").as("idb"), col("source").as("sb")), "idb")
-      .groupBy(least(col("sa"), col("sb")).as("source_a"),
-        greatest(col("sa"), col("sb")).as("source_b"))
-      .agg(count(lit(1)).as("n_pairs"))
+    val cross = e
+      .join(broadcast(cs.select(col("rid").as("ida"), col("source").as("sa"), col("n").as("na"))), "ida")
+      .join(broadcast(cs.select(col("rid").as("idb"), col("source").as("sb"), col("n").as("nb"))), "idb")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        (col("na") * col("nb")).as("w"))
+    val same = cs.filter(col("hasSh") && col("n") >= 2)
+      .select(col("source").as("source_a"), col("source").as("source_b"),
+        (col("n") * (col("n") - 1) / 2).cast("long").as("w"))
+    val diff = cs.filter(col("hasSh"))
+      .select(col("rid"), col("source").as("sa"), col("n").as("na"))
+      .join(cs.select(col("rid"), col("source").as("sb"), col("n").as("nb")), "rid")
+      .filter(col("sa") < col("sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        (col("na") * col("nb")).as("w"))
+    cross.unionByName(same).unionByName(diff)
+      .groupBy("source_a", "source_b").agg(sum("w").as("n_pairs"))
   }
 
   /** Sketch-accuracy eval: MinHash-estimated Jaccard (signature
