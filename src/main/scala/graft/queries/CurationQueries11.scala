@@ -47,28 +47,72 @@ object CurationQueries11 {
        |SELECT n_nodes, n_edges, CAST(t AS BIGINT) AS n_triangles,
        |       CAST((3 * t * 10000) // greatest(wedges, 1) AS BIGINT) AS gcc_bp
        |FROM w, ne, tri""".stripMargin) { (spark, dir) =>
-    val sig = Dedup.simhashWide(Tables(spark, dir, "documents"), "doc_id", "text")
-    // the edge set feeds FIVE consumers (two triangle-join legs, the
-    // wedge/degree table, and both scalar counts); localCheckpoint
-    // materializes the node-bounded edge list once instead of
-    // re-running the simhash + band-join pipeline per consumer
-    val e = Dedup.simhashPairs(sig, "doc_id", 1, bandBits = 30)
+    // WEIGHTED-REPRESENTATIVE REWRITE (round 11): the raw edge set is
+    // Θ(cluster²) on a mega-duplicate cluster and the triangle path
+    // join Θ(cluster³-ish) — the 100x dup-replica probe DID NOT FINISH
+    // in 9 minutes (the 10k-copy clique is 50M edges / 1.6e11
+    // triangles). But every OUTPUT here is a scalar, and exact
+    // duplicates make the graph block-structured: identical text ⇒
+    // identical signature ⇒ a cluster is internally COMPLETE (hamming
+    // 0) and two clusters' members either all-pair or none. Contract
+    // to distinct texts with cluster sizes n as weights; then exactly
+    //   edges     = Σ_A C(n_A,2) + Σ_{(A,B)∈E} n_A·n_B
+    //   degree    d_A = n_A − 1 + Σ_{B∼A} n_B   (same for every member)
+    //   nodes     = Σ n_A over clusters with n_A ≥ 2 or an E-neighbor
+    //   wedges    = Σ_A n_A · C(d_A, 2)
+    //   triangles = Σ_A C(n_A,3)
+    //             + Σ_{(A,B)∈E} [C(n_A,2)·n_B + n_A·C(n_B,2)]
+    //             + Σ_{A→B→C path ∧ A→C ∈ E} n_A·n_B·n_C
+    // — the path join now runs over DISTINCT-text edges only. Output
+    // identical to the raw enumeration (oracle unchanged; the spec's
+    // brute-force pin still passes). Signatures ride the collapse
+    // exchange as longs; the weight table broadcasts; the rep edge
+    // stream is never broadcast.
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.select(col("doc_id"),
+      Dedup.contentKey(col("text")).as("ck"),
+      graft.functions.HashExpressions
+        .simhashDualFast(tokens(col("text"))).as("simhash"))
+    val cl = base.groupBy("ck")
+      .agg(min(col("doc_id")).as("rid"), min(col("simhash")).as("simhash"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // Θ(texts) cluster frame: sigs + size weights
+    val e = Dedup.simhashPairs(cl.select(col("rid"), col("simhash")), "rid", 1, bandBits = 30)
       .select(col("ida"), col("idb")).distinct()
-      .localCheckpoint()
-    val e1 = e
-    val e2 = e.select(col("ida").as("idb"), col("idb").as("idc"))
-    val e3 = e.select(col("ida").as("ida3"), col("idb").as("idc3"))
-    val tri = e1.join(e2, "idb")
+    val wts = cl.select(col("rid"), col("n"))
+    val ew = e
+      .join(broadcast(wts.select(col("rid").as("ida"), col("n").as("na"))), "ida")
+      .join(broadcast(wts.select(col("rid").as("idb"), col("n").as("nb"))), "idb")
+      .localCheckpoint() // rep edges + weights feed 4 consumers
+    // per-cluster external mass Σ_{B∼A} n_B
+    val degE = ew.select(col("ida").as("rid"), col("nb").as("nn"))
+      .unionAll(ew.select(col("idb").as("rid"), col("na").as("nn")))
+      .groupBy("rid").agg(sum("nn").as("ext"))
+    val nodeStats = cl.join(degE, Seq("rid"), "left")
+      .select(col("n"), coalesce(col("ext"), lit(0L)).as("ext"))
+      .select(col("n"), (col("n") - 1 + col("ext")).as("d"),
+        (col("n") >= 2 || col("ext") > 0).as("isNode"))
+      .agg(sum(when(col("isNode"), col("n")).otherwise(0L)).cast("long").as("n_nodes"),
+        sum(when(col("isNode"), col("n") * expr("d * (d - 1) DIV 2"))
+          .otherwise(0L)).cast("long").as("wedges"),
+        sum(expr("n * (n - 1) DIV 2")).cast("long").as("e_within"),
+        sum(expr("n * (n - 1) * (n - 2) DIV 6")).cast("long").as("t_within"))
+    val edgeStats = ew.agg(
+      coalesce(sum(col("na") * col("nb")), lit(0L)).cast("long").as("e_cross"),
+      coalesce(sum(expr("(na * (na - 1) DIV 2) * nb + na * (nb * (nb - 1) DIV 2)")),
+        lit(0L)).cast("long").as("t_mixed"))
+    val e2 = ew.select(col("ida").as("idb"), col("idb").as("idc"), col("nb").as("nc"))
+    val e3 = ew.select(col("ida").as("ida3"), col("idb").as("idc3"))
+    val t3 = ew.join(e2, "idb")
       .join(e3, col("ida") === col("ida3") && col("idc") === col("idc3"))
-      .agg(count(lit(1)).as("t"))
-    val deg = e.select(col("ida").as("id")).unionAll(e.select(col("idb").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("d"))
-    val w = deg.agg(count(lit(1)).as("n_nodes"),
-      sum(expr("(d * (d - 1)) DIV 2")).cast("long").as("wedges"))
-    val ne = e.agg(count(lit(1)).as("n_edges"))
-    w.crossJoin(ne).crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("t").as("n_triangles"),
-        expr("3 * t * 10000 DIV greatest(wedges, 1)").as("gcc_bp"))
+      .agg(coalesce(sum(col("na") * col("nb") * col("nc")), lit(0L))
+        .cast("long").as("t_rep"))
+    nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(t3))
+      .select(col("n_nodes"),
+        (col("e_within") + col("e_cross")).as("n_edges"),
+        (col("t_within") + col("t_mixed") + col("t_rep")).as("n_triangles"),
+        expr("3 * (t_within + t_mixed + t_rep) * 10000 DIV greatest(wedges, 1)")
+          .as("gcc_bp"))
   }
 
   /** Integer EWMA over per-type hourly event counts — the recursive

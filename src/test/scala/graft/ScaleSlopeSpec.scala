@@ -203,8 +203,14 @@ class ScaleSlopeSpec extends SparkSpec {
     // verdict item 4 asked for the full funnel, not just its stages,
     // to be measured against the dup-cluster adversary (100x receipt:
     // slope 0.05 on the 2% replica, PLANS.md round 11)
+    // round-11 weighted-representative rewrites: the source rollups and
+    // the triangle/GCC scalars now contract exact-dup clusters before
+    // any pair machinery (100x receipts: matrix 0.50 → 0.03, overlap
+    // 1.09 → 0.05, triangles DNF-in-9-min → 0.03) — gated here so the
+    // collapse step can't silently vanish back into raw enumeration
     val bad = Seq("q_dedup_exact", "q_neardup_collapsed", "q_dedup_groups",
-        "q_pipeline_funnel")
+        "q_pipeline_funnel", "q_source_dup_matrix", "q_source_overlap",
+        "q_triangle_count")
       .flatMap { name =>
         val (t1, tn, s) = ScaleProbe.slope(spark, src, dupDst, factor, name)
         info(f"$name%-18s 1x=$t1%6.2fs ${factor}x=$tn%6.2fs slope=$s%5.2f (max 1.5)")
