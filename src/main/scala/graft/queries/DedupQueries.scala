@@ -787,28 +787,64 @@ object DedupQueries {
        |       FROM dd GROUP BY 1, 2)
        |SELECT np.split_a, np.split_b, np.n_pairs, nd.n_docs
        |FROM np JOIN nd USING (split_a, split_b)""".stripMargin) { (spark, dir) =>
+    // WEIGHTED-REPRESENTATIVE REWRITE (round 11, third member of the
+    // family): the raw LSH candidate clique made the 100x mega-dup
+    // probe read 157.7 s (slope 0.83). The split is a CONTENT hash
+    // (`q_sample_split`'s leakage-through-exact-dups rationale), so
+    // identical text ⇒ identical split: a cluster has ONE split, every
+    // within-cluster pair is same-class with count C(n,2), and a rep
+    // edge (A,B) contributes n_A·n_B pairs to its class. Distinct-doc
+    // counts are participation sums: all n_A members of a cluster
+    // enter class c together iff the cluster has a within pair of that
+    // class (n_A ≥ 2, shingled) or an incident rep edge of class c —
+    // dedup per (cluster, class), then Σn. Identical output to the raw
+    // enumeration; oracle unchanged.
     val docs = Tables(spark, dir, "documents")
-    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
-    val sig = Dedup.minhashFromSets(sets, "doc_id")
-    val cand = Dedup.lshCandidates(sig, "doc_id")
-    val prs = Dedup.jaccardForPairsSets(cand, sets, "doc_id")
-      .filter(col("jaccard") >= 0.2).select("ida", "idb")
-    val spl = docs
-      .select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))
-      .select(col("doc_id"),
+    val base = docs.select(col("doc_id"),
+      Dedup.contentKey(col("text")).as("ck"),
+      (polyHash(col("text")) % 100).as("bucket"),
+      sort_array(graft.functions.HashExpressions.shingleHashesFast(
+        tokens(col("text")), 3)).as("hset"))
+      .select(col("doc_id"), col("ck"), col("bucket"),
+        (size(col("hset")) >= 1).as("hasSh"),
+        graft.functions.HashExpressions.minhashSigFast(col("hset")).as("sig"))
+    val cl = base.groupBy("ck")
+      .agg(min(col("doc_id")).as("rid"), min(col("hasSh")).as("hasSh"),
+        min(col("sig")).as("sig"), count(lit(1)).as("n"),
+        min(col("bucket")).as("bucket"))
+      .select(col("rid"), col("hasSh"), col("sig"), col("n"),
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
-    val cls = prs
-      .join(spl.select(col("doc_id").as("ida"), col("split").as("sa")), "ida")
-      .join(spl.select(col("doc_id").as("idb"), col("split").as("sb")), "idb")
-      .select(least(col("sa"), col("sb")).as("split_a"),
-        greatest(col("sa"), col("sb")).as("split_b"), col("ida"), col("idb"))
-    val np = cls.groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
-    val nd = cls
-      .select(col("split_a"), col("split_b"),
-        explode(array(col("ida"), col("idb"))).as("d"))
-      .groupBy("split_a", "split_b").agg(countDistinct("d").as("n_docs"))
+      .localCheckpoint() // Θ(texts) cluster frame: sigs + weights + splits
+    val repSig = cl.filter(col("hasSh"))
+      .select(Seq(col("rid")) ++ (0 until 8).map(i => col(s"sig.m$i").as(s"m$i")): _*)
+    val sets = docs.select(col("doc_id").as("rid"),
+      sort_array(graft.functions.HashExpressions.shingleHashesFast(
+        tokens(col("text")), 3)).as("hset"))
+      .filter(size(col("hset")) >= 1)
+    val wts = cl.select(col("rid"), col("split"), col("n"))
+    val ew = Dedup.jaccardForPairsSets(
+        Dedup.lshCandidates(repSig, "rid"), sets, "rid")
+      .filter(col("jaccard") >= 0.2)
+      .join(broadcast(wts.select(col("rid").as("ida"), col("split").as("sa"), col("n").as("na"))), "ida")
+      .join(broadcast(wts.select(col("rid").as("idb"), col("split").as("sb"), col("n").as("nb"))), "idb")
+      .select(col("ida"), col("idb"),
+        least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"),
+        col("na"), col("nb"))
+      .localCheckpoint() // rep edge stream feeds pair counts + participation
+    val within = cl.filter(col("hasSh") && col("n") >= 2)
+      .select(col("rid"), col("split").as("split_a"), col("split").as("split_b"),
+        expr("n * (n - 1) DIV 2").as("w"), col("n"))
+    val np = ew.select(col("split_a"), col("split_b"), (col("na") * col("nb")).as("w"))
+      .unionByName(within.select(col("split_a"), col("split_b"), col("w")))
+      .groupBy("split_a", "split_b").agg(sum("w").as("n_pairs"))
+    val nd = ew.select(col("ida").as("rid"), col("split_a"), col("split_b"), col("na").as("n"))
+      .unionByName(ew.select(col("idb").as("rid"), col("split_a"), col("split_b"), col("nb").as("n")))
+      .unionByName(within.select(col("rid"), col("split_a"), col("split_b"), col("n")))
+      .dropDuplicates("rid", "split_a", "split_b")
+      .groupBy("split_a", "split_b").agg(sum("n").as("n_docs"))
     np.join(nd, Seq("split_a", "split_b"))
       .select(col("split_a"), col("split_b"), col("n_pairs"), col("n_docs"))
   }

@@ -210,7 +210,7 @@ class ScaleSlopeSpec extends SparkSpec {
     // collapse step can't silently vanish back into raw enumeration
     val bad = Seq("q_dedup_exact", "q_neardup_collapsed", "q_dedup_groups",
         "q_pipeline_funnel", "q_source_dup_matrix", "q_source_overlap",
-        "q_triangle_count")
+        "q_triangle_count", "q_split_leakage")
       .flatMap { name =>
         val (t1, tn, s) = ScaleProbe.slope(spark, src, dupDst, factor, name)
         info(f"$name%-18s 1x=$t1%6.2fs ${factor}x=$tn%6.2fs slope=$s%5.2f (max 1.5)")
