@@ -187,9 +187,11 @@ object CurationQueries10 {
     * is the measurement behind "push a bloom filter into the probe
     * side scan" — at fill f the expected FP rate among non-matches is
     * ≈ f, and the report states the realized value. SCALE: the bucket
-    * set is a bounded (≤65536-row) broadcast; both membership checks
-    * are broadcast semi-joins against the probe scan; no corpus
-    * shuffle anywhere.
+    * set is a bounded (≤65536-row) broadcast semi-join against the
+    * probe scan. The EXACT-truth side joins on the raw selected-order
+    * keys — Θ(selected orders), SF-scaled — so it carries no broadcast
+    * hint (round 12): AQE broadcasts it when it measures small and
+    * falls back to a shuffled semi-join when it doesn't.
     */
   val bloomPrejoin: QueryDef = QueryDef.sql(
     "q_bloom_prejoin",
@@ -221,7 +223,7 @@ object CurationQueries10 {
         pmod(polyHash(col("l_orderkey").cast("string")), lit(65536L)).as("b"))
     val n = li.agg(count(lit(1)).as("n_lineitem"))
     val np = li.join(broadcast(bk), Seq("b"), "left_semi").agg(count(lit(1)).as("n_pass"))
-    val nt = li.join(broadcast(sel.withColumnRenamed("o_orderkey", "l_orderkey")),
+    val nt = li.join(sel.withColumnRenamed("o_orderkey", "l_orderkey"),
         Seq("l_orderkey"), "left_semi").agg(count(lit(1)).as("n_true"))
     val nb = bk.agg(count(lit(1)).as("n_buckets"))
     n.crossJoin(np).crossJoin(nt).crossJoin(nb)

@@ -66,8 +66,12 @@ object CurationQueries11 {
     // — the path join now runs over DISTINCT-text edges only. Output
     // identical to the raw enumeration (oracle unchanged; the spec's
     // brute-force pin still passes). Signatures ride the collapse
-    // exchange as longs; the weight table broadcasts; the rep edge
-    // stream is never broadcast.
+    // exchange as longs; the weight joins carry NO broadcast hint
+    // (round 12): the weight table is Θ(texts) ≈ Θ(docs) on a low-dup
+    // corpus — past the 8 GB broadcast cap at 100 TB — so AQE picks
+    // the build side from exact runtime sizes (the inputs are
+    // localCheckpoint'ed) and shuffle-joins when neither fits. Only
+    // the 1-row scalar aggregates below keep a forced broadcast.
     val docs = Tables(spark, dir, "documents")
     val base = docs.select(col("doc_id"),
       Dedup.contentKey(col("text")).as("ck"),
@@ -81,8 +85,8 @@ object CurationQueries11 {
       .select(col("ida"), col("idb")).distinct()
     val wts = cl.select(col("rid"), col("n"))
     val ew = e
-      .join(broadcast(wts.select(col("rid").as("ida"), col("n").as("na"))), "ida")
-      .join(broadcast(wts.select(col("rid").as("idb"), col("n").as("nb"))), "idb")
+      .join(wts.select(col("rid").as("ida"), col("n").as("na")), "ida")
+      .join(wts.select(col("rid").as("idb"), col("n").as("nb")), "idb")
       .localCheckpoint() // rep edges + weights feed 4 consumers
     // per-cluster external mass Σ_{B∼A} n_B
     val degE = ew.select(col("ida").as("rid"), col("nb").as("nn"))

@@ -265,9 +265,16 @@ object CurationQueries14 {
     // DISTINCT TEXTS: the mega-dup adversary collapses to one rep
     // before any band join. The signature rides the collapse exchange
     // as a LONG next to the narrow content key (min over identical
-    // values — exact), so raw text never shuffles. The rep-pair stream
-    // is never broadcast (the round-11 ADVICE discipline); the
-    // cluster-source count table is the broadcast side, Θ(texts).
+    // values — exact), so raw text never shuffles. NEITHER side of the
+    // weight joins is hint-broadcast (round 12): the rep-pair stream is
+    // edge-sized but adversary-unbounded, and the weight table is
+    // Θ(texts) — on a low-duplication corpus that is Θ(docs), which
+    // blows Spark's 8 GB broadcast cap at 100 TB. Both joins are plain
+    // rid equi-joins over localCheckpoint'ed inputs, so AQE sees exact
+    // sizes at runtime: it broadcasts whichever side is actually small
+    // (sandbox: the weight table) and degrades to a shuffled join —
+    // Θ(edges + texts) — when neither is. The only FORCED broadcasts
+    // left are 1-row global aggregates (PlanShapeSpec gates this).
     val docs = Tables(spark, dir, "documents")
     val base = docs.select(col("doc_id"), col("source"),
       Dedup.contentKey(col("text")).as("ck"),
@@ -286,15 +293,15 @@ object CurationQueries14 {
     val e = Dedup.simhashPairs(cl.select(col("rid"), col("simhash")), "rid", 1, bandBits = 30)
       .select("ida", "idb")
     val cross = e
-      .join(broadcast(cs.select(col("rid").as("ida"), col("source").as("sa"), col("n").as("na"))), "ida")
-      .join(broadcast(cs.select(col("rid").as("idb"), col("source").as("sb"), col("n").as("nb"))), "idb")
+      .join(cs.select(col("rid").as("ida"), col("source").as("sa"), col("n").as("na")), "ida")
+      .join(cs.select(col("rid").as("idb"), col("source").as("sb"), col("n").as("nb")), "idb")
       .select(least(col("sa"), col("sb")).as("src_a"),
         greatest(col("sa"), col("sb")).as("src_b"),
         (col("na") * col("nb")).as("w"))
     // (a) within-cluster: same-source C(n,2) + cross-source n·m cells
     val same = cs.filter(col("n") >= 2)
       .select(col("source").as("src_a"), col("source").as("src_b"),
-        (col("n") * (col("n") - 1) / 2).cast("long").as("w"))
+        expr("n * (n - 1) DIV 2").as("w"))
     val diff = cs.select(col("rid"), col("source").as("sa"), col("n").as("na"))
       .join(cs.select(col("rid"), col("source").as("sb"), col("n").as("nb")), "rid")
       .filter(col("sa") < col("sb"))

@@ -142,7 +142,12 @@ object DedupQueries {
     // verify joins rep PAIRS against the map-side set frame exactly
     // as before, just over rep ids. Identical output to the raw
     // enumeration — oracle unchanged. Mega-dup 2% replica at 100x:
-    // 1.09 → see PLANS.md round 11.
+    // 1.09 → see PLANS.md round 11. The weight joins carry NO
+    // broadcast hint (round 12): the weight table is Θ(texts) ≈
+    // Θ(docs) on a low-dup corpus, past the 8 GB broadcast cap at
+    // 100 TB; both inputs are localCheckpoint'ed so AQE broadcasts
+    // from EXACT runtime sizes when small and shuffle-joins
+    // (Θ(edges + texts)) when not.
     val docs = Tables(spark, dir, "documents")
     val base = docs.select(col("doc_id"), col("source"),
       Dedup.contentKey(col("text")).as("ck"),
@@ -170,14 +175,14 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.2)
       .select(col("ida"), col("idb"))
     val cross = e
-      .join(broadcast(cs.select(col("rid").as("ida"), col("source").as("sa"), col("n").as("na"))), "ida")
-      .join(broadcast(cs.select(col("rid").as("idb"), col("source").as("sb"), col("n").as("nb"))), "idb")
+      .join(cs.select(col("rid").as("ida"), col("source").as("sa"), col("n").as("na")), "ida")
+      .join(cs.select(col("rid").as("idb"), col("source").as("sb"), col("n").as("nb")), "idb")
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"),
         (col("na") * col("nb")).as("w"))
     val same = cs.filter(col("hasSh") && col("n") >= 2)
       .select(col("source").as("source_a"), col("source").as("source_b"),
-        (col("n") * (col("n") - 1) / 2).cast("long").as("w"))
+        expr("n * (n - 1) DIV 2").as("w"))
     val diff = cs.filter(col("hasSh"))
       .select(col("rid"), col("source").as("sa"), col("n").as("na"))
       .join(cs.select(col("rid"), col("source").as("sb"), col("n").as("nb")), "rid")
@@ -798,7 +803,8 @@ object DedupQueries {
     // enter class c together iff the cluster has a within pair of that
     // class (n_A ≥ 2, shingled) or an incident rep edge of class c —
     // dedup per (cluster, class), then Σn. Identical output to the raw
-    // enumeration; oracle unchanged.
+    // enumeration; oracle unchanged. The wts joins carry NO broadcast
+    // hint (round 12): Θ(texts) operand, AQE picks from runtime sizes.
     val docs = Tables(spark, dir, "documents")
     val base = docs.select(col("doc_id"),
       Dedup.contentKey(col("text")).as("ck"),
@@ -827,8 +833,8 @@ object DedupQueries {
     val ew = Dedup.jaccardForPairsSets(
         Dedup.lshCandidates(repSig, "rid"), sets, "rid")
       .filter(col("jaccard") >= 0.2)
-      .join(broadcast(wts.select(col("rid").as("ida"), col("split").as("sa"), col("n").as("na"))), "ida")
-      .join(broadcast(wts.select(col("rid").as("idb"), col("split").as("sb"), col("n").as("nb"))), "idb")
+      .join(wts.select(col("rid").as("ida"), col("split").as("sa"), col("n").as("na")), "ida")
+      .join(wts.select(col("rid").as("idb"), col("split").as("sb"), col("n").as("nb")), "idb")
       .select(col("ida"), col("idb"),
         least(col("sa"), col("sb")).as("split_a"),
         greatest(col("sa"), col("sb")).as("split_b"),

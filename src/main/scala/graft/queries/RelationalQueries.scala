@@ -80,7 +80,11 @@ object RelationalQueries {
     val li = Tables(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord.join(broadcast(cust), col("c_custkey") === col("o_custkey")),
+    // customer is SF-scaled (TPC-H: 150k rows PER SF) — no broadcast
+    // hint; AQE broadcasts the filtered segment when it measures small
+    // and shuffle-joins when it doesn't (a forced broadcast hard-fails
+    // at 8 GB long before 100 TB)
+    li.join(ord.join(cust, col("c_custkey") === col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey", "o_orderdate")
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).as("revenue"))
@@ -118,8 +122,10 @@ object RelationalQueries {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .select("o_orderkey")
+    // supplier is SF-scaled (10k rows per SF) — hint dropped, AQE
+    // decides; nation (25) and region (5) are constant-size, hints stay
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+      .join(sup, col("s_suppkey") === col("l_suppkey"))
       .join(broadcast(nat), col("n_nationkey") === col("s_nationkey"))
       .join(broadcast(reg), col("r_regionkey") === col("n_regionkey"))
       .groupBy("n_name")

@@ -42,8 +42,9 @@ object RelationalQueries3 {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val c = Tables(spark, dir, "customer")
     val n = Tables(spark, dir, "nation")
+    // customer is SF-scaled — no hint (AQE decides); nation is 25 rows
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec))
@@ -98,7 +99,8 @@ object RelationalQueries3 {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
     val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)
-    l.join(broadcast(Tables(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+    // part is SF-scaled (200k rows per SF) — no hint, AQE decides
+    l.join(Tables(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(Dec)))
         .cast("double").as("promo_revenue"),
         sum(rev).cast("double").as("total_revenue"),
@@ -107,7 +109,8 @@ object RelationalQueries3 {
 
   /** Supplier-side revenue rollup (the supplier mirror of Q5's
     * customer-nation path): revenue per supplier nation and region.
-    * Supplier, nation and region all broadcast; one agg shuffle.
+    * Nation and region broadcast (constant-size); supplier is SF-scaled
+    * so AQE picks its join side; one agg shuffle.
     */
   val qSupplierNation: QueryDef = QueryDef.sql(
     "q_supplier_nation",
@@ -120,7 +123,7 @@ object RelationalQueries3 {
       |JOIN region r ON r.r_regionkey = n.n_regionkey
       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
     Tables(spark, dir, "lineitem")
-      .join(broadcast(Tables(spark, dir, "supplier")),
+      .join(Tables(spark, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables(spark, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))

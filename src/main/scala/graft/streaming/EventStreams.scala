@@ -71,7 +71,12 @@ object EventStreams {
     * batch, so dim updates between batches are picked up), and the
     * stream side keeps NO state — unlike a stream-stream join there is
     * no watermark or buffer, which is why this is the preferred form
-    * whenever the dimension fits in memory.
+    * whenever the dimension fits in memory. PRECONDITION (broadcast
+    * ledger, PLANS.md round 12): the hint is forced because AQE does
+    * not replan micro-batches — so the caller's dim must be bounded
+    * (type/source enums, vocab, k-row artifacts), never a fact-scaled
+    * frame. A corpus-sized dimension belongs in a batch join or a
+    * pre-bucketed store, not a per-batch broadcast.
     */
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
@@ -224,7 +229,10 @@ object EventStreams {
     * micro-batch, so a late dimension load shows up as an orphan SPIKE
     * that then self-heals, which is exactly the operational signature
     * worth alerting on. State: only the windowed count's watermark
-    * horizon.
+    * horizon. Same boundedness precondition as `enriched`: the dim is
+    * force-broadcast per micro-batch (AQE does not replan streams), so
+    * it must stay artifact-sized; a billion-row user dim needs a
+    * batch-side reconciliation job instead.
     */
   def orphanMonitor(events: DataFrame, dim: DataFrame): DataFrame =
     events

@@ -23,6 +23,45 @@ class PlanShapeSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  /** Static plan with auto-broadcast ALSO disabled: the only
+    * BroadcastExchanges left are the ones a `broadcast()` hint FORCES —
+    * exactly the set that must never hold an unbounded frame (Spark
+    * hard-fails forced broadcasts over 8 GB, so a forced corpus-derived
+    * broadcast is a 100-TB query killer even when the sandbox receipts
+    * look fine). AQE-chosen broadcasts are out of scope by design:
+    * those are decided from exact runtime sizes and degrade gracefully.
+    */
+  private def forcedBroadcastPlan(mk: => DataFrame): SparkPlan = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try mk.queryExecution.executedPlan
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  /** Every FORCED broadcast operand must be provably 1-row: its subtree
+    * contains a global (zero grouping keys) aggregate boundary, so its
+    * cardinality is scale-invariant. Anything else — a per-text weight
+    * table, a band-bounded edge stream — must be left to AQE.
+    */
+  private def assertForcedBroadcastsAreScalar(plan: SparkPlan, name: String): Unit = {
+    val bx = plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b }
+    for (b <- bx) {
+      val scalar = b.child.collectFirst {
+        case h: HashAggregateExec if h.groupingExpressions.isEmpty => h
+        case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if s.groupingExpressions.isEmpty => s
+      }
+      assert(scalar.nonEmpty,
+        s"$name: forced broadcast of a non-scalar (potentially corpus-sized) frame:\n${b.child}")
+    }
+  }
+
   /** Every Window operator must sit on an AGGREGATED input (the
     * day/hour rollup) — i.e., somewhere below each window there is a
     * hash aggregate, so the one unpartitioned sort only ever sees the
@@ -95,16 +134,30 @@ class PlanShapeSpec extends SparkSpec {
       s"scan reads ${scans.head.requiredSchema.fieldNames.mkString(",")}")
   }
 
-  test("q10_returned: dimensions broadcast; the only Exchange keys the agg") {
+  test("q10_returned: dims broadcast at sandbox scale; customer never FORCED") {
     val plan = staticPlan(
       graft.queries.RelationalQueries3.q10Returned.fn(spark, sf0001))
     val bhj = plan.collect {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
-    assert(bhj.size >= 2, s"customer and nation must broadcast, got ${bhj.size}")
+    // at sf0.001 both dims are KB-sized: auto-broadcast (customer) plus
+    // the forced nation hint still plan both joins as BHJ
+    assert(bhj.size >= 2, s"customer and nation should broadcast at this SF, got ${bhj.size}")
     val shuffles = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
     // fact-side join on orderkey + final agg on custkey: at most these
     assert(shuffles.size <= 3, s"unexpected shuffles: ${shuffles.size}")
+    // round 12: customer is SF-scaled (150k rows/SF) — its broadcast
+    // must be AQE/threshold-chosen, never hint-FORCED (forced
+    // broadcasts hard-fail at 8 GB). With auto-broadcast off, no
+    // remaining BroadcastExchange may scan the customer table.
+    val forced = forcedBroadcastPlan(
+      graft.queries.RelationalQueries3.q10Returned.fn(spark, sf0001))
+    for (b <- forced.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b })
+      assert(b.child.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("customer") => s }.isEmpty,
+        s"customer under a FORCED BroadcastExchange:\n${b.child}")
   }
 
   test("vocab_coverage/token_cdf: the corpus is tokenized exactly once") {
@@ -200,6 +253,24 @@ class PlanShapeSpec extends SparkSpec {
       "token->id join regressed to a corpus-sorted SMJ")
     assert(plan.collectFirst { case w if w.nodeName.contains("Window") => w }.nonEmpty,
       "doc-scale shard window missing")
+  }
+
+  test("weighted-rep family: no corpus-derived frame under a forced BroadcastExchange") {
+    // round-12 gate (the round-11 verdict's `weak`): the four
+    // weighted-representative contractions join their rep-edge stream
+    // against a Θ(distinct-texts) weight table. That join must NOT be
+    // hint-forced to broadcast — on a low-duplication corpus distinct
+    // texts ≈ docs, and Spark hard-fails forced broadcasts at 8 GB, so
+    // the hint turns a graceful shuffle into a 100-TB crash. With the
+    // hints dropped, the only broadcasts a hint still forces in these
+    // plans are 1-row global aggregates (totals / scalar stats).
+    val fns = Seq(
+      "q_source_dup_matrix" -> graft.queries.CurationQueries14.sourceDupMatrix,
+      "q_source_overlap" -> graft.queries.DedupQueries.sourceOverlap,
+      "q_split_leakage" -> graft.queries.DedupQueries.splitLeakage,
+      "q_triangle_count" -> graft.queries.CurationQueries11.triangleCount)
+    for ((name, q) <- fns)
+      assertForcedBroadcastsAreScalar(forcedBroadcastPlan(q.fn(spark, sf0001)), name)
   }
 
   test("bigram_ppl: LM joins are hash-keyed, never cartesian") {
