@@ -66,4 +66,38 @@ object ModelArtifacts {
   def loadVocab(spark: SparkSession, path: String): Map[String, Long] =
     spark.read.parquet(path)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** IVF coarse-quantizer codebook: one row per centroid,
+    * `(cluster: long, cv: array<double>)` — k×dim, KB-sized at any
+    * corpus size. Doubles round-trip bit-exactly through parquet
+    * (IEEE754 stored verbatim), so a probe session that loads this
+    * artifact computes the SAME nearest-centroid argmins the training
+    * session would — the build-once serve-many split the reference
+    * runs (multirag.c:359 loads the prebuilt index at startup;
+    * build-vector-db-from-server.c:69-75 is the build side).
+    */
+  def saveCentroids(spark: SparkSession,
+                    cents: org.apache.spark.sql.DataFrame, path: String): Unit =
+    cents.select(col("cluster").cast("long").as("cluster"), col("cv"))
+      .repartition(1).sortWithinPartitions("cluster")
+      .write.mode("overwrite").parquet(path)
+
+  def loadCentroids(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path).select(col("cluster"), col("cv"))
+
+  /** PQ codebook: one row per (subspace, codeword),
+    * `(cm: long, code: long, cv: array<double>)` — M×K×(D/M) values,
+    * KB-sized. Same exact-double round-trip argument as
+    * [[saveCentroids]]: ADC lookup tables and encode argmins computed
+    * from the loaded artifact are bit-identical to in-session training.
+    */
+  def savePqCodebook(spark: SparkSession,
+                     cb: org.apache.spark.sql.DataFrame, path: String): Unit =
+    cb.select(col("cm").cast("long").as("cm"), col("code").cast("long").as("code"),
+        col("cv"))
+      .repartition(1).sortWithinPartitions("cm", "code")
+      .write.mode("overwrite").parquet(path)
+
+  def loadPqCodebook(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path).select(col("code"), col("cm"), col("cv"))
 }

@@ -323,8 +323,8 @@ object AnnQueries {
     * members (2^52 quantization), re-assembled into dim-ordered centroid
     * arrays `(cluster, cv)`. Shared by [[kmeans]] and [[ivfKmeans]].
     */
-  private def lloydUpdate(emb: org.apache.spark.sql.DataFrame,
-                          asg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def lloydUpdate(emb: org.apache.spark.sql.DataFrame,
+                                 asg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     asg.join(emb, "vec_id")
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("i0", "x")))
       .select(col("cluster"), col("i0"), floor(col("x") * S52d).cast("long").as("ix"))
@@ -333,6 +333,20 @@ object AnnQueries {
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("i0"), col("c")))),
         e => e.getField("c")).as("cv"))
+
+  /** The `q_ivf_kmeans` trained codebook as a standalone frame — the
+    * artifact a training session hands to [[graft.pipelines.ModelArtifacts
+    * .saveCentroids]] so probe sessions never re-run the Lloyd chain
+    * (ModelArtifactsSpec pins save → load → probe bit-for-bit against
+    * the in-session path).
+    */
+  private[graft] def ivfCodebook(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val seeds0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    lloydUpdate(emb, graft.operators.IvfIndex.assign(emb, seeds0))
+  }
 
   /** The full production ANN path in one query: TRAIN a codebook (one
     * Lloyd update from the seeds — the `q_kmeans` math), BUILD the

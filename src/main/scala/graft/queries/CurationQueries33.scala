@@ -356,5 +356,41 @@ object CurationQueries33 {
     res
   }
 
-  val all: Seq[QueryDef] = Seq(qualityTrain, qualityLogreg, qualityAuc)
+  /** ARTIFACT-BACKED scoring twin of [[qualityLogreg]] (round 12,
+    * verdict item 7): train (memo-shared with the triad), WRITE the
+    * weights to a parquet artifact, LOAD them back, and score from the
+    * LOADED copy — the registry-and-oracle-checked proof of the
+    * cross-session deployment path that was previously pinned only in
+    * ModelArtifactsSpec. The oracle SQL is [[qualityLogreg]]'s verbatim,
+    * so the driver's hash check demands the round-trip be EXACT (Q20
+    * integer weights — parquet longs, nothing to lose). SCALE: the
+    * artifact is 65 rows at any corpus size; write+read is a fixed
+    * cost, scoring is the same map-only pass as the logreg twin.
+    */
+  val qualityScoreArtifact: QueryDef = QueryDef.sql(
+    "q_quality_score_artifact",
+    s"""WITH RECURSIVE
+       |$TrainCtes,
+       |wf AS (SELECT w FROM st WHERE step = $Steps)
+       |SELECT f.doc_id,
+       |       CAST(list_sum(list_transform(list_zip(wf.w, f.f),
+       |         p -> p[1] * p[2])) AS BIGINT) // 10000 AS logit_q,
+       |       (CAST(list_sum(list_transform(list_zip(wf.w, f.f),
+       |         p -> p[1] * p[2])) AS BIGINT) // 10000) >= 0 AS keep
+       |FROM feat f, wf""".stripMargin) { (spark, dir) =>
+    val w = trajectory(spark, dir, "full", identity).last
+    val path = s"/tmp/graft_artifacts/${spark.sparkContext.applicationId}/" +
+      s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}/quality_w.parquet"
+    graft.pipelines.ModelArtifacts.saveWeights(spark, w.toSeq, path)
+    val loaded = graft.pipelines.ModelArtifacts.loadWeights(spark, path)
+    val wc = typedLit(loaded.toSeq)
+    features(spark, dir)
+      .withColumn("dot",
+        aggregate(zip_with(col("f"), wc, (x, y) => x * y), lit(0L), (a, b) => a + b))
+      .select(col("doc_id"), expr("dot DIV 10000").as("logit_q"),
+        (expr("dot DIV 10000") >= 0).as("keep"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qualityTrain, qualityLogreg, qualityAuc, qualityScoreArtifact)
 }

@@ -53,16 +53,30 @@ object PqQueries {
        |            FROM d) WHERE rn = 1)""".stripMargin
 
   /** (vec_id, subspace) rows with the subvector slice, Spark side. */
-  private def subspaces(emb: DataFrame): DataFrame =
+  private[graft] def subspaces(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), explode(transform(sequence(lit(0), lit(M - 1)),
       m => struct(m.cast("long").as("m"),
         slice(col("embedding"), m * SubDim + 1, lit(SubDim)).as("sv")))).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
 
-  /** Argmin code per (vec_id, subspace) against the broadcast codebook. */
-  private def pqAssign(sub: DataFrame): DataFrame = {
-    val cb = sub.filter(col("vec_id") < K)
+  /** The seeded PQ codebook `(code, cm, cv)` as a standalone frame —
+    * the artifact [[graft.pipelines.ModelArtifacts.savePqCodebook]]
+    * persists so encode/ADC sessions skip re-deriving it
+    * (ModelArtifactsSpec pins the loaded-artifact encode against
+    * `q_pq_codes` bit-for-bit).
+    */
+  private[graft] def codebookOf(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < K)
       .select(col("vec_id").as("code"), col("m").as("cm"), col("sv").as("cv"))
+
+  /** Argmin code per (vec_id, subspace) against the broadcast codebook. */
+  private def pqAssign(sub: DataFrame): DataFrame =
+    pqAssignWith(sub, codebookOf(sub))
+
+  /** [[pqAssign]] against an EXPLICIT codebook frame — the loaded-
+    * artifact encode path (codebook schema: code, cm, cv).
+    */
+  private[graft] def pqAssignWith(sub: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d2").asc, col("code").asc)
     sub.join(broadcast(cb), col("cm") === col("m"))

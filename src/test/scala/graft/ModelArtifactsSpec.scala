@@ -42,6 +42,65 @@ class ModelArtifactsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("ivf codebook: save -> load -> probe equals q_ivf_kmeans exactly") {
+    // the build-once serve-many split for the coarse quantizer: the
+    // probe session builds its index and answers from the LOADED
+    // centroid artifact, never re-running the Lloyd chain
+    val path = Files.createTempDirectory("ivfart").toString + "/centroids.parquet"
+    val trained = graft.queries.AnnQueries.ivfCodebook(spark, sf0001)
+    graft.pipelines.ModelArtifacts.saveCentroids(spark, trained, path)
+    val loaded = graft.pipelines.ModelArtifacts.loadCentroids(spark, path)
+    // doubles must round-trip bit-for-bit (IEEE754 through parquet)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cluster").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toList
+    assert(canon(loaded) == canon(trained), "centroids must round-trip exactly")
+    // serve from the artifact: index build + nearest-centroid probe +
+    // exact re-rank, the q_ivf_kmeans tail, fed ONLY by `loaded`
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val indexDir = Files.createTempDirectory("ivfserve").toString + "/idx"
+    graft.operators.IvfIndex.build(emb, loaded, indexDir)
+    val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val best = graft.operators.IvfIndex.nearestClusters(loaded, qvec, 1)
+    val qlit = array(qvec.map(lit): _*)
+    val got = graft.operators.IvfIndex.probe(spark, indexDir, best)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("dist",
+        graft.functions.VectorFunctions.cosineDistance(col("embedding"), qlit))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(5)
+      .select(col("cluster").cast("long").as("probe_cluster"),
+        col("vec_id").as("nid"), col("dist"))
+    val want = SparkEntry.queries("q_ivf_kmeans")(spark, sf0001)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "loaded-artifact probe must equal the in-session train+probe path")
+  }
+
+  test("pq codebook: save -> load -> encode equals q_pq_codes exactly") {
+    val path = Files.createTempDirectory("pqart").toString + "/codebook.parquet"
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val sub = graft.queries.PqQueries.subspaces(emb)
+    val trained = graft.queries.PqQueries.codebookOf(sub)
+    graft.pipelines.ModelArtifacts.savePqCodebook(spark, trained, path)
+    val loaded = graft.pipelines.ModelArtifacts.loadPqCodebook(spark, path)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cm", "code").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toList)).toList
+    assert(canon(loaded.select(col("cm"), col("code"), col("cv")))
+      == canon(trained.select(col("cm"), col("code"), col("cv"))),
+      "PQ codebook must round-trip exactly")
+    val got = graft.queries.PqQueries.pqAssignWith(sub, loaded)
+    val want = SparkEntry.queries("q_pq_codes")(spark, sf0001)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "loaded-codebook encode must equal the in-session encode")
+  }
+
+  test("quality weights artifact query: hash-identical to q_quality_logreg") {
+    val got = SparkEntry.queries("q_quality_score_artifact")(spark, sf0001)
+    val want = SparkEntry.queries("q_quality_logreg")(spark, sf0001)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "artifact-backed scoring must equal in-session scoring")
+  }
+
   test("trajectory determinism: memo-cleared retrain reproduces identical weights") {
     // the memo's correctness precondition, checked directly: training
     // is a pure function of (dir, split) — clear the session memo,
