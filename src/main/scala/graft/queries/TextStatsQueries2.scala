@@ -15,8 +15,10 @@ import graft.functions.TextFunctions.tokens
   */
 object TextStatsQueries2 {
 
-  /** Fixed context length (BPE tokens per packed block). */
-  private val CtxLen = 256
+  /** Fixed context length (BPE tokens per packed block); shared with
+    * the streaming packer ([[graft.streaming.PackerStreams]]).
+    */
+  private[graft] val CtxLen = 256
 
   /** BPE-ID SEQUENCE PACKING — train the merge table (memoized,
     * [[TextStatsQueries.learnedMergeRows]]), encode the corpus

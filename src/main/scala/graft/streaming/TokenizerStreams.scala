@@ -32,6 +32,15 @@ object TokenizerStreams {
     * aggregates are HOF folds over the row's OWN token array — no
     * explode, no shuffle: a document is a complete unit of work, which
     * is what makes the same expression correct on an unbounded stream.
+    * OOV handling (round 12, the ADVICE finding): a crawl stream WILL
+    * contain tokens absent from the batch-built vocab, and a bare
+    * `element_at` returns null there — silently nulling `id_sum` /
+    * `id_posw` while `n_tok` stays populated. Unknown tokens therefore
+    * map to the reserved UNK id 0 (vocabulary ranks are 1-based), so
+    * every checksum stays total; on the training corpus (where OOV
+    * cannot occur) the coalesce is a no-op and the batch pin is
+    * unchanged. Consumers that must QUANTIFY vocabulary misses use
+    * `q_oov_rate`'s counting shape rather than this scorer.
     */
   def encodedDocs(docs: DataFrame, merges: Seq[(String, String)],
                   vocab: Map[String, Long]): DataFrame = {
@@ -41,7 +50,7 @@ object TokenizerStreams {
     val vlit = typedLit(vocab)
     docs
       .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
-        transform(toks, t => element_at(vlit, t)).as("ids"))
+        transform(toks, t => coalesce(element_at(vlit, t), lit(0L))).as("ids"))
       .filter(size(col("ids")) >= 1)
       .select(col("doc_id"),
         size(col("ids")).cast("long").as("n_tok"),

@@ -592,6 +592,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming sequence packer: full blocks equal q_seq_pack_bpe, state carries partials") {
+    // the one pipeline stage whose streaming form needs keyed state: a
+    // block can end mid-document, so the partial block carries across
+    // micro-batches (seven longs per shard). Feed the corpus as four
+    // doc_id-range chunks with increasing mtimes (maxFilesPerTrigger=1
+    // => four micro-batches in doc_id order — the packer's arrival-order
+    // contract); streamed FULL blocks must equal the batch packer's
+    // full blocks exactly, and the trailing partials must stay unsent.
+    val srcDir = Files.createTempDirectory("pack-stream").toString
+    val docs = Tables(spark, sf0001, "documents")
+      .select("lang", "doc_id", "text")
+    val ids = docs.select("doc_id").orderBy("doc_id").as[Long].collect()
+    val cuts = (1 to 3).map(i => ids(i * ids.length / 4))
+    val ranges = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val f = new java.io.File(srcDir, s"chunk$i")
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(f.toString)
+      // distinct, increasing mtimes: the file source processes oldest
+      // first, making arrival order = doc_id-chunk order
+      for (p <- f.listFiles()) p.setLastModified(1700000000000L + i * 60000L)
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val (merges, vocab) =
+      graft.queries.TextStatsQueries.tokenizerArtifacts(spark, sf0001)
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = graft.streaming.PackerStreams.packedBlocks(stream, merges, vocab)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("packed").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT * FROM packed")
+    val batch = SparkEntry.queries("q_seq_pack_bpe")(spark, sf0001)
+    val want = batch.filter(col("n_tok") === 256)
+    assert(got.count() == want.count() && want.count() > 0,
+      "fixture must produce full blocks across micro-batch boundaries")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed full blocks must equal the batch packer bit-for-bit")
+    // the carried partials are exactly the batch's per-shard tails
+    assert(batch.filter(col("n_tok") =!= 256).count() > 0,
+      "fixture must leave a partial block in carry-over state")
+  }
+
   test("streaming shard manifest: latest snapshots equal the batch manifest") {
     // many small files + maxFilesPerTrigger=2 => the xor fold really runs
     // across micro-batches; the property under test is that ANY batching
