@@ -80,14 +80,20 @@ object CurationQueries11 {
     val cl = base.groupBy("ck")
       .agg(min(col("doc_id")).as("rid"), min(col("simhash")).as("simhash"),
         count(lit(1)).as("n"))
-      .localCheckpoint() // Θ(texts) cluster frame: sigs + size weights
+      // Θ(texts) cluster frame: sigs + size weights. DURABILITY:
+      // lineage-severed, non-replicated (PLANS.md round-12 ledger) —
+      // fine in a bench JVM, a reliable checkpoint on preemptible
+      // clusters.
+      .localCheckpoint()
     val e = Dedup.simhashPairs(cl.select(col("rid"), col("simhash")), "rid", 1, bandBits = 30)
       .select(col("ida"), col("idb")).distinct()
     val wts = cl.select(col("rid"), col("n"))
     val ew = e
       .join(wts.select(col("rid").as("ida"), col("n").as("na")), "ida")
       .join(wts.select(col("rid").as("idb"), col("n").as("nb")), "idb")
-      .localCheckpoint() // rep edges + weights feed 4 consumers
+      // rep edges + weights feed 4 consumers; pair-bounded, not
+      // corpus-bounded, but same durability class (round-12 ledger)
+      .localCheckpoint()
     // per-cluster external mass Σ_{B∼A} n_B
     val degE = ew.select(col("ida").as("rid"), col("nb").as("nn"))
       .unionAll(ew.select(col("idb").as("rid"), col("na").as("nn")))

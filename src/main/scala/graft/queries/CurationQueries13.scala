@@ -72,6 +72,106 @@ object CurationQueries13 {
         .select(col("ida"), col("idb"), col("containment"))
   }
 
+  /** CAPPED containment diagnostic (round 12, verdict item 6) — the
+    * bounded companion of [[overlapJoin]]: that reporter's output IS
+    * the pair list, Θ(cluster²) on a mega-duplicate corpus BY
+    * DEFINITION (143 s at the 100x dup replica, honestly priced in
+    * PLANS.md). What a pipeline dashboard actually consults is the
+    * per-DOCUMENT summary — how many containment partners each doc has
+    * at ≥0.8 and the strongest one — which is Θ(docs) output at any dup
+    * rate. Same machinery, same threshold, aggregated instead of
+    * enumerated.
+    *
+    * SCALE — the weighted-representative contraction applied to a
+    * per-doc rollup: candidates and containment are functions of TEXT
+    * alone, so exact-dup cluster members all share one summary —
+    * within a cluster every member pairs with the other n−1 at
+    * containment 1.0 (identical sets), and a verified rep edge (A,B)
+    * gives every member of A exactly n_B partners at cont(A,B).
+    * Prefix-filtered candidate generation and the set-verify run over
+    * DISTINCT TEXTS only; the single corpus-shaped step is the final
+    * ck-keyed expansion join of the |clusters|-row summary back to
+    * members. The mega-dup adversary collapses to one rep before any
+    * pair machinery — CI-gated slope in ScaleSlopeSpec's family.
+    */
+  val overlapTop: QueryDef = QueryDef.sql(
+    "q_overlap_top",
+    s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql("string_split(text, ' ')", 3)}) AS s
+       |            FROM documents),
+       |hs AS (SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM sh),
+       |card AS (SELECT doc_id, count(*) AS c FROM hs GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+       |          FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |prs AS (SELECT i.ida, i.idb,
+       |               CAST(i.i AS DOUBLE) / least(ca.c, cb.c) AS cont
+       |        FROM inter i JOIN card ca ON ca.doc_id = i.ida
+       |                     JOIN card cb ON cb.doc_id = i.idb
+       |        WHERE CAST(i.i AS DOUBLE) / least(ca.c, cb.c) >= 0.8),
+       |dd AS (SELECT ida AS doc_id, cont FROM prs
+       |       UNION ALL SELECT idb, cont FROM prs)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+       |       max(cont) AS max_containment
+       |FROM dd GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), Dedup.contentKey(col("text")).as("ck"))
+    val cl = base.groupBy("ck")
+      .agg(min(col("doc_id")).as("rid"), count(lit(1)).as("n"))
+      // Θ(texts) cluster frame, read by the rep filter, the summary,
+      // and the expansion (durability: lineage-severed, non-replicated
+      // — the round-12 ledger class)
+      .localCheckpoint()
+    // prefix-filtered candidates + set verify over DISTINCT texts only
+    val repDocs = docs.join(cl.select(col("rid")),
+      docs("doc_id") === col("rid"), "left_semi")
+    val hs = Dedup.shingleHashTable(repDocs, "doc_id", "text", 3)
+    val df_ = hs.groupBy("h").agg(count(lit(1)).as("df"))
+    val sorted = hs.join(df_, "h")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"))
+    val pref = sorted.select(col("doc_id"),
+      explode(expr("slice(sh, 1, CAST(size(sh) - (8 * size(sh) + 9) DIV 10 + 1 AS INT))"))
+        .as("p"))
+      .select(col("doc_id").as("pid"), col("p.h").as("h"))
+    val cand = pref.join(hs.select(col("doc_id").as("fid"), col("h")), "h")
+      .filter(col("pid") =!= col("fid"))
+      .select(least(col("pid"), col("fid")).as("ida"),
+        greatest(col("pid"), col("fid")).as("idb"))
+      .distinct()
+    val edges = Dedup.jaccardForPairsSets(cand,
+        Dedup.shingleSets(repDocs, "doc_id", "text", 3), "doc_id")
+      .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("cont") >= 0.8)
+      .select(col("ida"), col("idb"), col("cont"))
+    // per-rep external partner mass and best cross containment (no
+    // broadcast hint — the weight frame is Θ(texts), AQE decides)
+    val wts = cl.select(col("rid"), col("n"))
+    val ext = edges
+      .join(wts.select(col("rid").as("idb"), col("n").as("nb")), "idb")
+      .select(col("ida").as("rid"), col("nb").as("mass"), col("cont"))
+      .unionByName(edges
+        .join(wts.select(col("rid").as("ida"), col("n").as("na")), "ida")
+        .select(col("idb").as("rid"), col("na").as("mass"), col("cont")))
+      .groupBy("rid").agg(sum("mass").as("ext"), max("cont").as("maxc"))
+    // docs with <3 tokens have NO shingles, never sign, never pair —
+    // and by construction never appear in `edges`; within-cluster 1.0
+    // partners require a non-empty set, which having any edge or any
+    // shingle implies. Detect shingled clusters from the hs table.
+    val shingled = hs.select(col("doc_id").as("rid")).distinct()
+      .withColumn("hasSh", lit(true))
+    val summary = cl.join(ext, Seq("rid"), "left")
+      .join(shingled, Seq("rid"), "left")
+      .select(col("ck"),
+        (when(coalesce(col("hasSh"), lit(false)) && col("n") >= 2, col("n") - 1)
+          .otherwise(0L) + coalesce(col("ext"), lit(0L))).as("n_partners"),
+        when(coalesce(col("hasSh"), lit(false)) && col("n") >= 2,
+          greatest(lit(1.0), coalesce(col("maxc"), lit(0.0))))
+          .otherwise(col("maxc")).as("max_containment"))
+      .filter(col("n_partners") >= 1)
+    base.join(summary, "ck")
+      .select(col("doc_id"), col("n_partners"), col("max_containment"))
+  }
+
   /** HLL MERGE LAW in the oracle gate: split events into halves by
     * event_id parity, build the q_hll_sketch registers for each half
     * and for the whole stream, max-merge the halves, and report the
@@ -218,5 +318,5 @@ object CurationQueries13 {
         when(col("cum_tokens") <= expr("t DIV 4"), "full").otherwise("partial").as("taken"))
   }
 
-  val all: Seq[QueryDef] = Seq(overlapJoin, hllMerge, budgetSelect)
+  val all: Seq[QueryDef] = Seq(overlapJoin, overlapTop, hllMerge, budgetSelect)
 }

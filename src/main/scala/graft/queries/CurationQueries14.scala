@@ -288,7 +288,11 @@ object CurationQueries14 {
     val cs = base.groupBy("ck", "source").agg(count(lit(1)).as("n"))
       .join(cl.select(col("ck"), col("rid")), "ck")
       .select(col("rid"), col("source"), col("n"))
-      .localCheckpoint() // Θ(texts × sources) weight table, read 4x below
+      // Θ(texts × sources) weight table, read 4x below. DURABILITY:
+      // lineage-severed, non-replicated (PLANS.md round-12 ledger) —
+      // executor loss fails the query; preemptible clusters swap in a
+      // reliable checkpoint, same plan shape.
+      .localCheckpoint()
     // (b) cross-cluster: band-join the DISTINCT-text signatures only
     val e = Dedup.simhashPairs(cl.select(col("rid"), col("simhash")), "rid", 1, bandBits = 30)
       .select("ida", "idb")

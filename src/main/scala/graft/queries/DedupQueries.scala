@@ -159,11 +159,19 @@ object DedupQueries {
     val cl = base.groupBy("ck")
       .agg(min(col("doc_id")).as("rid"), min(col("hasSh")).as("hasSh"),
         min(col("sig")).as("sig"))
-      .localCheckpoint() // Θ(texts) cluster frame feeds sigs + weights
+      // Θ(texts) cluster frame feeds sigs + weights. DURABILITY:
+      // lineage-severed + non-replicated (executor loss kills the
+      // query, no recompute path) — the PLANS.md round-12 ledger's
+      // accepted trade for multi-read corpus-scale frames in a bench
+      // JVM; a preemptible cluster swaps this call for a reliable
+      // checkpoint and keeps the same plan shape.
+      .localCheckpoint()
     val cs = base.groupBy("ck", "source").agg(count(lit(1)).as("n"))
       .join(cl.select(col("ck"), col("rid"), col("hasSh")), "ck")
       .select(col("rid"), col("source"), col("n"), col("hasSh"))
-      .localCheckpoint() // Θ(texts × sources) weight table, read 4x
+      // Θ(texts × sources) weight table, read 4x; same durability
+      // class as `cl` above (ledger: lineage-severed, non-replicated)
+      .localCheckpoint()
     val repSig = cl.filter(col("hasSh"))
       .select(Seq(col("rid")) ++ (0 until 8).map(i => col(s"sig.m$i").as(s"m$i")): _*)
     val sets = docs.select(col("doc_id").as("rid"),
@@ -822,7 +830,11 @@ object DedupQueries {
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
-      .localCheckpoint() // Θ(texts) cluster frame: sigs + weights + splits
+      // Θ(texts) cluster frame: sigs + weights + splits. DURABILITY:
+      // lineage-severed, non-replicated (PLANS.md round-12 ledger) —
+      // executor loss fails the query; a real cluster uses a reliable
+      // checkpoint here.
+      .localCheckpoint()
     val repSig = cl.filter(col("hasSh"))
       .select(Seq(col("rid")) ++ (0 until 8).map(i => col(s"sig.m$i").as(s"m$i")): _*)
     val sets = docs.select(col("doc_id").as("rid"),
@@ -839,7 +851,9 @@ object DedupQueries {
         least(col("sa"), col("sb")).as("split_a"),
         greatest(col("sa"), col("sb")).as("split_b"),
         col("na"), col("nb"))
-      .localCheckpoint() // rep edge stream feeds pair counts + participation
+      // rep edge stream feeds pair counts + participation (edge-
+      // bounded; durability class as the cluster frame above)
+      .localCheckpoint()
     val within = cl.filter(col("hasSh") && col("n") >= 2)
       .select(col("rid"), col("split").as("split_a"), col("split").as("split_b"),
         expr("n * (n - 1) DIV 2").as("w"), col("n"))

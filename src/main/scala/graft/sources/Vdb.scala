@@ -162,21 +162,41 @@ object Vdb {
     * (e.g. double → binary quantization at compaction time) and is
     * honored as such.
     */
+  /** `.vdb` parts under `dir`, via the Hadoop FileSystem API so the
+    * guards below see the SAME files `readDir`'s binaryFile scan does
+    * on any path scheme — a `java.io.File` listing silently returns
+    * empty on hdfs://-style paths, which would skip the stale-part
+    * guard and fail type detection with a misleading message (the
+    * round-11 ADVICE finding).
+    */
+  private def listVdbParts(spark: SparkSession,
+                           dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".vdb"))
+      .map(_.getPath)
+  }
+
   def compact(spark: SparkSession, inDirs: Seq[String], outDir: String,
               targetParts: Int = 0, tpe: Byte = TypeAuto): Unit = {
-    val stale = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".vdb"))
+    val stale = listVdbParts(spark, outDir)
     require(stale.isEmpty,
       s"compact: $outDir already contains ${stale.length} .vdb part(s); " +
         "a partial overwrite would leave stale parts that readDir unions back in — " +
         "compact into an empty directory")
     val outType = if (tpe != TypeAuto) tpe else {
+      val hconf = spark.sparkContext.hadoopConfiguration
       val inTypes = inDirs.flatMap { d =>
-        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".vdb")).map { f =>
-            val in = new java.io.FileInputStream(f)
-            try { val h = new Array[Byte](5); in.read(h); h(4) } finally in.close()
-          }
+        listVdbParts(spark, d).map { f =>
+          val in = f.getFileSystem(hconf).open(f)
+          // exactly 5 header bytes — readFully loops over short reads
+          // and throws EOFException on a truncated part instead of
+          // leaving h(4)=0 (= TypeBinary) from an unchecked read
+          try { val h = new Array[Byte](5); in.readFully(h); h(4) }
+          finally in.close()
+        }
       }.distinct
       require(inTypes.size == 1,
         s"compact: input dirs carry type tags ${inTypes.mkString(",")} — " +

@@ -133,6 +133,11 @@ class ScaleSlopeSpec extends SparkSpec {
     // the wide form, and the graph consumers are pinned here so none
     // can silently narrow back to a saturating band key
     "q_source_dup_matrix" -> 1.5,
+    // round-12: the capped containment diagnostic — per-doc rollup of
+    // the q_overlap_join machinery through the weighted-rep
+    // contraction; pinned so the summary can't regress to enumerating
+    // the pair clique it exists to avoid
+    "q_overlap_top" -> 1.5,
     // round-9 batch 32: k-center is K map-only scans + TakeOrdered(1)
     // per round (no shuffle, no distance matrix) and the LRS binary
     // search is O(log maxDocLen) verified shingle passes — both pinned
