@@ -84,5 +84,46 @@ object AnnQueries2 {
         col("hits"), expr("hits * 10000 DIV n_truth").as("recall_bp"))
   }
 
-  val all: Seq[QueryDef] = Seq(filteredAnn)
+  /** ARTIFACT-BACKED IVF serving (round 12) — `q_ivf_kmeans` split at
+    * the deployment seam: TRAIN the codebook, PERSIST it
+    * ([[graft.pipelines.ModelArtifacts.saveCentroids]]), then build the
+    * physical index AND answer the probe entirely from the LOADED
+    * artifact — the reference's build-once serve-many shape
+    * (multirag.c:359 reads the prebuilt index at startup;
+    * build-vector-db-from-server.c:69-75 is the build job). The oracle
+    * is `q_ivf_kmeans`'s SQL verbatim, so the driver's hash gate
+    * demands the artifact round-trip be EXACT (doubles through parquet
+    * — bit-preserving). Training executes exactly ONCE here: the
+    * artifact write is the materialization barrier (the role the
+    * localCheckpoint plays in `q_ivf_kmeans`), and both the probe-side
+    * collect and the index build read the parquet copy. SCALE: the
+    * artifact is k×dim at any corpus size; index build is one
+    * broadcast-assignment write; the probe scans only the matched
+    * partition (partition pruning — the `q_ivf_pruned` evidence).
+    */
+  val ivfProbeArtifact: QueryDef = QueryDef.sql(
+    "q_ivf_probe_artifact",
+    AnnQueries.ivfKmeans.oracle.get) { (spark, dir) =>
+    import graft.operators.IvfIndex
+    val base = s"/tmp/graft_artifacts/${spark.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.pipelines.ModelArtifacts.saveCentroids(spark,
+      AnnQueries.ivfCodebook(spark, dir), s"$base/ivf_centroids.parquet")
+    val loaded = graft.pipelines.ModelArtifacts
+      .loadCentroids(spark, s"$base/ivf_centroids.parquet")
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    IvfIndex.build(emb, loaded, s"$base/ivf_idx")
+    val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val best = IvfIndex.nearestClusters(loaded, qvec, 1)
+    val qlit = array(qvec.map(lit): _*)
+    IvfIndex.probe(spark, s"$base/ivf_idx", best)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("dist", cosineDistance(col("embedding"), qlit))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(5)
+      .select(col("cluster").cast("long").as("probe_cluster"),
+        col("vec_id").as("nid"), col("dist"))
+  }
+
+  val all: Seq[QueryDef] = Seq(filteredAnn, ivfProbeArtifact)
 }

@@ -283,5 +283,28 @@ object PqQueries {
         col("vec_id").as("nid"), col("ad2"))
   }
 
-  val all: Seq[QueryDef] = Seq(pqCodes, pqRecall, hardNegatives, ivfPq)
+  /** ARTIFACT-BACKED PQ encode (round 12) — `q_pq_codes` split at the
+    * deployment seam, the PQ sibling of `q_ivf_probe_artifact`: derive
+    * the codebook, PERSIST it
+    * ([[graft.pipelines.ModelArtifacts.savePqCodebook]]), and encode
+    * the corpus against the LOADED copy. Oracle = `q_pq_codes`'s SQL
+    * verbatim, so the driver's hash gate proves the double round-trip
+    * exact. SCALE: the artifact is M×K×(D/M) values at any corpus
+    * size; the encode is the same broadcast-argmin map pass.
+    */
+  val pqCodesArtifact: QueryDef = QueryDef.sql(
+    "q_pq_codes_artifact",
+    pqCodes.oracle.get) { (spark, dir) =>
+    val base = s"/tmp/graft_artifacts/${spark.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val sub = subspaces(emb)
+    graft.pipelines.ModelArtifacts.savePqCodebook(spark,
+      codebookOf(sub), s"$base/pq_codebook.parquet")
+    pqAssignWith(sub, graft.pipelines.ModelArtifacts
+      .loadPqCodebook(spark, s"$base/pq_codebook.parquet"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(pqCodes, pqCodesArtifact, pqRecall, hardNegatives, ivfPq)
 }
