@@ -100,4 +100,24 @@ object ModelArtifacts {
 
   def loadPqCodebook(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(path).select(col("code"), col("cm"), col("cv"))
+
+  /** K-center coreset: the greedy farthest-first selection in pick
+    * order — `(step, picked, radius_q)`, where `picked` is a CORPUS ROW
+    * ID and `radius_q` the pick's distance-when-chosen (the
+    * 2-approximation coverage certificate). Vectors are deliberately
+    * NOT duplicated into the artifact: centers are ids into the
+    * immutable corpus (the id-selector convention), so a serving
+    * session semi-joins them back from the embeddings table — k rows
+    * at any corpus size. All-integer rows round-trip exactly.
+    */
+  def saveCoreset(spark: SparkSession,
+                  sel: org.apache.spark.sql.DataFrame, path: String): Unit =
+    sel.select(col("step").cast("long").as("step"),
+        col("picked").cast("long").as("picked"),
+        col("radius_q").cast("long").as("radius_q"))
+      .repartition(1).sortWithinPartitions("step")
+      .write.mode("overwrite").parquet(path)
+
+  def loadCoreset(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path).select(col("step"), col("picked"), col("radius_q"))
 }

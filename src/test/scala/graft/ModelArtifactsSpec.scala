@@ -101,6 +101,37 @@ class ModelArtifactsSpec extends SparkSpec {
       "artifact-backed scoring must equal in-session scoring")
   }
 
+  test("kcenter coreset: save -> load round-trips; loaded centers certify coverage") {
+    val path = Files.createTempDirectory("coreset").toString + "/coreset.parquet"
+    val want = SparkEntry.queries("q_kcenter_coreset")(spark, sf0001)
+    graft.pipelines.ModelArtifacts.saveCoreset(spark, want, path)
+    val loaded = graft.pipelines.ModelArtifacts.loadCoreset(spark, path)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(canon(loaded) == canon(want), "coreset must round-trip exactly")
+    // SERVE from the artifact: fetch center vectors by id (the
+    // id-selector convention — k-row semi-join against the corpus) and
+    // check the 2-approximation certificate the artifact carries: every
+    // point's nearest-center distance is <= the final pick's radius
+    // (greedy farthest-first picks the WORST point each round, so the
+    // last radius bounds all remaining points)
+    val q20 = 1048576.0
+    val emb = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * lit(q20)).cast("long")).as("e"))
+    val centers = emb.join(loaded.select(col("picked").as("vec_id")), "vec_id")
+      .collect().map(_.getSeq[Long](1).toArray)
+    val mind = centers.map(c =>
+      aggregate(zip_with(col("e"), typedLit(c.toSeq),
+        (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b))
+      .reduce(least(_, _))
+    val maxMin = emb.agg(max(mind)).collect()(0).getLong(0)
+    val lastRadius = canon(loaded).last._3
+    assert(maxMin <= lastRadius,
+      s"coverage certificate violated: max min-dist $maxMin > radius $lastRadius")
+  }
+
   test("trajectory determinism: memo-cleared retrain reproduces identical weights") {
     // the memo's correctness precondition, checked directly: training
     // is a pure function of (dir, split) — clear the session memo,
