@@ -72,7 +72,7 @@ object AnnQueries {
       .select(col("label"), (col("i0") + 1).cast("long").as("i"),
         floor(col("x") * S52d).cast("long").as("ix"))
       .groupBy("label", "i")
-      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("centroid"))
+      .agg((sum(col("ix").cast("decimal(38,0)")).cast("double") / S52d / count(lit(1))).as("centroid"))
   }
 
   private val CentCte =
@@ -102,7 +102,7 @@ object AnnQueries {
     // dataset-id disambiguation (cent derives from ed, so `cent("i") ===
     // ed("i")` is one refactor away from a trivially-true predicate)
     val cent = ed.groupBy("label", "i")
-      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+      .agg((sum(col("ix").cast("decimal(38,0)")).cast("double") / S52d / count(lit(1))).as("c"))
       .withColumnRenamed("label", "clabel")
       .withColumnRenamed("i", "ci")
     ed.join(cent, col("clabel") === col("label") && col("ci") === col("i"))
@@ -141,7 +141,7 @@ object AnnQueries {
       .select(col("label"), (col("i0") + 1).cast("long").as("i"),
         floor(col("x") * S52d).cast("long").as("ix"))
     val cent = ed.groupBy("label", "i")
-      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+      .agg((sum(col("ix").cast("decimal(38,0)")).cast("double") / S52d / count(lit(1))).as("c"))
     // query dims as a literal-joined frame: reuse the collected vector
     val qd = cent.select(col("label"), col("i"), col("c"),
       element_at(qlit, col("i").cast("int")).as("qx"))
@@ -329,7 +329,7 @@ object AnnQueries {
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("i0", "x")))
       .select(col("cluster"), col("i0"), floor(col("x") * S52d).cast("long").as("ix"))
       .groupBy("cluster", "i0")
-      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+      .agg((sum(col("ix").cast("decimal(38,0)")).cast("double") / S52d / count(lit(1))).as("c"))
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("i0"), col("c")))),
         e => e.getField("c")).as("cv"))
@@ -569,7 +569,7 @@ object AnnQueries {
       .select(col("label"), col("vec_id"), (col("i0") + 1).as("i"), col("x"),
         floor(col("x") * S52d).cast("long").as("ix"))
     val cent = ed.groupBy("label", "i")
-      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+      .agg((sum(col("ix").cast("decimal(38,0)")).cast("double") / S52d / count(lit(1))).as("c"))
     val centC = cent.withColumnRenamed("label", "clabel").withColumnRenamed("i", "ci")
     val sp = ed.join(centC, col("clabel") === col("label") && col("ci") === col("i"))
       .select(col("label"), col("vec_id"),
@@ -636,7 +636,7 @@ object AnnQueries {
       .select(col("half"), col("label"), (col("i0") + 1).cast("long").as("i"),
         floor(col("x") * S52d).cast("long").as("ix"))
     val c = ed.groupBy("label", "i", "half")
-      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+      .agg((sum(col("ix").cast("decimal(38,0)")).cast("double") / S52d / count(lit(1))).as("c"))
     val cnt = emb.groupBy(col("label"), (col("vec_id") % 2).as("half"))
       .agg(count(lit(1)).as("n"))
     val a = c.filter(col("half") === 0)
@@ -777,7 +777,7 @@ object AnnQueries {
     val cent = ed
       .select(col("label"), col("i"), floor(col("x") * S52d).cast("long").as("ix"))
       .groupBy("label", "i")
-      .agg((sum(col("ix")).cast("double") / S52d / count(lit(1))).as("c"))
+      .agg((sum(col("ix").cast("decimal(38,0)")).cast("double") / S52d / count(lit(1))).as("c"))
       .select(col("label").as("olabel"), col("i"), col("c"))
     val d = ed.join(broadcast(cent), "i")
       .select(col("vec_id"), col("label"), col("olabel"),

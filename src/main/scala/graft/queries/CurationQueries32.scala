@@ -173,6 +173,25 @@ object CurationQueries32 {
     kcenterRun(spark, dir, K, incremental = true)
   }
 
+  /** ARTIFACT-BACKED coreset (round 12) — the k-center member of the
+    * artifact-twin family (`q_quality_score_artifact` /
+    * `q_ivf_probe_artifact` / `q_pq_codes_artifact` /
+    * `q_bpe_encode_artifact`): run the selection, PERSIST it
+    * ([[graft.pipelines.ModelArtifacts.saveCoreset]]), and emit the
+    * LOADED copy under [[kcenterCoreset]]'s oracle — for a coreset the
+    * artifact IS the served output (center ids + radius certificates;
+    * downstream pruning semi-joins the ids), so the round-trip is the
+    * whole serving path and the driver's hash gate proves it exact.
+    */
+  val kcenterArtifact: QueryDef = QueryDef.sql(
+    "q_kcenter_artifact", kcenterCoreset.oracle.get) { (spark, dir) =>
+    val path = s"/tmp/graft_artifacts/${spark.sparkContext.applicationId}/" +
+      s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}/kcenter_coreset.parquet"
+    graft.pipelines.ModelArtifacts.saveCoreset(spark,
+      kcenterRun(spark, dir, K, incremental = true), path)
+    graft.pipelines.ModelArtifacts.loadCoreset(spark, path)
+  }
+
   /** LONGEST REPEATED SPAN — the exact answer to "what is the longest
     * token sequence this corpus contains twice?" (overlaps and
     * same-document repeats count, spans never cross documents): binary
@@ -262,5 +281,6 @@ object CurationQueries32 {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(kcenterCoreset, kcenterInc, longestRepeat)
+  val all: Seq[QueryDef] =
+    Seq(kcenterCoreset, kcenterInc, kcenterArtifact, longestRepeat)
 }

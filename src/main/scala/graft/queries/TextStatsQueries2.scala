@@ -110,5 +110,31 @@ object TextStatsQueries2 {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(seqPackBpe)
+  /** ARTIFACT-BACKED tokenizer encode (round 12) — `q_bpe_encode`
+    * split at the deployment seam, completing the artifact-twin family
+    * for the MOST-reused artifact in the pipeline: train the merge
+    * table + vocabulary (memo-shared), PERSIST both
+    * ([[graft.pipelines.ModelArtifacts]]), and encode the corpus with
+    * the LOADED copies through the very projection the crawl stream
+    * runs ([[graft.streaming.TokenizerStreams.encodedDocs]] — batch and
+    * stream share it verbatim, so this query ALSO pins the streaming
+    * scorer's math under the driver's oracle). Oracle = `q_bpe_encode`
+    * SQL verbatim: merges must round-trip IN ORDER (the order is the
+    * tokenizer) and vocab ids exactly.
+    */
+  val bpeEncodeArtifact: QueryDef = QueryDef.sql(
+    "q_bpe_encode_artifact",
+    TextStatsQueries.bpeEncode.oracle.get) { (spark, dir) =>
+    val base = s"/tmp/graft_artifacts/${spark.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (merges, vocab) = TextStatsQueries.tokenizerArtifacts(spark, dir)
+    graft.pipelines.ModelArtifacts.saveMerges(spark, merges, s"$base/merges.parquet")
+    graft.pipelines.ModelArtifacts.saveVocab(spark, vocab, s"$base/vocab.parquet")
+    graft.streaming.TokenizerStreams.encodedDocs(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
+      graft.pipelines.ModelArtifacts.loadMerges(spark, s"$base/merges.parquet"),
+      graft.pipelines.ModelArtifacts.loadVocab(spark, s"$base/vocab.parquet"))
+  }
+
+  val all: Seq[QueryDef] = Seq(seqPackBpe, bpeEncodeArtifact)
 }

@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 /** Invariants of the filtered-ANN eval. */
 class AnnSpec2 extends SparkSpec {
 
+  test("lloydUpdate: Q52 centroid sums survive clusters past the long headroom") {
+    // round-12 regression, found by the 1000x decade probe: a cluster's
+    // per-dim Q52 sum wraps a long once members exceed ~2^63/2^52 ≈ 2048
+    // at |x| ≈ 1 (ANSI mode throws ARITHMETIC_OVERFLOW — the x1000
+    // replica's 625k-member clusters died). The sum must accumulate as
+    // DECIMAL(38,0) — exact to ~2^126, matching the oracle's HUGEINT
+    // promotion (the q_embed_anisotropy discipline). 3000 members of
+    // value 1.0 exceed the long headroom; the mean must come back as
+    // exactly 1.0 (the sum 3000·2^52 has 13 significant bits — double-
+    // representable, so the division chain is exact).
+    val n = 3000
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(1.0)).as("embedding"))
+    val asg = spark.range(n).select(col("id").as("vec_id"), lit(0L).as("cluster"))
+    val cents = graft.queries.AnnQueries.lloydUpdate(emb, asg).collect()
+    assert(cents.length == 1)
+    assert(cents(0).getSeq[Double](1) == Seq(1.0, 1.0),
+      s"overflow-corrupted centroid: ${cents(0)}")
+  }
+
   test("filtered_ann: post-filter recall never beats pre-filter; accounting exact") {
     val rows = graft.queries.AnnQueries2.filteredAnn.fn(spark, sf0001)
       .orderBy("qid").collect()
