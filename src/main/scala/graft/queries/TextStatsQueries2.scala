@@ -112,28 +112,60 @@ object TextStatsQueries2 {
 
   /** ARTIFACT-BACKED tokenizer encode (round 12) — `q_bpe_encode`
     * split at the deployment seam, completing the artifact-twin family
-    * for the MOST-reused artifact in the pipeline: train the merge
-    * table + vocabulary (memo-shared), PERSIST both
-    * ([[graft.pipelines.ModelArtifacts]]), and encode the corpus with
-    * the LOADED copies through the very projection the crawl stream
-    * runs ([[graft.streaming.TokenizerStreams.encodedDocs]] — batch and
-    * stream share it verbatim, so this query ALSO pins the streaming
-    * scorer's math under the driver's oracle). Oracle = `q_bpe_encode`
-    * SQL verbatim: merges must round-trip IN ORDER (the order is the
-    * tokenizer) and vocab ids exactly.
+    * for the MOST-reused artifact in the pipeline. The two artifacts
+    * have different SHAPES and deliberately different mechanisms:
+    * the merge table is iteration-bounded (the order IS the tokenizer)
+    * — driver-side, folded into the scan kernels as literals; the
+    * vocabulary is CORPUS-sized (word-level vocab grows with Heaps'
+    * law), so it trains distributed, persists as a sharded frame
+    * ([[graft.pipelines.ModelArtifacts.saveVocabFrame]]), and re-enters
+    * the encode as a broadcast JOIN — exactly `q_bpe_encode`'s tail.
+    * A first cut routed the vocab through the streaming projection's
+    * driver-literal map and the linear-vocab decade probe priced it at
+    * slope 4.98 (2696 s at 1000x) — the join form is the survival
+    * path, and the streaming scorer's scaladoc now states its
+    * bounded-vocab precondition. Oracle = `q_bpe_encode` SQL verbatim:
+    * merges must round-trip IN ORDER and vocab ids exactly.
     */
   val bpeEncodeArtifact: QueryDef = QueryDef.sql(
     "q_bpe_encode_artifact",
     TextStatsQueries.bpeEncode.oracle.get) { (spark, dir) =>
+    import spark.implicits._
     val base = s"/tmp/graft_artifacts/${spark.sparkContext.applicationId}/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val (merges, vocab) = TextStatsQueries.tokenizerArtifacts(spark, dir)
+    val docs = Tables(spark, dir, "documents")
+    val merges = TextStatsQueries.learnedMergeRows(spark, dir, TextStatsQueries.BpeIters)
+      .map { case (_, l, r, _, _) => (l, r) }
     graft.pipelines.ModelArtifacts.saveMerges(spark, merges, s"$base/merges.parquet")
-    graft.pipelines.ModelArtifacts.saveVocab(spark, vocab, s"$base/vocab.parquet")
-    graft.streaming.TokenizerStreams.encodedDocs(
-      Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
-      graft.pipelines.ModelArtifacts.loadMerges(spark, s"$base/merges.parquet"),
-      graft.pipelines.ModelArtifacts.loadVocab(spark, s"$base/vocab.parquet"))
+    val m2 = graft.pipelines.ModelArtifacts.loadMerges(spark, s"$base/merges.parquet")
+    def encOf(ms: Seq[(String, String)]) = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("nc"),
+      ms.foldLeft(tokens(col("text"))) { case (c, (l, r)) =>
+        graft.functions.HashExpressions.bpeMergeFast(c, l, r)
+      }.as("toks"))
+    // vocab trains DISTRIBUTED (range-sort + zipWithIndex, the
+    // q_bpe_encode rationale) and persists sharded — never collected
+    graft.pipelines.ModelArtifacts.saveVocabFrame(spark,
+      encOf(merges).select(explode(col("toks")).as("tok")).distinct()
+        .orderBy("tok").as[String].rdd.zipWithIndex()
+        .map { case (t, i) => (t, i + 1L) }.toDF("tok", "id"),
+      s"$base/vocab.parquet")
+    val v = graft.pipelines.ModelArtifacts.loadVocabFrame(spark, s"$base/vocab.parquet")
+    val e = encOf(m2).select(col("doc_id"), col("nc"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("nc"),
+        (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    // no broadcast hint (unlike the parent, whose RDD-derived vocab has
+    // no stats and would SMJ): the loaded parquet carries real size
+    // stats, so the planner broadcasts a Heaps-sized vocab and degrades
+    // to a shuffled join on a pathological one — the ledger rule
+    e.join(v, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("id").cast("long").as("id_sum"),
+        sum(col("pos") * col("id")).cast("long").as("id_posw"),
+        max("nc").as("nc"))
+      .select(col("doc_id"), col("n_tok"), col("id_sum"), col("id_posw"),
+        expr("nc * 1048576 DIV n_tok").as("chars_per_tok_q"))
   }
 
   val all: Seq[QueryDef] = Seq(seqPackBpe, bpeEncodeArtifact)

@@ -41,6 +41,13 @@ object TokenizerStreams {
     * cannot occur) the coalesce is a no-op and the batch pin is
     * unchanged. Consumers that must QUANTIFY vocabulary misses use
     * `q_oov_rate`'s counting shape rather than this scorer.
+    * BOUNDED-VOCAB PRECONDITION (round 12, priced by the linear-vocab
+    * decade probe): the closure-riding literal map is right only while
+    * the vocabulary is tokenizer-bounded — a CORPUS vocabulary (Heaps-
+    * growing) must take the batch broadcast-join path instead
+    * (`q_bpe_encode` / `q_bpe_encode_artifact`): the literal-map encode
+    * measured slope 4.98 at the 1000x linear-vocab adversary where the
+    * join form stays sublinear.
     */
   def encodedDocs(docs: DataFrame, merges: Seq[(String, String)],
                   vocab: Map[String, Long]): DataFrame = {
