@@ -50,8 +50,12 @@ object CurationQueries13 {
        |WHERE CAST(i.i AS DOUBLE) / least(ca.c, cb.c) >= 0.8""".stripMargin) {
     (spark, dir) =>
       val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
-      val df_ = hs.groupBy("h").agg(count(lit(1)).as("df"))
-      val sorted = hs.join(df_, "h")
+      // df rides a count-over-window on the ONE h-keyed exchange instead
+      // of a groupBy + re-join (which shuffles the corpus-token table a
+      // second time — at the 1000x replica each such shuffle spills
+      // ~10 GB of high-entropy hashes; round-12 disk postmortem)
+      val sorted = hs
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
         .groupBy("doc_id")
         .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"))
       // prefix size |d| - ceil(0.8|d|) + 1; ceil(8n/10) = (8n+9) DIV 10
@@ -125,8 +129,9 @@ object CurationQueries13 {
     val repDocs = docs.join(cl.select(col("rid")),
       docs("doc_id") === col("rid"), "left_semi")
     val hs = Dedup.shingleHashTable(repDocs, "doc_id", "text", 3)
-    val df_ = hs.groupBy("h").agg(count(lit(1)).as("df"))
-    val sorted = hs.join(df_, "h")
+    // same one-exchange df-window as overlapJoin (round-12 disk note)
+    val sorted = hs
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"))
     val pref = sorted.select(col("doc_id"),
