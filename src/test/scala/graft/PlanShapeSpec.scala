@@ -255,6 +255,35 @@ class PlanShapeSpec extends SparkSpec {
       "doc-scale shard window missing")
   }
 
+  test("relational de-hints: no SF-scaled table under a forced BroadcastExchange") {
+    // round-12 ledger rule, gated for the five relational queries whose
+    // fact-scaled dims (customer 150k rows/SF, part 200k/SF, supplier
+    // 10k/SF) and the bloom audit's selected-orderkey set were
+    // hint-forced before: with auto-broadcast off, any remaining
+    // BroadcastExchange must scan only the constant-size dims
+    // (nation/region) — never an SF-scaled table.
+    val fns = Seq(
+      "q3_top_orders" -> graft.queries.RelationalQueries.q3TopOrders,
+      "q5_region_revenue" -> graft.queries.RelationalQueries.q5RegionRevenue,
+      "q14_promo" -> graft.queries.RelationalQueries3.q14Promo,
+      "q_supplier_nation" -> graft.queries.RelationalQueries3.qSupplierNation,
+      "q_bloom_prejoin" -> graft.queries.CurationQueries10.bloomPrejoin)
+    // the criterion is CARDINALITY, not which table is scanned:
+    // q_bloom_prejoin's bucket set reads orders but is value-bounded
+    // (≤65536 distinct pmod buckets — legitimately broadcast), while a
+    // frame still carrying a ROW-IDENTITY key (custkey/partkey/suppkey/
+    // orderkey) has one row per fact row and must never be hint-forced
+    val rowKeys = Seq("c_custkey", "p_partkey", "s_suppkey", "o_orderkey", "l_orderkey")
+    for ((name, q) <- fns) {
+      val plan = forcedBroadcastPlan(q.fn(spark, sf0001))
+      for (b <- plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b })
+        for (k <- rowKeys)
+          assert(!b.child.output.exists(_.name == k),
+            s"$name: SF-scaled frame (carries $k) under a FORCED BroadcastExchange:\n${b.child}")
+    }
+  }
+
   test("weighted-rep family: no corpus-derived frame under a forced BroadcastExchange") {
     // round-12 gate (the round-11 verdict's `weak`): the four
     // weighted-representative contractions join their rep-edge stream
