@@ -48,6 +48,16 @@ object CurationQueries12 {
        |WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= 0.7""".stripMargin) {
     (spark, dir) =>
       val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+      // df stays the groupBy + re-join form HERE deliberately (round 12
+      // measured both): the count-over-window cut saves one corpus
+      // shuffle but concentrates each hot shingle into ONE window task
+      // that AQE cannot split — and ppjoin, unlike the overlap family's
+      // dup-collapsed diagnostic, feeds the RAW corpus in, so the
+      // mega-dup boilerplate key regressed 0.12 → 0.47 under the window
+      // (53 s at the 100x dup replica) while the join form's groupBy
+      // partial-aggregates map-side and its join is AQE-skew-splittable.
+      // Rule recorded in PLANS.md: window-df for skew-collapsed or
+      // capped inputs, join-df wherever a hot raw key can concentrate.
       val df_ = hs.groupBy("h").agg(count(lit(1)).as("df"))
       val sorted = hs.join(df_, "h") // vocabulary-keyed join
         .groupBy("doc_id")

@@ -235,8 +235,11 @@ object CurationQueries3 {
           element_at(toks, i + 2)))).as("tri"))
       .select(col("doc_id"), polyHash(col("tri")).as("h"))
       .distinct()
-    val df = tg.groupBy("h").agg(count(lit(1)).as("df"))
-    tg.join(df, "h")
+    // df via count-over-window on ONE h-keyed exchange (round-12
+    // containment-family cut: the groupBy + re-join form shuffles the
+    // corpus-trigram table twice)
+    tg.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"),
         sum(when(col("df") === 1, 1).otherwise(0)).cast("long").as("n_novel"),

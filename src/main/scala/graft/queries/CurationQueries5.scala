@@ -209,9 +209,11 @@ object CurationQueries5 {
     val held = s2.join(sp.filter(col("bucket") >= 90).select("doc_id"), "doc_id")
       .select("doc_id")
     val hs8 = Dedup.shingleHashTable(s2, "doc_id", "text", 8)
-    val hot = hs8.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 64).select("h")
-    val k = hs8.join(hot, Seq("h"), "left_anti")
+    // df-cap via count-over-window on ONE h-keyed exchange (round-12
+    // containment-family cut — was a groupBy + anti-join double shuffle)
+    val k = hs8.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= 64).drop("df")
     val contam = k.select(col("doc_id").as("adoc"), col("h"))
       .join(k.select(col("doc_id").as("bdoc"), col("h")), "h")
       .join(held.select(col("doc_id").as("bdoc")), "bdoc")

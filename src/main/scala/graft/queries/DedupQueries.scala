@@ -1249,9 +1249,12 @@ object DedupQueries {
        |GROUP BY te.test_doc""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
     val hs8 = Dedup.shingleHashTable(docs, "doc_id", "text", 8)
-    val hot = hs8.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 64).select("h")
-    val k = hs8.join(hot, Seq("h"), "left_anti")
+    // df-cap via count-over-window on ONE h-keyed exchange — the
+    // groupBy + anti-join form shuffled the fingerprint table twice
+    // (round-12 containment-family cut)
+    val k = hs8.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= 64).drop("df")
     val sp = docs.select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))
     val tr = k.join(sp.filter(col("bucket") < 80), "doc_id")
       .select(col("doc_id").as("train_doc"), col("h"))
