@@ -100,7 +100,8 @@ object CurationQueries33 {
     * the training loop runs, against persisted vs recomputed frames.
     */
   private[graft] def gradientStep(feats: DataFrame, w: Array[Long]): Array[Long] = {
-    val wc = typedLit(w.toSeq)
+    val wc = typedLit(graft.GraftLimits.requireBoundedWeights(w.toSeq,
+      "CurationQueries33"))
     val scored = feats
       .withColumn("dot",
         aggregate(zip_with(col("f"), wc, (x, y) => x * y), lit(0L), (a, b) => a + b))
@@ -271,7 +272,8 @@ object CurationQueries33 {
     // inference is then ONE map-only scoring pass over the scan — no
     // persist, no checkpoint, the same posture as the streaming scorer
     val w = trajectory(spark, dir, "full", identity).last
-    val wc = typedLit(w.toSeq)
+    val wc = typedLit(graft.GraftLimits.requireBoundedWeights(w.toSeq,
+      "CurationQueries33"))
     features(spark, dir)
       .withColumn("dot",
         aggregate(zip_with(col("f"), wc, (x, y) => x * y), lit(0L), (a, b) => a + b))
@@ -332,7 +334,8 @@ object CurationQueries33 {
     import org.apache.spark.sql.expressions.Window
     val w = trajectory(spark, dir, "train-mod5",
       _.filter(col("doc_id") % 5 =!= 0)).last
-    val wc = typedLit(w.toSeq)
+    val wc = typedLit(graft.GraftLimits.requireBoundedWeights(w.toSeq,
+      "CurationQueries33"))
     val ho = features(spark, dir).filter(col("doc_id") % 5 === 0)
       .withColumn("dot",
         aggregate(zip_with(col("f"), wc, (x, y) => x * y), lit(0L), (a, b) => a + b))
@@ -383,7 +386,8 @@ object CurationQueries33 {
       s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}/quality_w.parquet"
     graft.pipelines.ModelArtifacts.saveWeights(spark, w.toSeq, path)
     val loaded = graft.pipelines.ModelArtifacts.loadWeights(spark, path)
-    val wc = typedLit(loaded.toSeq)
+    val wc = typedLit(graft.GraftLimits.requireBoundedWeights(loaded.toSeq,
+      "CurationQueries33.artifact"))
     features(spark, dir)
       .withColumn("dot",
         aggregate(zip_with(col("f"), wc, (x, y) => x * y), lit(0L), (a, b) => a + b))

@@ -79,7 +79,8 @@ object EventStreams {
     * pre-bucketed store, not a per-batch broadcast.
     */
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
+    events.join(org.apache.spark.sql.functions.broadcast(
+      graft.GraftLimits.requireBoundedDim(dim, "EventStreams.enriched")), "event_type")
 
   /** Stream-stream INTERVAL join — the one Structured Streaming shape
     * with DUAL watermark state: click→purchase attribution per user
@@ -237,7 +238,8 @@ object EventStreams {
   def orphanMonitor(events: DataFrame, dim: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .join(broadcast(dim), Seq("user_id"), "left_anti")
+      .join(broadcast(graft.GraftLimits.requireBoundedDim(
+        dim, "EventStreams.orphanMonitor")), Seq("user_id"), "left_anti")
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_orphans"))
       .select(col("w.start").as("hour_start"), col("n_orphans"))

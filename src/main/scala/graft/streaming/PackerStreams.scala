@@ -69,11 +69,12 @@ object PackerStreams {
     */
   def packedBlocks(docs: DataFrame, merges: Seq[(String, String)],
                    vocab: Map[String, Long]): Dataset[PackedBlock] = {
+    val vlit = typedLit(graft.GraftLimits.requireBoundedVocab(vocab,
+      "PackerStreams.packedBlocks"))
     import docs.sparkSession.implicits._
     val toks = merges.foldLeft(graft.functions.TextFunctions.tokens(col("text"))) {
       case (c, (l, r)) => graft.functions.HashExpressions.bpeMergeFast(c, l, r)
     }
-    val vlit = typedLit(vocab)
     docs
       .select(col("lang"), col("doc_id"),
         transform(toks, t => coalesce(element_at(vlit, t), lit(0L))).as("ids"))

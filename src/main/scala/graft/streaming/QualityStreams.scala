@@ -30,7 +30,8 @@ object QualityStreams {
     * (or any persisted training artifact on the same grid).
     */
   def scoredDocs(docs: DataFrame, w: Seq[Long]): DataFrame = {
-    val wc = typedLit(w)
+    val wc = typedLit(graft.GraftLimits.requireBoundedWeights(w,
+      "QualityStreams.scoredDocs"))
     graft.queries.CurationQueries33.featuresOf(docs)
       .withColumn("dot",
         aggregate(zip_with(col("f"), wc, (x, y) => x * y), lit(0L), (a, b) => a + b))

@@ -54,7 +54,8 @@ object TokenizerStreams {
     val toks = merges.foldLeft(graft.functions.TextFunctions.tokens(col("text"))) {
       case (c, (l, r)) => graft.functions.HashExpressions.bpeMergeFast(c, l, r)
     }
-    val vlit = typedLit(vocab)
+    val vlit = typedLit(graft.GraftLimits.requireBoundedVocab(vocab,
+      "TokenizerStreams.encodedDocs"))
     docs
       .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
         transform(toks, t => coalesce(element_at(vlit, t), lit(0L))).as("ids"))

@@ -1,0 +1,242 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+
+/** Registry-wide forced-broadcast audit (round-13 verdict item 1).
+  *
+  * Builds EVERY registry plan with AQE off and
+  * `autoBroadcastJoinThreshold = -1`, so the only BroadcastExchanges
+  * left are the ones a `broadcast()` hint FORCES, and classifies each
+  * forced operand's subtree into the boundedness classes the round-12
+  * ledger established (Spark hard-fails a forced broadcast at 8 GB, so
+  * any forced operand that scales with the corpus is a 100-TB query
+  * killer even when sandbox receipts look fine):
+  *
+  *   - `scalar`   — zero-grouping-key aggregate below: provably 1 row.
+  *   - `limit`    — a LIMIT-k / top-k operator below: provably ≤ k rows.
+  *   - `local`    — leaves are LocalTableScan / small Range only:
+  *                  a driver-side enum/constant spine, scale-invariant.
+  *   - `UNBOUNDED`— none of the above; the class the gate must reject
+  *                  unless the (query, operand) pair carries an
+  *                  allow-list entry with a scaladoc'd cap.
+  *
+  * The reference analog: the only operand its scan ever "broadcasts" is
+  * the single query vector (reference `vector-db.c:165-168`); everything
+  * corpus-sized streams. This audit is the measurement half; the CI
+  * gate in `PlanShapeSpec` ("registry-wide: every hint-forced broadcast
+  * is provably bounded") is the enforcement half — both share
+  * [[BroadcastAudit.classify]].
+  */
+object BroadcastAudit {
+
+  /** Boundedness class of one forced-broadcast operand subtree. */
+  def classify(raw: SparkPlan): String = {
+    // a ReusedExchange leaf HIDES its referent subtree (q_psi's 1-row
+    // counts sit behind one) — dereference before classifying
+    val child = raw.transform {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r.child
+    }
+    val scalar = child.collectFirst {
+      case h: HashAggregateExec if h.groupingExpressions.isEmpty => h
+      case s: SortAggregateExec if s.groupingExpressions.isEmpty => s
+      case o: ObjectHashAggregateExec if o.groupingExpressions.isEmpty => o
+    }
+    if (scalar.nonEmpty) return "scalar"
+    val limited = child.collectFirst {
+      case g: org.apache.spark.sql.execution.GlobalLimitExec => g
+      case l: org.apache.spark.sql.execution.LocalLimitExec => l
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      case c: org.apache.spark.sql.execution.CollectLimitExec => c
+    }
+    if (limited.nonEmpty) return "limit"
+    // constant spine: every leaf is a LocalTableScan (driver literal
+    // enum) or a Range of bounded extent (≤ 1<<20 — the value-bounded
+    // spines in the registry are ≤ 65536)
+    val leaves = child.collectLeaves()
+    val allLocal = leaves.nonEmpty && leaves.forall {
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case r: org.apache.spark.sql.execution.RangeExec => r.numElements <= BigInt(1 << 20)
+      case _ => false
+    }
+    if (allLocal) return "local"
+    // constant dims: every file scan reads only nation (25 rows) /
+    // region (5 rows) — fixed-size at ANY TPC-H scale factor by spec
+    val fileScans = child.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    val allDim = fileScans.nonEmpty && fileScans.forall { s =>
+      val p = s.relation.location.rootPaths.mkString(",")
+      p.contains("nation") || p.contains("region")
+    } && leaves.forall {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case r: org.apache.spark.sql.execution.RangeExec => r.numElements <= BigInt(1 << 20)
+      case _ => false
+    }
+    if (allDim) "dim" else "UNBOUNDED"
+  }
+
+  /** Stable signature of one forced-broadcast operand for the
+    * allow-list: the sorted output column names. Column names survive
+    * plan refactors that reorder or re-alias expression ids, so the
+    * allow-list pins WHAT is broadcast without freezing the exact tree.
+    */
+  def signature(child: SparkPlan): String =
+    child.output.map(_.name).sorted.mkString(",")
+
+  // ---- documented cap classes (the round-12 hint ledger, executable) ----
+  // Each constant is ONE boundedness argument, shared by every operand
+  // in its class; the allow-list below binds (query, operand-signature)
+  // pairs to these arguments. An operand not plan-provably bounded and
+  // not listed here FAILS the registry-wide PlanShapeSpec gate.
+  private val ProbeSet =
+    "probe/query set: embeddings filtered to a literal vec_id list fixed by the " +
+      "query definition (|Q| rows at any corpus scale), or per-probe derived rows ≤ k·|Q|"
+  private val Centroids =
+    "cluster centroids / per-cluster stats: grouped on a cluster id assigned by " +
+      "k-means with k fixed by config — ≤ k rows regardless of corpus size"
+  private val PqCodebook =
+    "PQ codebook: grouped on (subspace m, code) with code = pmod(_,256) and m fixed " +
+      "by config — ≤ 256·m rows by construction (artifact twin scans the persisted copy)"
+  private val EnumAgg =
+    "enum-keyed aggregate: grouping key is a bounded-domain attribute (event_type / " +
+      "source / lang enum fixed by the data dictionary), never a row identity"
+  private val DayGrid =
+    "calendar spine: distinct days of the event horizon — grows with wall-clock time, " +
+      "not with bytes ingested (≤ 36.5k rows per century)"
+  private val QueryTerms =
+    "document-frequency rows for the literal BM25 query-term list — ≤ |terms| rows"
+  private val VocabCap =
+    "trained tokenizer vocab: ≤ 256 + merges rows by construction (merge count fixed " +
+      "by config; runtime-guarded by GraftLimits.requireBoundedVocab)"
+  private val LenHistogram =
+    "token-length histogram: cardinality ≤ max document token count (truncation-capped), " +
+      "corpus-independent — the q_token_cdf rank-algebra spine"
+  private val SortKeyHistogram =
+    "sort-key bucket histogram: keyed by the 3-token document prefix — vocab-sublinear " +
+      "(Heaps' law), the documented SNM blocking spine (DedupQueries.scala q_snm_blocking)"
+  private val CmsGrid =
+    "count-min sketch grid: keyed by (row r < depth, col b = pmod(_,width)) — ≤ depth·width " +
+      "cells by construction"
+  private val BloomBuckets =
+    "bloom bucket set: distinct pmod(_,65536) values — ≤ 65536 rows by construction"
+
+  /** (query name, operand signature) → documented boundedness cap.
+    * The executable form of PLANS.md's forced-broadcast hint ledger.
+    */
+  val Allowed: Map[(String, String), String] = Map(
+    ("q_hamming_topk", "qpack") -> ProbeSet, // vec_id = 0 equality: 1 row
+    ("q_ann_topk", "qid,qv") -> ProbeSet,
+    ("q_ann_ndcg", "qid,qv") -> ProbeSet,
+    ("q_ann_ndcg", "qid,qlabel,qv") -> ProbeSet,
+    ("q_ann_lid", "qid,qv") -> ProbeSet,
+    ("q_ann_lid", "dk,qid") -> ProbeSet, // k-th NN distance per probe: |Q| rows
+    ("q_knn_recall", "qid,qv") -> ProbeSet,
+    ("q_filtered_ann", "qid,tgt") -> ProbeSet,
+    ("q_filtered_ann", "qid,qv,tgt") -> ProbeSet,
+    ("q_hard_negatives", "qid,qlabel,qv") -> ProbeSet,
+    ("q_pq_recall", "qcode,qd2,qid,qm") -> ProbeSet, // encoded probes: m·|Q| rows
+    ("q_pq_recall", "eqid,qv") -> ProbeSet,
+    ("q_ivfpq", "pcluster,qid") -> ProbeSet,
+    ("q_ivfpq", "lqid,qcode,qd2,qm") -> ProbeSet,
+    ("q_kmeans", "cluster,cv") -> Centroids,
+    ("q_ivfpq", "cluster,cv") -> Centroids,
+    ("q_centroid_classify", "clabel,cv") -> Centroids,
+    ("q_embed_outliers", "cluster,cv") -> Centroids,
+    ("q_embed_outliers", "fcluster,fence_d2,n_vecs") -> Centroids,
+    ("q_cluster_separation", "oc,oi,olabel") -> Centroids,
+    ("q_cluster_separation", "l1,n_vecs,sum1") -> Centroids,
+    ("q_embed_drift", "n_a,nalabel") -> Centroids,
+    ("q_embed_drift", "n_b,nblabel") -> Centroids,
+    ("q_silhouette", "c,i,olabel") -> Centroids,
+    ("q_semdedup", "ccell,gv") -> Centroids,
+    ("q_semdedup", "cluster,cv,parent") -> Centroids,
+    ("q_semdedup_prune", "ccell,gv") -> Centroids,
+    ("q_semdedup_prune", "cluster,cv,parent") -> Centroids,
+    ("q_semdedup_recall", "ccell,gv") -> Centroids,
+    ("q_semdedup_recall", "cluster,cv,parent") -> Centroids,
+    ("q_pq_codes", "cm,code,cv") -> PqCodebook,
+    ("q_pq_codes_artifact", "cm,code,cv") -> PqCodebook,
+    ("q_pq_recall", "cm,code,cv") -> PqCodebook,
+    ("q_ivfpq", "cm,code,cv") -> PqCodebook,
+    ("q_outliers", "event_type,n,s1,s2") -> EnumAgg,
+    ("q_mad_outliers", "event_type,med,n") -> EnumAgg,
+    ("q_mad_outliers", "mad,mtype") -> EnumAgg,
+    ("q_event_itemsets", "sa,t1") -> EnumAgg,
+    ("q_event_transitions", "from_type,tot") -> EnumAgg,
+    ("q_audience_overlap", "n_a,type_a") -> EnumAgg,
+    ("q_quality_calibration", "source,thr_local") -> EnumAgg,
+    ("q_source_kl", "ns,source") -> EnumAgg,
+    ("q_shard_mix", "n_src,source") -> EnumAgg,
+    ("q_langid_confusion", "lab_total,labeled_lang") -> EnumAgg,
+    ("q_dau_stickiness", "d") -> DayGrid,
+    ("q_bm25", "df,tok") -> QueryTerms,
+    ("q_hybrid_rrf", "df,tok") -> QueryTerms,
+    ("q_bpe_encode", "id,tok") -> VocabCap,
+    ("q_seq_pack_bpe", "id,tok") -> VocabCap,
+    ("q_token_cdf", "before,hn") -> LenHistogram,
+    ("q_snm_blocking", "bfr,sk") -> SortKeyHistogram,
+    ("q_cms_sketch", "b,cnt,r") -> CmsGrid,
+    ("q_bloom_prejoin", "b") -> BloomBuckets,
+  )
+
+  /** One-line description of the operand for the audit report. */
+  private def describe(raw: SparkPlan): String = {
+    val child = raw.transform {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r.child
+    }
+    val leaves = child.collectLeaves().map {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        val tail = s.relation.location.rootPaths.map(_.getName).mkString("|")
+        s"parquet($tail)"
+      case l => l.nodeName
+    }.distinct.mkString("+")
+    s"sig=[${signature(child)}] leaves=$leaves"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("broadcast-audit")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    var unbounded = 0
+    for (q <- graft.SparkEntry.registry) {
+      val t0 = System.nanoTime()
+      try {
+        val plan = q.fn(spark, sf).queryExecution.executedPlan
+        val bx = plan.collect { case b: BroadcastExchangeExec => b }
+        val classes = bx.map { b =>
+          val c = classify(b.child)
+          if (c != "UNBOUNDED") c
+          else if (Allowed.contains((q.name, signature(b.child)))) "allowed"
+          else "UNBOUNDED"
+        }
+        val ms = (System.nanoTime() - t0) / 1e6
+        if (classes.contains("UNBOUNDED")) {
+          unbounded += 1
+          println(f"UNBOUNDED $ms%8.0fms ${q.name}")
+          for (b <- bx if classify(b.child) == "UNBOUNDED" &&
+              !Allowed.contains((q.name, signature(b.child))))
+            println(s"    ${describe(b.child)}")
+        } else if (bx.nonEmpty)
+          println(f"ok        $ms%8.0fms ${q.name} -> ${classes.mkString(",")}")
+      } catch {
+        case e: Throwable =>
+          println(s"ERR       ${q.name}: ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
+      }
+    }
+    println(s"\nqueries with UNBOUNDED forced broadcasts: $unbounded")
+    spark.stop()
+  }
+}

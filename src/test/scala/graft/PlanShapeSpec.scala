@@ -302,6 +302,54 @@ class PlanShapeSpec extends SparkSpec {
       assertForcedBroadcastsAreScalar(forcedBroadcastPlan(q.fn(spark, sf0001)), name)
   }
 
+  test("registry-wide: every hint-forced broadcast operand is provably bounded") {
+    // Round-13 gate (the round-12 verdict's top item): the
+    // corpus-scale-broadcast class recurred twice (r10 pair stream, r11
+    // weight tables) and was fixed both times by hand-audit — this test
+    // makes the standing rule self-enforcing over the WHOLE registry.
+    // Every plan is built with AQE off and autoBroadcastJoinThreshold
+    // -1, so the only BroadcastExchanges left are hint-FORCED (Spark
+    // hard-fails those at 8 GB — a forced corpus-scaled operand is a
+    // 100-TB query killer even when sandbox receipts look fine). Each
+    // forced operand must be plan-provably bounded (1-row aggregate,
+    // LIMIT-k, driver-literal spine, constant nation/region dim) or
+    // carry an entry in BroadcastAudit.Allowed — the executable form of
+    // the PLANS.md hint ledger, one documented cap per (query, operand)
+    // pair. Reference analog: the only operand the reference ever
+    // "broadcasts" is the single query vector (vector-db.c:165-168).
+    import graft.tools.BroadcastAudit
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val offenders = Seq.newBuilder[String]
+    try {
+      for (q <- SparkEntry.registry) {
+        val plan = q.fn(spark, sf0001).queryExecution.executedPlan
+        for (b <- plan.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b }) {
+          val cls = BroadcastAudit.classify(b.child)
+          val sig = BroadcastAudit.signature(b.child)
+          if (cls == "UNBOUNDED" && !BroadcastAudit.Allowed.contains((q.name, sig)))
+            offenders += s"${q.name} sig=[$sig]\n${b.child.treeString.linesIterator.take(12).mkString("\n")}"
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty,
+      s"hint-forced broadcast of unproven-bounded operands in ${bad.size} plan(s):\n" +
+        bad.mkString("\n---\n"))
+    // and the allow-list carries no dead entries: every (query, sig)
+    // pair must name a registered query (a renamed query must move its
+    // ledger row, not orphan it)
+    val names = SparkEntry.registry.map(_.name).toSet
+    val dead = BroadcastAudit.Allowed.keys.filterNot { case (n, _) => names.contains(n) }
+    assert(dead.isEmpty, s"allow-list entries for unregistered queries: $dead")
+  }
+
   test("bigram_ppl: LM joins are hash-keyed, never cartesian") {
     val plan = staticPlan(graft.queries.TextStatsQueries.bigramPpl.fn(spark, sf0001))
     assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty,
