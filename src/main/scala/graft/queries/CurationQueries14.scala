@@ -289,10 +289,10 @@ object CurationQueries14 {
       .join(cl.select(col("ck"), col("rid")), "ck")
       .select(col("rid"), col("source"), col("n"))
       // Θ(texts × sources) weight table, read 4x below. DURABILITY:
-      // lineage-severed, non-replicated (PLANS.md round-12 ledger) —
-      // executor loss fails the query; preemptible clusters swap in a
-      // reliable checkpoint, same plan shape.
-      .localCheckpoint()
+      // lineage-severed; default executor-local (fast, non-replicated),
+      // preemptible clusters flip spark.graft.reliableCheckpoint — same
+      // plan shape, pinned by DurabilitySpec.
+      .transform(graft.Durability.stage)
     // (b) cross-cluster: band-join the DISTINCT-text signatures only
     val e = Dedup.simhashPairs(cl.select(col("rid"), col("simhash")), "rid", 1, bandBits = 30)
       .select("ida", "idb")
@@ -313,7 +313,8 @@ object CurationQueries14 {
         (col("na") * col("nb")).as("w"))
     val m = cross.unionByName(same).unionByName(diff)
       .groupBy("src_a", "src_b").agg(sum("w").as("n"))
-      .localCheckpoint() // sources²-row matrix feeds both the total and the output
+      // sources²-row matrix feeds both the total and the output
+      .transform(graft.Durability.stage)
     val tot = m.agg(sum("n").cast("long").as("t"))
     m.crossJoin(broadcast(tot))
       .select(col("src_a"), col("src_b"), col("n").cast("long").as("n_pairs"),

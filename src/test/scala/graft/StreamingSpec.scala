@@ -636,6 +636,108 @@ class StreamingSpec extends SparkSpec {
       "fixture must leave a partial block in carry-over state")
   }
 
+  test("packer kill-and-recover: restart from checkpoint reproduces the batch packer") {
+    // Round-13 verdict item 2: the 7-long PackState is DESIGNED to
+    // recover from the state store — prove it. Same 4-chunk fixture as
+    // the parity test, but the query is STOPPED after the first two
+    // micro-batches (mid-corpus, partial blocks in state), chunks 3-4
+    // land while it is down, and a fresh query object restarts from the
+    // same checkpointLocation. If the carried partials did not survive
+    // the restart, every post-restart block's bin index, doc span and
+    // both checksums would shift — so full-block equality with the
+    // one-shot batch packer (`q_seq_pack_bpe`) over the whole corpus is
+    // exactly the recovery proof. (Reference restart contract:
+    // vector-db.c:81-146 re-reads the durable index at startup.)
+    // File sink (exactly-once commit log), not the memory sink — the
+    // memory sink does not support recovery.
+    val srcDir = Files.createTempDirectory("pack-recover-src").toString
+    val ckptDir = Files.createTempDirectory("pack-recover-ckpt").toString
+    val outDir = Files.createTempDirectory("pack-recover-out").toString
+    val docs = Tables(spark, sf0001, "documents")
+      .select("lang", "doc_id", "text")
+    val ids = docs.select("doc_id").orderBy("doc_id").as[Long].collect()
+    val cuts = (1 to 3).map(i => ids(i * ids.length / 4))
+    val ranges = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+    def writeChunk(i: Int): Unit = {
+      val (lo, hi) = ranges(i)
+      val f = new java.io.File(srcDir, s"chunk$i")
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(f.toString)
+      for (p <- f.listFiles()) p.setLastModified(1700000000000L + i * 60000L)
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val (merges, vocab) =
+      graft.queries.TextStatsQueries.tokenizerArtifacts(spark, sf0001)
+    val schema = docs.schema
+    def start() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+      graft.streaming.PackerStreams.packedBlocks(stream, merges, vocab)
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .format("parquet").option("path", outDir)
+        .start()
+    }
+    writeChunk(0); writeChunk(1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // the "kill" after batch 2 of 4
+    val beforeRestart = spark.read.parquet(outDir).count()
+    writeChunk(2); writeChunk(3) // lands while the stream is DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+    val want = SparkEntry.queries("q_seq_pack_bpe")(spark, sf0001)
+      .filter(col("n_tok") === 256)
+    assert(got.count() > beforeRestart,
+      "fixture must emit full blocks on BOTH sides of the restart")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "post-restart blocks diverge from the batch packer: PackState did not recover")
+  }
+
+  test("dedup kill-and-recover: bucket anchors survive restart, late copies still pair") {
+    // Second stateful family under restart (verdict item 2): the
+    // near-dup stream's standing bucket anchors. Originals arrive,
+    // the query stops, exact copies under new ids arrive while it is
+    // down — after restart from the same checkpoint every copy must
+    // pair with a PRE-RESTART anchor, which only happens if the anchor
+    // state store was recovered (a fresh state would make the copies
+    // their own anchors and flag nothing).
+    import graft.streaming.DedupStreams
+    val srcDir = Files.createTempDirectory("neardup-recover-src").toString
+    val ckptDir = Files.createTempDirectory("neardup-recover-ckpt").toString
+    val outDir = Files.createTempDirectory("neardup-recover-out").toString
+    val orig = Tables(spark, sf0001, "documents").select("doc_id", "text")
+    orig.coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = orig.schema
+    def start() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      DedupStreams.nearDupCandidates(stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .format("parquet").option("path", outDir)
+        .start()
+    }
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    Thread.sleep(1100) // distinct file mtimes → deterministic batch order
+    orig.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val pairs = spark.read.parquet(outDir)
+      .select("doc_id", "anchor_id").distinct()
+      .as[(Long, Long)].collect().toMap
+    val nDocs = orig.count()
+    val copies = pairs.keys.filter(_ >= 10000L)
+    assert(copies.size == nDocs,
+      s"${copies.size} of $nDocs late copies flagged after restart")
+    assert(copies.forall(c => pairs(c) < 10000L),
+      "a late copy anchored to another copy: pre-restart anchors were lost")
+  }
+
   test("streaming shard manifest: latest snapshots equal the batch manifest") {
     // many small files + maxFilesPerTrigger=2 => the xor fold really runs
     // across micro-batches; the property under test is that ANY batching
