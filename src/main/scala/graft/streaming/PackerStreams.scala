@@ -45,6 +45,21 @@ object PackerStreams {
 
   private val CtxLen: Long = graft.queries.TextStatsQueries2.CtxLen.toLong
 
+  /** End-of-stream FLUSH sentinel (round-13 ADVICE): Append mode with
+    * NoTimeout never emits a shard's trailing partial block, so a
+    * finite or quiescent stream would withhold its tail tokens
+    * forever. A document row with this doc_id (per shard, any text)
+    * instructs the fold to emit the carried partial as a short block
+    * (n_tok < CtxLen) and advance the bin — after which the stream's
+    * TOTAL output equals `q_seq_pack_bpe` INCLUDING its partial rows.
+    * Long.MaxValue sorts after every real doc_id, so a sentinel landing
+    * in the same micro-batch as final data still flushes last. Without
+    * a sentinel the partial stays in state (correct for a live crawl);
+    * reconciling without one means reading the state store via a batch
+    * job, not the stream output.
+    */
+  val FlushDoc: Long = Long.MaxValue
+
   case class EncDoc(lang: String, doc_id: Long, ids: Seq[Long])
 
   /** Running aggregates of the shard's current PARTIAL block. `bin` is
@@ -78,7 +93,7 @@ object PackerStreams {
     docs
       .select(col("lang"), col("doc_id"),
         transform(toks, t => coalesce(element_at(vlit, t), lit(0L))).as("ids"))
-      .filter(size(col("ids")) >= 1)
+      .filter(size(col("ids")) >= 1 || col("doc_id") === lit(FlushDoc))
       .as[EncDoc]
       .groupByKey(_.lang)
       .flatMapGroupsWithState[PackState, PackedBlock](
@@ -86,7 +101,20 @@ object PackerStreams {
         (lang: String, rows: Iterator[EncDoc], state: GroupState[PackState]) =>
           var st = state.getOption.getOrElse(emptyBlock)
           val out = collection.mutable.Buffer.empty[PackedBlock]
+          // NOTE per-micro-batch bound (round-13 ADVICE): the seven-longs
+          // claim is the STANDING state; the toSeq below additionally
+          // holds one micro-batch's token-id arrays for this shard in
+          // the folding task's heap. Bound ingestion accordingly on
+          // skewed shards (maxFilesPerTrigger / maxBytesPerTrigger) —
+          // one dominant lang concentrates its whole trigger there.
           for (d <- rows.toSeq.sortBy(_.doc_id)) {
+            if (d.doc_id == FlushDoc) {
+              if (st.filled > 0L) {
+                out += PackedBlock(lang, st.bin, st.filled, st.nDocs,
+                  st.firstDoc, st.lastDoc, st.idSum, st.idOxw)
+                st = emptyBlock.copy(bin = st.bin + 1)
+              }
+            } else {
             val ids = d.ids
             var idx = 0
             while (idx < ids.length) {
@@ -111,7 +139,7 @@ object PackerStreams {
                 st = emptyBlock.copy(bin = st.bin + 1)
               }
             }
-          }
+          } }
           state.update(st)
           out.iterator
       }

@@ -39,8 +39,11 @@ object TokenizerStreams {
     * map to the reserved UNK id 0 (vocabulary ranks are 1-based), so
     * every checksum stays total; on the training corpus (where OOV
     * cannot occur) the coalesce is a no-op and the batch pin is
-    * unchanged. Consumers that must QUANTIFY vocabulary misses use
-    * `q_oov_rate`'s counting shape rather than this scorer.
+    * unchanged. Because UNK adds 0 to both checksums, UNK mass would
+    * otherwise be invisible downstream — so the output carries an
+    * `n_unk` column (count of UNK-mapped tokens, round 13 ADVICE):
+    * consumers detect vocabulary misses in-band, 0 on the training
+    * corpus. Full miss diagnostics remain `q_oov_rate`'s shape.
     * BOUNDED-VOCAB PRECONDITION (round 12, priced by the linear-vocab
     * decade probe): the closure-riding literal map is right only while
     * the vocabulary is tokenizer-bounded — a CORPUS vocabulary (Heaps-
@@ -62,12 +65,13 @@ object TokenizerStreams {
       .filter(size(col("ids")) >= 1)
       .select(col("doc_id"),
         size(col("ids")).cast("long").as("n_tok"),
+        size(filter(col("ids"), _ === lit(0L))).cast("long").as("n_unk"),
         aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"),
         aggregate(zip_with(col("ids"),
             sequence(lit(1L), size(col("ids")).cast("long")),
             (id, p) => id * p), lit(0L), (a, x) => a + x).as("id_posw"),
         col("nc"))
-      .select(col("doc_id"), col("n_tok"), col("id_sum"), col("id_posw"),
-        expr("nc * 1048576 DIV n_tok").as("chars_per_tok_q"))
+      .select(col("doc_id"), col("n_tok"), col("n_unk"), col("id_sum"),
+        col("id_posw"), expr("nc * 1048576 DIV n_tok").as("chars_per_tok_q"))
   }
 }

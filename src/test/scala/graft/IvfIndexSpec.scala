@@ -38,4 +38,17 @@ class IvfIndexSpec extends SparkSpec {
     // and the filter actually restricts rows read
     assert(probe.select("vec_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L))
   }
+
+  test("nprobe artifact serve equals the in-session nprobe probe row-for-row") {
+    // round 13 (verdict item 6): the persisted-centroid serve path at
+    // nprobe=2 — save→load→widened probe must be bit-identical to the
+    // in-session q_ivf_nprobe (both also share one DuckDB oracle, so
+    // the driver's hash gate re-proves this at sf0.01)
+    val a = graft.queries.AnnQueries.ivfNprobe.fn(spark, sf0001)
+    val b = graft.queries.AnnQueries2.ivfNprobeArtifact.fn(spark, sf0001)
+    assert(a.collect().toSeq == b.collect().toSeq)
+    assert(graft.queries.AnnQueries2.ivfNprobeArtifact.oracle ==
+      graft.queries.AnnQueries.ivfNprobe.oracle,
+      "artifact twin must reuse the in-session oracle verbatim")
+  }
 }

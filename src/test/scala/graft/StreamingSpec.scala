@@ -559,10 +559,23 @@ class StreamingSpec extends SparkSpec {
     val q = graft.streaming.TokenizerStreams.encodedDocs(stream, merges, vocab)
       .writeStream.outputMode("append").format("memory").queryName("bpetok").start()
     try q.processAllAvailable() finally q.stop()
-    val got = spark.sql("SELECT * FROM bpetok")
+    // n_unk (round-13 ADVICE: UNK adds 0 to both checksums, so misses
+    // need an in-band counter) is streaming-only; the batch columns
+    // must still pin row-for-row, and the training corpus has no OOV
+    val got = spark.sql(
+      "SELECT doc_id, n_tok, id_sum, id_posw, chars_per_tok_q FROM bpetok")
     val want = SparkEntry.queries("q_bpe_encode")(spark, sf0001)
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(spark.sql("SELECT * FROM bpetok WHERE n_unk <> 0").count() == 0,
+      "training corpus cannot contain OOV tokens")
+    // and on OOV-bearing input the counter counts exactly the misses
+    // (the projection is mode-agnostic, so a batch frame exercises it)
+    val oov = graft.streaming.TokenizerStreams.encodedDocs(
+      Seq((1L, "zzzunseen zzzunseen")).toDF("doc_id", "text"), merges, vocab)
+      .select("n_tok", "n_unk").as[(Long, Long)].head()
+    assert(oov._2 > 0 && oov._2 <= oov._1,
+      s"expected UNK-mapped tokens to be counted, got $oov")
   }
 
   test("streaming decontam: crawl stream vs standing index equals the batch evidence") {
@@ -634,6 +647,46 @@ class StreamingSpec extends SparkSpec {
     // the carried partials are exactly the batch's per-shard tails
     assert(batch.filter(col("n_tok") =!= 256).count() > 0,
       "fixture must leave a partial block in carry-over state")
+  }
+
+  test("packer flush sentinel: trailing partials emit, total output equals batch exactly") {
+    // round-13 ADVICE: Append+NoTimeout never emits the carried partial,
+    // so full batch parity was unreachable from stream output alone. A
+    // per-shard FlushDoc sentinel row (doc_id = Long.MaxValue, sorts
+    // after all real docs) drains the carry — after it, streamed output
+    // must equal q_seq_pack_bpe INCLUDING its partial (n_tok < 256) rows.
+    val srcDir = Files.createTempDirectory("pack-flush").toString
+    val docs = Tables(spark, sf0001, "documents")
+      .select("lang", "doc_id", "text")
+    val mid = docs.select("doc_id").orderBy("doc_id").as[Long].collect()
+      .apply(docs.count().toInt / 2)
+    val chunks = Seq(
+      docs.filter(col("doc_id") < mid),
+      docs.filter(col("doc_id") >= mid),
+      docs.select("lang").distinct()
+        .select(col("lang"), lit(graft.streaming.PackerStreams.FlushDoc).as("doc_id"),
+          lit("").as("text")))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val f = new java.io.File(srcDir, s"chunk$i")
+      c.coalesce(1).write.mode("overwrite").parquet(f.toString)
+      for (p <- f.listFiles()) p.setLastModified(1700000000000L + i * 60000L)
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val (merges, vocab) =
+      graft.queries.TextStatsQueries.tokenizerArtifacts(spark, sf0001)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = graft.streaming.PackerStreams.packedBlocks(stream, merges, vocab)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("packflush").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT * FROM packflush")
+    val want = SparkEntry.queries("q_seq_pack_bpe")(spark, sf0001)
+    assert(want.filter(col("n_tok") =!= 256).count() > 0,
+      "fixture must have partial blocks for the sentinel to flush")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "flushed stream output must equal the batch packer INCLUDING partials")
   }
 
   test("packer kill-and-recover: restart from checkpoint reproduces the batch packer") {
