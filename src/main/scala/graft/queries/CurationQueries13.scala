@@ -34,6 +34,64 @@ object CurationQueries13 {
     * SMALLER side — this formulation gets that for free by emitting
     * every doc's prefix and joining against full sets both ways.
     */
+  /** Shared prefix-filter + exact-verify machinery for the containment
+    * family: edges (ida < idb, cont ≥ 0.8) over `docs`.
+    *
+    * ROUND-13 SHUFFLE CUT (verdict item 5 — the x1000 disk postmortem):
+    * the round-12 shape paid THREE posting-mass exchanges of
+    * incompressible polyhash longs — the df-window's h-exchange, the
+    * per-doc prefix build's doc-exchange, and the candidate join
+    * re-exchanging the raw posting table on h a second time. The cut:
+    * ONE explicit h-repartition feeds BOTH h-keyed consumers — the df
+    * count-over-window rides it (HashPartitioning(h) satisfies the
+    * window's required distribution), and the candidate join's full
+    * side reads the SAME shuffle files back through a ReusedExchange,
+    * so the join adds no posting-mass exchange of its own (only the
+    * ~20%-mass prefix side shuffles for the join).
+    *
+    * MEASURED VARIANT SELECTION (tools.OverlapProbe, warm min-of-2 at
+    * both 100x replicas, receipts in PLANS.md round 13): a rank-window
+    * prefix (row_number over (doc_id ORDER BY df,h), no arrays) was
+    * tried and REJECTED by its own measurement — the doc-keyed double
+    * window costs a full sort of the posting frame where the hash-based
+    * collect_list + array_sort sorts only within per-doc groups
+    * (perturbed 100x: 29.25 s window-form vs 21.83 s this form; the
+    * round-12 ppjoin window-vs-join rule, replayed on the prefix
+    * build). The array build stays; the shared-exchange reuse is the
+    * round-13 win (25.38 → 21.83 s and −0.22 GB shuffle write on the
+    * posting-dominated perturbed replica).
+    */
+  private def containmentEdges(docs: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    // the isnotnull(doc_id) no-op mirrors the constraint the optimizer
+    // infers on the candidate-join branch (pid =!= fid is
+    // null-intolerant): without it the two consumers' exchange subtrees
+    // canonicalize DIFFERENTLY and ReuseExchange cannot fire — the
+    // whole point of the shared repartition
+    val hsH = hs.filter(col("doc_id").isNotNull).repartition(col("h"))
+    val sorted = hsH
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"))
+    // prefix size |d| - ceil(0.8|d|) + 1; ceil(8n/10) = (8n+9) DIV 10
+    val pref = sorted.select(col("doc_id"),
+      explode(expr("slice(sh, 1, CAST(size(sh) - (8 * size(sh) + 9) DIV 10 + 1 AS INT))"))
+        .as("p"))
+      .select(col("doc_id").as("pid"), col("p.h").as("h"))
+    val cand = pref.join(hsH.select(col("doc_id").as("fid"), col("h")), "h")
+      .filter(col("pid") =!= col("fid"))
+      .select(least(col("pid"), col("fid")).as("ida"),
+        greatest(col("pid"), col("fid")).as("idb"))
+      .distinct()
+    // verify from map-side sets: no corpus aggregation in the verify
+    Dedup.jaccardForPairsSets(cand,
+        Dedup.shingleSets(docs, "doc_id", "text", 3), "doc_id")
+      .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("cont") >= 0.8)
+      .select(col("ida"), col("idb"), col("cont"))
+  }
+
   val overlapJoin: QueryDef = QueryDef.sql(
     "q_overlap_join",
     s"""WITH sh AS (SELECT doc_id, unnest(${shinglesSql("string_split(text, ' ')", 3)}) AS s
@@ -49,31 +107,8 @@ object CurationQueries13 {
        |             JOIN card cb ON cb.doc_id = i.idb
        |WHERE CAST(i.i AS DOUBLE) / least(ca.c, cb.c) >= 0.8""".stripMargin) {
     (spark, dir) =>
-      val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
-      // df rides a count-over-window on the ONE h-keyed exchange instead
-      // of a groupBy + re-join (which shuffles the corpus-token table a
-      // second time — at the 1000x replica each such shuffle spills
-      // ~10 GB of high-entropy hashes; round-12 disk postmortem)
-      val sorted = hs
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-        .groupBy("doc_id")
-        .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"))
-      // prefix size |d| - ceil(0.8|d|) + 1; ceil(8n/10) = (8n+9) DIV 10
-      val pref = sorted.select(col("doc_id"),
-        explode(expr("slice(sh, 1, CAST(size(sh) - (8 * size(sh) + 9) DIV 10 + 1 AS INT))"))
-          .as("p"))
-        .select(col("doc_id").as("pid"), col("p.h").as("h"))
-      val cand = pref.join(hs.select(col("doc_id").as("fid"), col("h")), "h")
-        .filter(col("pid") =!= col("fid"))
-        .select(least(col("pid"), col("fid")).as("ida"),
-          greatest(col("pid"), col("fid")).as("idb"))
-        .distinct()
-      // verify from map-side sets: no corpus aggregation in the verify
-      Dedup.jaccardForPairsSets(cand,
-          Dedup.shingleSets(Tables(spark, dir, "documents"), "doc_id", "text", 3), "doc_id")
-        .withColumn("containment", col("i").cast("double") / least(col("ca"), col("cb")))
-        .filter(col("containment") >= 0.8)
-        .select(col("ida"), col("idb"), col("containment"))
+      containmentEdges(Tables(spark, dir, "documents"))
+        .select(col("ida"), col("idb"), col("cont").as("containment"))
   }
 
   /** CAPPED containment diagnostic (round 12, verdict item 6) — the
@@ -126,28 +161,10 @@ object CurationQueries13 {
       // — the round-12 ledger class)
       .localCheckpoint()
     // prefix-filtered candidates + set verify over DISTINCT texts only
+    // (the shared round-13 two-exchange backbone — see containmentEdges)
     val repDocs = docs.join(cl.select(col("rid")),
       docs("doc_id") === col("rid"), "left_semi")
-    val hs = Dedup.shingleHashTable(repDocs, "doc_id", "text", 3)
-    // same one-exchange df-window as overlapJoin (round-12 disk note)
-    val sorted = hs
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"))
-    val pref = sorted.select(col("doc_id"),
-      explode(expr("slice(sh, 1, CAST(size(sh) - (8 * size(sh) + 9) DIV 10 + 1 AS INT))"))
-        .as("p"))
-      .select(col("doc_id").as("pid"), col("p.h").as("h"))
-    val cand = pref.join(hs.select(col("doc_id").as("fid"), col("h")), "h")
-      .filter(col("pid") =!= col("fid"))
-      .select(least(col("pid"), col("fid")).as("ida"),
-        greatest(col("pid"), col("fid")).as("idb"))
-      .distinct()
-    val edges = Dedup.jaccardForPairsSets(cand,
-        Dedup.shingleSets(repDocs, "doc_id", "text", 3), "doc_id")
-      .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
-      .filter(col("cont") >= 0.8)
-      .select(col("ida"), col("idb"), col("cont"))
+    val edges = containmentEdges(repDocs)
     // per-rep external partner mass and best cross containment (no
     // broadcast hint — the weight frame is Θ(texts), AQE decides)
     val wts = cl.select(col("rid"), col("n"))
@@ -161,8 +178,10 @@ object CurationQueries13 {
     // docs with <3 tokens have NO shingles, never sign, never pair —
     // and by construction never appear in `edges`; within-cluster 1.0
     // partners require a non-empty set, which having any edge or any
-    // shingle implies. Detect shingled clusters from the hs table.
-    val shingled = hs.select(col("doc_id").as("rid")).distinct()
+    // shingle implies. Detect shingled clusters map-side from the
+    // per-rep set kernel (one row per doc, no exchange, no distinct).
+    val shingled = Dedup.shingleSets(repDocs, "doc_id", "text", 3)
+      .select(col("doc_id").as("rid"))
       .withColumn("hasSh", lit(true))
     val summary = cl.join(ext, Seq("rid"), "left")
       .join(shingled, Seq("rid"), "left")

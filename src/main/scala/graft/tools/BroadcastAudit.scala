@@ -128,6 +128,10 @@ object BroadcastAudit {
     */
   val Allowed: Map[(String, String), String] = Map(
     ("q_hamming_topk", "qpack") -> ProbeSet, // vec_id = 0 equality: 1 row
+    // the SQL-surface twin carries the same 1-row probe subquery, but
+    // through spark.sql there is no broadcast hint to force — under
+    // threshold -1 it plans as a cartesian whose probe side is this
+    ("q_sql_surface", "qv") -> ProbeSet, // vec_id = 0 equality: 1 row
     ("q_ann_topk", "qid,qv") -> ProbeSet,
     ("q_ann_ndcg", "qid,qv") -> ProbeSet,
     ("q_ann_ndcg", "qid,qlabel,qv") -> ProbeSet,

@@ -1,0 +1,150 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Round-13 receipt harness for the containment-family shuffle cut
+  * (verdict item 5): runs the ROUND-12 backbone (df-window + per-doc
+  * sorted-ARRAY prefix build + candidate join re-exchanging the raw
+  * posting table) and the ROUND-13 backbone (one shared h-repartition
+  * + rank-window prefix + ReusedExchange candidate join —
+  * `CurationQueries13.containmentEdges`) side by side on the same
+  * corpus dir, reporting wall time, total shuffle bytes WRITTEN, and
+  * spill (memory + disk) summed over all tasks. Shuffle-write is the
+  * direct evidence of the exchange cut; spill is the single-box disk
+  * pressure the x1000 postmortem hit.
+  *
+  *   runMain graft.tools.OverlapProbe <dir> [passes]
+  */
+object OverlapProbe {
+
+  final class Metrics extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val shuffleRead = new AtomicLong
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = {
+      shuffleWrite.set(0); shuffleRead.set(0); memSpill.set(0); diskSpill.set(0)
+    }
+  }
+
+  /** The round-12 shape, kept verbatim for the A/B receipt. */
+  private def edgesR12(docs: DataFrame): DataFrame = {
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val sorted = hs
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"))
+    val pref = sorted.select(col("doc_id"),
+      explode(expr("slice(sh, 1, CAST(size(sh) - (8 * size(sh) + 9) DIV 10 + 1 AS INT))"))
+        .as("p"))
+      .select(col("doc_id").as("pid"), col("p.h").as("h"))
+    val cand = pref.join(hs.select(col("doc_id").as("fid"), col("h")), "h")
+      .filter(col("pid") =!= col("fid"))
+      .select(least(col("pid"), col("fid")).as("ida"),
+        greatest(col("pid"), col("fid")).as("idb"))
+      .distinct()
+    Dedup.jaccardForPairsSets(cand,
+        Dedup.shingleSets(docs, "doc_id", "text", 3), "doc_id")
+      .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("cont") >= 0.8)
+      .select(col("ida"), col("idb"), col("cont"))
+  }
+
+  /** Hybrid: r12's hash-agg array prefix (no doc-keyed window sorts)
+    * + r13's shared h-exchange reused by the candidate join.
+    */
+  private def edgesHybrid(docs: DataFrame): DataFrame = {
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val hsH = hs.filter(col("doc_id").isNotNull).repartition(col("h"))
+    val sorted = hsH
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"))
+    val pref = sorted.select(col("doc_id"),
+      explode(expr("slice(sh, 1, CAST(size(sh) - (8 * size(sh) + 9) DIV 10 + 1 AS INT))"))
+        .as("p"))
+      .select(col("doc_id").as("pid"), col("p.h").as("h"))
+    val cand = pref.join(hsH.select(col("doc_id").as("fid"), col("h")), "h")
+      .filter(col("pid") =!= col("fid"))
+      .select(least(col("pid"), col("fid")).as("ida"),
+        greatest(col("pid"), col("fid")).as("idb"))
+      .distinct()
+    Dedup.jaccardForPairsSets(cand,
+        Dedup.shingleSets(docs, "doc_id", "text", 3), "doc_id")
+      .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("cont") >= 0.8)
+      .select(col("ida"), col("idb"), col("cont"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_scale_x100_dup20")
+    val passes = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("GRAFT_PROF_CPUS", "16")
+    val parts = sys.env.getOrElse("GRAFT_PROF_PARTITIONS", "64")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val listener = new Metrics
+    spark.sparkContext.addSparkListener(listener)
+
+    def run(name: String, mk: => DataFrame): Unit = {
+      var best = Double.MaxValue
+      var bytes = (0L, 0L, 0L, 0L)
+      for (_ <- 1 to passes) {
+        listener.reset()
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // let the listener bus drain task-end events
+        if (dt < best) {
+          best = dt
+          bytes = (listener.shuffleWrite.get, listener.shuffleRead.get,
+            listener.memSpill.get, listener.diskSpill.get)
+        }
+        println(f"  pass: $name%-12s $n%12d rows  $dt%8.2f s  " +
+          f"shufW=${listener.shuffleWrite.get / 1e9}%7.2f GB  " +
+          f"spillMem=${listener.memSpill.get / 1e9}%7.2f GB  " +
+          f"spillDisk=${listener.diskSpill.get / 1e9}%7.2f GB")
+      }
+      println(f"BEST $name%-12s $best%8.2f s  shufW=${bytes._1 / 1e9}%7.2f GB  " +
+        f"shufR=${bytes._2 / 1e9}%7.2f GB  spillMem=${bytes._3 / 1e9}%7.2f GB  " +
+        f"spillDisk=${bytes._4 / 1e9}%7.2f GB")
+    }
+
+    // one variant per JVM (arg 3): the r12 array-build shape under GC
+    // pressure poisons a shared JVM for whatever runs after it
+    val docs = graft.Tables(spark, dir, "documents")
+    args.drop(2).headOption.getOrElse("all") match {
+      case "r12" => run("r12-edges", edgesR12(docs))
+      case "hyb" => run("hyb-edges", edgesHybrid(docs))
+      case "r13" => run("r13-edges",
+        graft.queries.CurationQueries13.overlapJoin.fn(spark, dir))
+      case "top" => run("r13-top",
+        graft.queries.CurationQueries13.overlapTop.fn(spark, dir))
+      case _ =>
+        run("r12-edges", edgesR12(docs))
+        run("r13-edges", graft.queries.CurationQueries13.overlapJoin.fn(spark, dir))
+        run("r13-top", graft.queries.CurationQueries13.overlapTop.fn(spark, dir))
+    }
+    spark.stop()
+  }
+}

@@ -36,8 +36,13 @@ class ModelArtifactsSpec extends SparkSpec {
     val v2 = graft.pipelines.ModelArtifacts.loadVocab(spark, s"$base/vocab.parquet")
     assert(m2 == merges, "merge table must round-trip in learned order")
     assert(v2 == vocab, "vocab must round-trip")
-    val got = graft.streaming.TokenizerStreams.encodedDocs(
+    // n_unk is streaming-only observability (round 13); the batch
+    // columns must still match q_bpe_encode exactly, and the training
+    // corpus carries no OOV so n_unk is identically zero
+    val enc = graft.streaming.TokenizerStreams.encodedDocs(
       Tables(spark, sf0001, "documents").select("doc_id", "text"), m2, v2)
+    assert(enc.filter(org.apache.spark.sql.functions.col("n_unk") =!= 0).count() == 0)
+    val got = enc.select("doc_id", "n_tok", "id_sum", "id_posw", "chars_per_tok_q")
     val want = SparkEntry.queries("q_bpe_encode")(spark, sf0001)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }

@@ -302,6 +302,30 @@ class PlanShapeSpec extends SparkSpec {
       assertForcedBroadcastsAreScalar(forcedBroadcastPlan(q.fn(spark, sf0001)), name)
   }
 
+  test("overlap backbone: shared h-exchange reused by the candidate join") {
+    // round-13 shuffle cut (verdict item 5): the containment family's
+    // prefix-filter backbone must pay TWO posting-mass exchanges, not
+    // three — the one explicit h-repartition feeds both the df-window
+    // and (through ReuseExchange) the candidate join's full side. A
+    // missing ReusedExchange means the join re-shuffles the posting
+    // table (the isnotnull-constraint canonicalization mismatch, see
+    // containmentEdges scaladoc); >3 shuffles means a posting-mass
+    // exchange crept back. (The collect_list array prefix build is the
+    // MEASURED keeper over a rank-window form — OverlapProbe receipts
+    // in PLANS.md round 13 — so no array assertion here.)
+    for ((name, q) <- Seq(
+      "q_overlap_join" -> graft.queries.CurationQueries13.overlapJoin)) {
+      val plan = staticPlan(q.fn(spark, sf0001))
+      assert(plan.collectFirst {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r }.nonEmpty,
+        s"$name: candidate join does not reuse the h-keyed posting exchange:\n$plan")
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(shuffles.size <= 3,
+        s"$name: expected ≤3 shuffles (h-posting, doc-prefix, pair-distinct), got ${shuffles.size}")
+    }
+  }
+
   test("registry-wide: every hint-forced broadcast operand is provably bounded") {
     // Round-13 gate (the round-12 verdict's top item): the
     // corpus-scale-broadcast class recurred twice (r10 pair stream, r11
@@ -332,6 +356,20 @@ class PlanShapeSpec extends SparkSpec {
           val sig = BroadcastAudit.signature(b.child)
           if (cls == "UNBOUNDED" && !BroadcastAudit.Allowed.contains((q.name, sig)))
             offenders += s"${q.name} sig=[$sig]\n${b.child.treeString.linesIterator.take(12).mkString("\n")}"
+        }
+        // same discipline for cartesian products: with auto-broadcast
+        // off, an unhinted crossJoin of a 1-row aggregate plans as
+        // CartesianProductExec — legitimate ONLY when one side is
+        // provably bounded (a corpus×corpus cartesian is a query
+        // killer at any scale, and no allow-list can excuse one)
+        for (c <- plan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }) {
+          def ok(s: org.apache.spark.sql.execution.SparkPlan) =
+            BroadcastAudit.classify(s) != "UNBOUNDED" ||
+              BroadcastAudit.Allowed.contains((q.name, BroadcastAudit.signature(s)))
+          if (!ok(c.left) && !ok(c.right))
+            offenders += s"${q.name} CARTESIAN of two unbounded sides:\n" +
+              c.treeString.linesIterator.take(12).mkString("\n")
         }
       }
     } finally {
