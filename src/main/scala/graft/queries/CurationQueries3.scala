@@ -234,6 +234,16 @@ object CurationQueries3 {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2)))).as("tri"))
       .select(col("doc_id"), polyHash(col("tri")).as("h"))
+      // round-13 fusion attempt, REJECTED by measurement: an explicit
+      // h-repartition CAN carry both the distinct and the df-window
+      // (HashPartitioning(h) ⊆ ClusteredDistribution(doc_id, h)) —
+      // one corpus exchange instead of two — but the fused form
+      // measured 4.15 s vs this form's 2.37 s warm at the 100x
+      // perturbed replica: the single wide post-shuffle stage (full
+      // dedup hash table + window sort back-to-back) costs more than
+      // the exchange it saves, while the split form dedups map-side
+      // and sorts a smaller frame. Rule recorded in PLANS.md round 13
+      // (exchange-fusion counterpart of the ppjoin window-vs-join rule).
       .distinct()
     // df via count-over-window on ONE h-keyed exchange (round-12
     // containment-family cut: the groupBy + re-join form shuffles the
