@@ -166,5 +166,67 @@ object AnnQueries2 {
         col("vec_id").as("nid"), col("dist"))
   }
 
-  val all: Seq[QueryDef] = Seq(filteredAnn, ivfProbeArtifact, ivfNprobeArtifact)
+  private val Dim = 64
+  private val S45 = "35184372088832.0"
+
+  /** BATCHED IVF serving — the [[graft.streaming.AnnStreams]] per-batch
+    * kernel as an oracle-gated registry query: FOUR query vectors
+    * (vec_id 0..3) each routed to their nprobe=2 nearest clusters and
+    * served top-5 from the partition-pruned index in ONE plan (the
+    * single-query `q_ivf_nprobe` generalizes to a query BATCH — the
+    * shape a serving fleet actually runs: per-trigger batches, not one
+    * driver round-trip per query; reference contrast: one full-table
+    * scan per REPL query, vector-db.c:165-168). The DuckDB oracle
+    * replays assignment, routing, exclusion and ranking in SQL, so the
+    * driver's hash gate proves the whole serving algebra — quantized-L2
+    * routing, self-match exclusion, (dist, nid) tie-break — bit-exact
+    * cross-engine. SCALE: routing fans each query over the k-row
+    * broadcast codebook; the probe reads nprobe/nlist of the index
+    * files (StreamingSpec pins the literal partition filter); the
+    * per-query top-5 is rank-over-(dist,nid) = WindowGroupLimit, and
+    * every per-qid partition is one probed cluster's members, never
+    * the corpus.
+    */
+  val annServeBatch: QueryDef = QueryDef.sql(
+    "q_ann_serve_batch",
+    s"""WITH ed AS (SELECT vec_id, i, embedding[i] AS x
+       |           FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)),
+       |c0 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < 8),
+       |a1 AS (SELECT ed.vec_id, c0.cluster,
+       |              CAST(sum(CAST(floor((ed.x - c0.c) * (ed.x - c0.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed JOIN c0 ON c0.i = ed.i GROUP BY 1, 2),
+       |rk AS (SELECT vec_id, cluster,
+       |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |       FROM a1),
+       |s1 AS (SELECT vec_id, cluster FROM rk WHERE rn = 1),
+       |qp AS (SELECT vec_id AS qid, cluster FROM rk WHERE rn <= 2 AND vec_id < 4),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < 4),
+       |cand AS (SELECT q.qid, e.vec_id AS nid, ${cosDistSql("e.v", "q.qv")} AS dist
+       |         FROM e JOIN s1 ON s1.vec_id = e.vec_id
+       |                JOIN qp ON qp.cluster = s1.cluster
+       |                JOIN q ON q.qid = qp.qid
+       |         WHERE e.vec_id <> q.qid),
+       |rkd AS (SELECT qid, nid, dist,
+       |               CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank
+       |        FROM cand)
+       |SELECT qid, rank, nid, dist FROM rkd WHERE rank <= 5""".stripMargin) {
+    (spark, dir) =>
+      import graft.operators.IvfIndex
+      val base = s"/tmp/graft_artifacts/${spark.sparkContext.applicationId}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+      IvfIndex.build(emb, seeds, s"$base/serve_idx")
+      val queries = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      graft.streaming.AnnStreams.servedTopK(
+        queries, seeds, s"$base/serve_idx", 5, 2)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(filteredAnn, ivfProbeArtifact, ivfNprobeArtifact, annServeBatch)
 }

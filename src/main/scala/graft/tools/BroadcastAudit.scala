@@ -146,6 +146,8 @@ object BroadcastAudit {
     ("q_ivfpq", "pcluster,qid") -> ProbeSet,
     ("q_ivfpq", "lqid,qcode,qd2,qm") -> ProbeSet,
     ("q_kmeans", "cluster,cv") -> Centroids,
+    ("q_ann_serve_batch", "cluster,cv") -> Centroids, // 8-row serving codebook
+    ("q_ann_serve_batch", "cluster,qid,qv") -> ProbeSet, // per-batch routed queries
     ("q_ivfpq", "cluster,cv") -> Centroids,
     ("q_centroid_classify", "clabel,cv") -> Centroids,
     ("q_embed_outliers", "cluster,cv") -> Centroids,

@@ -649,6 +649,75 @@ class StreamingSpec extends SparkSpec {
       "fixture must leave a partial block in carry-over state")
   }
 
+  test("streaming ANN serve: per-batch nprobe probe equals the batch replay, pruned scan") {
+    // the reference's interactive query loop as a stream (round 13):
+    // query vectors arrive, each micro-batch routes them to their
+    // nprobe nearest clusters and probes ONLY those partitions of the
+    // prebuilt index. Streamed top-k must equal a per-query driver
+    // replay of the batch nprobe machinery (q_ivf_nprobe's shape with
+    // self-match exclusion), and the per-batch plan must prune at the
+    // partition level, not post-scan.
+    import graft.operators.IvfIndex
+    val base = Files.createTempDirectory("ann-serve").toString
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+      .localCheckpoint() // k-row codebook, fixed for the whole test
+    IvfIndex.build(emb, seeds, s"$base/idx")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+    // batch replay: the q_ivf_nprobe machinery per query, driver loop
+    val want = queries.collect().flatMap { r =>
+      val qid = r.getLong(0); val qv = r.getSeq[Double](1)
+      val probed = IvfIndex.nearestClusters(seeds, qv, 2)
+      val qlit = array(qv.map(lit): _*)
+      IvfIndex.probe(spark, s"$base/idx", probed)
+        .filter(col("vec_id") =!= qid)
+        .select(col("vec_id").as("nid"),
+          graft.functions.VectorFunctions.cosineDistance(col("embedding"), qlit).as("dist"))
+        .orderBy(col("dist").asc, col("nid").asc).limit(5)
+        .collect().zipWithIndex
+        .map { case (n, i) => (qid, (i + 1).toLong, n.getLong(0), n.getDouble(1)) }
+    }.toSet
+    // the pure per-batch function: exact equality with the replay
+    val got = graft.streaming.AnnStreams
+      .servedTopK(queries, seeds, s"$base/idx", 5, 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want, s"served top-k diverges from the batch replay")
+    // partition pruning: the probe scan must carry a literal filter on
+    // the partition column (planning-time file pruning). AQE off for
+    // the static-plan traversal (AdaptiveSparkPlanExec hides subtrees).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try graft.streaming.AnnStreams
+      .servedTopK(queries, seeds, s"$base/idx", 5, 2)
+      .queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val scan = plan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.mkString(",").contains("idx") => s }
+    assert(scan.nonEmpty, "expected the index scan in the per-batch plan")
+    assert(scan.get.partitionFilters.nonEmpty,
+      s"index scan reads all partitions:\n${scan.get}")
+    // end-to-end through foreachBatch: two micro-batches, exactly-once
+    // into the parquet sink, same total result
+    val srcDir = s"$base/qsrc"
+    val q01 = queries.filter(col("qid") < 2)
+    val q23 = queries.filter(col("qid") >= 2)
+    q01.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c0")
+    q23.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c1")
+    new java.io.File(s"$srcDir/c0").listFiles().foreach(_.setLastModified(1700000000000L))
+    new java.io.File(s"$srcDir/c1").listFiles().foreach(_.setLastModified(1700000060000L))
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val sq = graft.streaming.AnnStreams.serve(stream, seeds, s"$base/idx",
+      5, 2, s"$base/out", s"$base/ckpt")
+    try sq.processAllAvailable() finally sq.stop()
+    val streamed = spark.read.parquet(s"$base/out")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == want, "foreachBatch serve diverges from the batch replay")
+  }
+
   test("packer flush sentinel: trailing partials emit, total output equals batch exactly") {
     // round-13 ADVICE: Append+NoTimeout never emits the carried partial,
     // so full batch parity was unreachable from stream output alone. A
