@@ -138,6 +138,12 @@ class ScaleSlopeSpec extends SparkSpec {
     // contraction; pinned so the summary can't regress to enumerating
     // the pair clique it exists to avoid
     "q_overlap_top" -> 1.5,
+    // round-13: batched IVF serving — routing is a k-row broadcast
+    // fan-out, the probe reads nprobe/nlist of the index files, and
+    // per-query top-k is WindowGroupLimit over one cluster's members;
+    // pinned (measured 0.12 at the 100x perturbed replica incl. the
+    // index build) so serving can't regress to a full-index scan
+    "q_ann_serve_batch" -> 1.5,
     // round-9 batch 32: k-center is K map-only scans + TakeOrdered(1)
     // per round (no shuffle, no distance matrix) and the LRS binary
     // search is O(log maxDocLen) verified shingle passes — both pinned
