@@ -123,6 +123,33 @@ object BroadcastAudit {
   private val BloomBuckets =
     "bloom bucket set: distinct pmod(_,65536) values — ≤ 65536 rows by construction"
 
+  /** (query name, input signature) → documented cap for UNPARTITIONED
+    * Window operators — the OTHER single-point-of-collapse: an empty
+    * partitionSpec funnels the whole input through ONE task. Every
+    * entry names the rollup the window actually sees and why its
+    * cardinality does not scale with corpus bytes. (Global SortExec is
+    * NOT in scope: range-partitioned sorts parallelize.)
+    */
+  val WindowAllowed: Map[(String, String), String] = Map(
+    ("q_changepoint", "day,n") ->
+      "daily rollup: rows = horizon days (grows with wall-clock, not bytes)",
+    ("q_burst_hours", "hr,n") ->
+      "hourly rollup: rows = horizon hours",
+    ("q_token_cdf", "cnt,n") ->
+      "token-length histogram: ≤ max document token count (the q_token_cdf rank spine)",
+    ("q_snm_blocking", "c,sk") ->
+      "3-token-prefix histogram: vocab-sublinear (Heaps); the SNM blocking spine",
+    ("q_budget_select", "bucket_tokens,n_docs,score_bp") ->
+      "score-bucket rollup: ≤ 10001 basis-point buckets by construction",
+    ("q_quality_auc", "logit,n,npos") ->
+      "logit-grid rollup: bounded by the scorer's integer quantization grid",
+    ("q_zipf_fit", "cnt,tok") ->
+      ("the VOCABULARY rank window — the one entry that grows (Heaps ~N^0.7): " +
+        "exact ln(rank) floors need the total tie order, so the window is inherent " +
+        "to the exact-fit semantics; the 100-TB path fits on a top-K frequency " +
+        "table instead (documented boundary, not a silent whale)"),
+  )
+
   /** (query name, operand signature) → documented boundedness cap.
     * The executable form of PLANS.md's forced-broadcast hint ledger.
     */
@@ -217,10 +244,29 @@ object BroadcastAudit {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     var unbounded = 0
+    val windowMode = args.drop(1).headOption.contains("windows")
     for (q <- graft.SparkEntry.registry) {
       val t0 = System.nanoTime()
       try {
         val plan = q.fn(spark, sf).queryExecution.executedPlan
+        if (windowMode) {
+          // unpartitioned Window/global Sort audit: every such operator
+          // funnels its whole input through ONE task — fine over a
+          // bounded frame, a query killer over a corpus frame
+          for (w <- plan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w }) {
+            val cls = classify(w.child)
+            if (cls == "UNBOUNDED")
+              println(s"WINDOW ${q.name}: unpartitioned over [${signature(w.child)}]")
+          }
+          for (s <- plan.collect {
+            case s: org.apache.spark.sql.execution.SortExec if s.global => s }) {
+            val cls = classify(s.child)
+            if (cls == "UNBOUNDED")
+              println(s"SORT   ${q.name}: global sort over [${signature(s.child)}]")
+          }
+        }
         val bx = plan.collect { case b: BroadcastExchangeExec => b }
         val classes = bx.map { b =>
           val c = classify(b.child)

@@ -371,6 +371,21 @@ class PlanShapeSpec extends SparkSpec {
             offenders += s"${q.name} CARTESIAN of two unbounded sides:\n" +
               c.treeString.linesIterator.take(12).mkString("\n")
         }
+        // and for UNPARTITIONED windows — the other single-point-of-
+        // collapse (empty partitionSpec = the whole input through ONE
+        // task): the input must be plan-provably bounded or carry a
+        // WindowAllowed entry naming its rollup and cap. Global
+        // SortExec is out of scope: range partitioning parallelizes it.
+        for (w <- plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w }) {
+          val cls = BroadcastAudit.classify(w.child)
+          val sig = BroadcastAudit.signature(w.child)
+          if (cls == "UNBOUNDED" &&
+              !BroadcastAudit.WindowAllowed.contains((q.name, sig)))
+            offenders += s"${q.name} UNPARTITIONED WINDOW over sig=[$sig]\n" +
+              w.child.treeString.linesIterator.take(12).mkString("\n")
+        }
       }
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -386,6 +401,8 @@ class PlanShapeSpec extends SparkSpec {
     val names = SparkEntry.registry.map(_.name).toSet
     val dead = BroadcastAudit.Allowed.keys.filterNot { case (n, _) => names.contains(n) }
     assert(dead.isEmpty, s"allow-list entries for unregistered queries: $dead")
+    val deadW = BroadcastAudit.WindowAllowed.keys.filterNot { case (n, _) => names.contains(n) }
+    assert(deadW.isEmpty, s"window allow-list entries for unregistered queries: $deadW")
   }
 
   test("bigram_ppl: LM joins are hash-keyed, never cartesian") {
