@@ -230,6 +230,63 @@ object CurationQueries5 {
       .unionAll(stage("40_decontam", s4))
   }
 
+  /** The Zipf fit's 100-TB SCALE PATH made concrete (round 13 — the
+    * boundary the window-ledger entry for `q_zipf_fit` documents): the
+    * fit runs on the TOP-K frequency table instead of the full
+    * vocabulary. Top-K by (cnt desc, tok) is a distributed
+    * TakeOrderedAndProject — no single-task vocabulary window — and
+    * because those K rows hold exactly the global ranks 1..K, the rank
+    * window that follows runs over a PROVABLY K-bounded input (the
+    * registry window gate classifies it `limit`). The head of the
+    * rank-frequency curve is where a Zipf slope is actually estimated
+    * in practice (the tail's ties at cnt=1,2 carry no slope signal and
+    * distort OLS); the oracle keeps the textbook global row_number with
+    * `rnk <= K`, proving top-K-then-rank ≡ rank-then-filter.
+    */
+  val zipfTopk: QueryDef = {
+    val K = 512
+    QueryDef.sql(
+      "q_zipf_topk",
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM f),
+         |q AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * $Q20) AS BIGINT) AS x,
+         |             CAST(floor(ln(CAST(cnt AS DOUBLE)) * $Q20) AS BIGINT) AS y
+         |      FROM r WHERE rnk <= $K),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |             CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         |             CAST(sum(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+         |             CAST(sum(CAST(x * y AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+         |             CAST(sum(CAST(x * x AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+         |      FROM q)
+         |SELECT CAST(n AS BIGINT) AS n_fit,
+         |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         |       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / $Q20.0
+         |         AS intercept_ln
+         |FROM s""".stripMargin) { (spark, dir) =>
+      val f = Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(K) // distributed top-K: TakeOrderedAndProject, no window
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("tok").asc)
+      val q = f.withColumn("rnk", row_number().over(w)) // K-bounded input
+        .select(floor(lnf(col("rnk").cast("double")) * Q20).cast("long").as("x"),
+          floor(lnf(col("cnt").cast("double")) * Q20).cast("long").as("y"))
+      val s = q.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(18,0)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(18,0)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(18,0)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(18,0)")).cast("double").as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      s.select(col("n").cast("long").as("n_fit"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n") / Q20.toDouble).as("intercept_ln"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(retention, zipfFit, temperatureMix,
-    pipelineFunnel)
+    pipelineFunnel, zipfTopk)
 }
