@@ -881,13 +881,27 @@ object DedupQueries {
     * only find probabilistically.
     *
     * SCALE — global rank WITHOUT a global window (the `q_token_cdf`
-    * lesson): rank = broadcast histogram offset of the sort-key bucket
-    * + row_number PARTITIONED by bucket; the within-w pair join bands
-    * on `rank DIV w` (each right row carries 2 band keys), so
-    * candidates come from an equi-join producing ≤ w rows per document
-    * — corpus-linear, no range join, no one-task sort. At 1000
-    * executors the sort key's bucket histogram is vocab³-bounded and
-    * broadcast; everything else shuffles on bucket or band keys.
+    * lesson): rank = distributed range-sort on (sk, doc_id) +
+    * `zipWithIndex` (the q_bpe_encode vocab-rank idiom — Θ(#partitions)
+    * offset exchange, no corpus-scale driver state); the within-w pair
+    * join bands on `rank DIV w` (each right row carries 2 band keys),
+    * so candidates come from an equi-join producing ≤ w rows per
+    * document — corpus-linear, no range join, no one-task sort.
+    *
+    * The first shape ranked via a BROADCAST histogram of sort-key
+    * buckets + row_number partitioned by bucket. Two adversaries break
+    * it (round-13 measurements, PLANS.md): the histogram is keyed by
+    * the 3-token document prefix, so a vocab-growing corpus grows the
+    * broadcast linearly (the CapProbe caveat: the synthetic corpus'
+    * bounded template vocab read 1.00x there — the perturbed replica
+    * reads exactly 10.00x across a 10x step, 473 → 4,730 distinct
+    * prefixes), and a HOT prefix (the mega-dup boilerplate page)
+    * funnels its whole cluster through one row_number task (the
+    * ppjoin window-concentration class). The
+    * range-sort splits ties across partitions (doc_id disambiguates)
+    * and ships only per-partition counts, so neither adversary has a
+    * foothold; rank values are identical — (sk, doc_id) is a unique
+    * total order — and re-shard-stable (DeterminismSpec).
     */
   val snmBlocking: QueryDef = QueryDef.sql(
     "q_snm_blocking",
@@ -911,20 +925,18 @@ object DedupQueries {
        |SELECT p.ida, p.idb, c.d AS rank_dist, p.jaccard
        |FROM prs p JOIN cand c ON c.ida = p.ida AND c.idb = p.idb""".stripMargin) {
     (spark, dir) =>
+      import spark.implicits._
       val docs = Tables(spark, dir, "documents")
       val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
       val skt = docs.select(col("doc_id"),
         array_join(slice(tokens(col("text")), 1, 3), " ").as("sk"))
-      val hist = skt.groupBy("sk").agg(count(lit(1)).as("c"))
-      // cumulative offsets over the BUCKET table (vocab-bounded), not the corpus
-      val wcum = org.apache.spark.sql.expressions.Window
-        .orderBy("sk").rowsBetween(Long.MinValue, 0)
-      val bef = hist.withColumn("bfr", sum("c").over(wcum) - col("c"))
-        .select("sk", "bfr")
-      val rnk = skt.join(broadcast(bef), "sk")
-        .withColumn("rwithin", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("sk").orderBy("doc_id")))
-        .select(col("doc_id"), (col("bfr") + col("rwithin")).as("rn"))
+      // global dense rank over the unique total order (sk, doc_id):
+      // range-sort + zipWithIndex. One RDD instance feeds BOTH join
+      // sides below, so the sort's map outputs are written once and
+      // re-read (RDD shuffle reuse) — not a doubled sort.
+      val rnk = skt.select(col("sk"), col("doc_id")).as[(String, Long)]
+        .orderBy("sk", "doc_id").rdd.zipWithIndex()
+        .map { case ((_, id), i) => (id, i + 1L) }.toDF("doc_id", "rn")
       // banded within-w join: left row keyed by rn DIV 4; right row carries
       // band and band-1, so each qualifying pair matches on exactly one key
       val a = rnk.select(col("doc_id").as("ida"), col("rn").as("ra"),

@@ -114,9 +114,6 @@ object BroadcastAudit {
   private val LenHistogram =
     "token-length histogram: cardinality ≤ max document token count (truncation-capped), " +
       "corpus-independent — the q_token_cdf rank-algebra spine"
-  private val SortKeyHistogram =
-    "sort-key bucket histogram: keyed by the 3-token document prefix — vocab-sublinear " +
-      "(Heaps' law), the documented SNM blocking spine (DedupQueries.scala q_snm_blocking)"
   private val CmsGrid =
     "count-min sketch grid: keyed by (row r < depth, col b = pmod(_,width)) — ≤ depth·width " +
       "cells by construction"
@@ -137,8 +134,6 @@ object BroadcastAudit {
       "hourly rollup: rows = horizon hours",
     ("q_token_cdf", "cnt,n") ->
       "token-length histogram: ≤ max document token count (the q_token_cdf rank spine)",
-    ("q_snm_blocking", "c,sk") ->
-      "3-token-prefix histogram: vocab-sublinear (Heaps); the SNM blocking spine",
     ("q_budget_select", "bucket_tokens,n_docs,score_bp") ->
       "score-bucket rollup: ≤ 10001 basis-point buckets by construction",
     ("q_quality_auc", "logit,n,npos") ->
@@ -210,7 +205,6 @@ object BroadcastAudit {
     ("q_bpe_encode", "id,tok") -> VocabCap,
     ("q_seq_pack_bpe", "id,tok") -> VocabCap,
     ("q_token_cdf", "before,hn") -> LenHistogram,
-    ("q_snm_blocking", "bfr,sk") -> SortKeyHistogram,
     ("q_cms_sketch", "b,cnt,r") -> CmsGrid,
     ("q_bloom_prejoin", "b") -> BloomBuckets,
   )

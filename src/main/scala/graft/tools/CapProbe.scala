@@ -9,10 +9,13 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
   * query runs at two scale factors (10x apart) with AQE off and
   * auto-broadcast disabled, and each forced operand's actual row count
   * is read from the BroadcastExchange's `numOutputRows` metric after
-  * execution. A scale-invariant operand reads ~1x growth; the two
-  * documented sublinear spines (token-length histogram, SNM sort-key
-  * histogram) read their Heaps-law factors; anything near 10x would be
-  * a corpus-scaled operand hiding behind a stale ledger entry.
+  * execution. A scale-invariant operand reads ~1x growth; the
+  * token-length histogram reads its documented doc-length bound;
+  * anything near 10x would be a corpus-scaled operand hiding behind a
+  * stale ledger entry. (The SNM sort-key histogram was exactly that
+  * class — its round-13 measurement under the perturbed replica read
+  * ~10x, and the rank now rides a range-sort + zipWithIndex instead of
+  * any broadcast; see DedupQueries.snmBlocking.)
   *
   *   runMain graft.tools.CapProbe [sfSmall] [sfBig]
   */

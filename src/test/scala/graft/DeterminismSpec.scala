@@ -49,7 +49,7 @@ class DeterminismSpec extends SparkSpec {
     // round-7 batch 8: layout planning and rank blocking must be
     // invariant to the very sharding they reason about
     "q_zorder_layout",       // Morton bit algebra + zone-map envelopes
-    "q_snm_blocking",        // histogram-offset global ranks, banded join
+    "q_snm_blocking",        // zipWithIndex global ranks, banded join
     "q_repeated_spans",      // island merge over per-doc position windows
     // round-7 batch 9: fixed-literal DCG weights; pair-stream classes
     "q_ann_ndcg",            // 2^40 weight table, integral ndcg/rr ratios

@@ -187,12 +187,33 @@ class ScaleSlopeSpec extends SparkSpec {
     // can't regress to a token-scale or global sort
     "q_seq_pack_bpe" -> 1.5)
 
+  /** Single-pass slope, re-measured at min-of-3 passes only when it
+    * violates the gate. The suite's long-lived forked JVM accumulates
+    * GC/JIT state across ~60 suites, and a min-of-1 timing occasionally
+    * eats a multi-second pause on one side of the ratio (observed:
+    * q_dedup_groups 2.39 in a full-suite run whose solo re-runs read
+    * 0.23/0.24 — the round-11 q_ngram_jaccard warm-up lesson, now
+    * inside CI). A REAL mechanism regression — quadratic pair mass, a
+    * lost cap — reproduces across passes; an ambient pause does not,
+    * so the retry only suppresses the noise class while keeping the
+    * gate's teeth. Retry cost is paid only on violation.
+    */
+  private def gatedSlope(src: String, dst: String, name: String,
+                         maxSlope: Double): Option[String] = {
+    val (t1, tn, s) = ScaleProbe.slope(spark, src, dst, factor, name)
+    val violated = s > maxSlope
+    val (ft1, ftn, fs) =
+      if (!violated) (t1, tn, s)
+      else ScaleProbe.slope(spark, src, dst, factor, name, passes = 3)
+    val retried = if (violated) f" (first pass $s%.2f, retried min-of-3)" else ""
+    info(f"$name%-18s 1x=$ft1%6.2fs ${factor}x=$ftn%6.2fs slope=$fs%5.2f (max $maxSlope)$retried")
+    if (fs > maxSlope) Some(f"$name slope $fs%.2f > $maxSlope") else None
+  }
+
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
     val bad = thresholds.flatMap { case (name, maxSlope) =>
-      val (t1, tn, s) = ScaleProbe.slope(spark, src, dst, factor, name)
-      info(f"$name%-18s 1x=$t1%6.2fs ${factor}x=$tn%6.2fs slope=$s%5.2f (max $maxSlope)")
-      if (s > maxSlope) Some(f"$name slope $s%.2f > $maxSlope") else None
+      gatedSlope(src, dst, name, maxSlope)
     }
     assert(bad.isEmpty, s"super-linear scale slopes: ${bad.mkString("; ")}")
   }
@@ -219,14 +240,14 @@ class ScaleSlopeSpec extends SparkSpec {
     // any pair machinery (100x receipts: matrix 0.50 → 0.03, overlap
     // 1.09 → 0.05, triangles DNF-in-9-min → 0.03) — gated here so the
     // collapse step can't silently vanish back into raw enumeration
+    // q_snm_blocking joined the list in round 13: its rank rewrite
+    // (range-sort + zipWithIndex) removed the one-task row_number over
+    // the mega-dup cluster's shared prefix — gated here so the rank
+    // can't regress to a per-prefix window
     val bad = Seq("q_dedup_exact", "q_neardup_collapsed", "q_dedup_groups",
         "q_pipeline_funnel", "q_source_dup_matrix", "q_source_overlap",
-        "q_triangle_count", "q_split_leakage")
-      .flatMap { name =>
-        val (t1, tn, s) = ScaleProbe.slope(spark, src, dupDst, factor, name)
-        info(f"$name%-18s 1x=$t1%6.2fs ${factor}x=$tn%6.2fs slope=$s%5.2f (max 1.5)")
-        if (s > 1.5) Some(f"$name slope $s%.2f > 1.5") else None
-      }
+        "q_triangle_count", "q_split_leakage", "q_snm_blocking")
+      .flatMap { name => gatedSlope(src, dupDst, name, 1.5) }
     assert(bad.isEmpty, s"mega-dup cluster leaked into pair generation: ${bad.mkString("; ")}")
   }
 
@@ -245,10 +266,16 @@ class ScaleSlopeSpec extends SparkSpec {
       (System.nanoTime() - t0) / 1e9 / (k - 1)
     }
     perRound(4) // warm codegen + scan
-    val small = perRound(16)
-    val large = perRound(96)
-    info(f"per-round: K=16 $small%.3fs K=96 $large%.3fs ratio ${large / small}%.2f")
-    assert(large <= small * 1.5,
-      f"per-round cost grows with K (${large / small}%.2fx): lineage truncation regressed")
+    def ratio(): Double = perRound(96) / perRound(16)
+    // same ambient-pause class as gatedSlope: a min-of-1 timing pair in
+    // the suite's long-lived JVM occasionally reads a GC stall on one
+    // side; a REAL lineage regression reproduces, so retry min-of-3
+    val first = ratio()
+    val r = if (first <= 1.5) first
+      else (1 to 3).map(_ => ratio()).min
+    info(f"per-round K=96/K=16 ratio $r%.2f" +
+      (if (first > 1.5) f" (first pass $first%.2f, retried min-of-3)" else ""))
+    assert(r <= 1.5,
+      f"per-round cost grows with K ($r%.2fx): lineage truncation regressed")
   }
 }
