@@ -61,9 +61,19 @@ object CurationQueries5 {
     * lns are quantized to the 2^20 grid per row (the grid cancels in the
     * slope), per-row products stay inside BIGINT, and the five sums ride
     * DECIMAL casts, so both engines feed identical integers into an
-    * identically-ordered double formula. The rank is a global window
-    * over the VOCABULARY table (corpus-bounded, not corpus-sized); the
-    * fit itself is one scalar aggregation.
+    * identically-ordered double formula. The rank rides the repo's
+    * global-dense-rank idiom — a distributed range-sort on the unique
+    * total order (cnt DESC, tok) + `zipWithIndex` — NOT an
+    * unpartitioned window: the vocabulary table grows with the corpus
+    * (Heaps ~N^0.7, and the SNM postmortem measured a prefix-keyed
+    * "vocab" table at Θ(docs) under the linear-vocab adversary), so a
+    * single-task rank sort is the q_bpe_encode round-10 whale. The
+    * exact ln(rank) floors still see the exact tie order — zipWithIndex
+    * indexes the same total order the window would — so the fit is
+    * bit-identical to the oracle's row_number form. The fit itself is
+    * one scalar aggregation. (`q_zipf_topk` remains the serving-knob
+    * variant: a fit on the top-K head only, constant-size by
+    * construction.)
     */
   val zipfFit: QueryDef = QueryDef.sql(
     "q_zipf_fit",
@@ -84,12 +94,15 @@ object CurationQueries5 {
        |       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / $Q20.0
        |         AS intercept_ln
        |FROM s""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
     val f = Tables(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("tok").asc)
-    val q = f.withColumn("rnk", row_number().over(w))
+    // global dense rank over the unique total order (cnt DESC, tok):
+    // range-sort + zipWithIndex (the q_bpe_encode vocab-rank idiom)
+    val q = f.select(col("cnt"), col("tok")).as[(Long, String)]
+      .orderBy(col("cnt").desc, col("tok").asc).rdd.zipWithIndex()
+      .map { case ((cnt, _), i) => (i + 1L, cnt) }.toDF("rnk", "cnt")
       .select(floor(lnf(col("rnk").cast("double")) * Q20).cast("long").as("x"),
         floor(lnf(col("cnt").cast("double")) * Q20).cast("long").as("y"))
     val s = q.agg(count(lit(1)).cast("double").as("n"),
@@ -230,8 +243,11 @@ object CurationQueries5 {
       .unionAll(stage("40_decontam", s4))
   }
 
-  /** The Zipf fit's 100-TB SCALE PATH made concrete (round 13 — the
-    * boundary the window-ledger entry for `q_zipf_fit` documents): the
+  /** The Zipf fit's head-only serving variant (round 13 — written as
+    * the scale path while `q_zipf_fit` still ranked through a global
+    * window; the full fit now ranks via range-sort + zipWithIndex, so
+    * BOTH forms scale — this one stays because a top-K fit is the
+    * practitioner's knob): the
     * fit runs on the TOP-K frequency table instead of the full
     * vocabulary. Top-K by (cnt desc, tok) is a distributed
     * TakeOrderedAndProject — no single-task vocabulary window — and

@@ -138,11 +138,11 @@ object BroadcastAudit {
       "score-bucket rollup: ≤ 10001 basis-point buckets by construction",
     ("q_quality_auc", "logit,n,npos") ->
       "logit-grid rollup: bounded by the scorer's integer quantization grid",
-    ("q_zipf_fit", "cnt,tok") ->
-      ("the VOCABULARY rank window — the one entry that grows (Heaps ~N^0.7): " +
-        "exact ln(rank) floors need the total tie order, so the window is inherent " +
-        "to the exact-fit semantics; the 100-TB path fits on a top-K frequency " +
-        "table instead (documented boundary, not a silent whale)"),
+    // q_zipf_fit's vocabulary rank window — formerly the one entry that
+    // GREW (Heaps ~N^0.7) — was retired in round 13: the rank is the
+    // same unique total order (cnt DESC, tok) computed by range-sort +
+    // zipWithIndex, so the exact-fit semantics no longer need a window
+    // at all. Every remaining entry is a genuinely bounded rollup.
   )
 
   /** (query name, operand signature) → documented boundedness cap.

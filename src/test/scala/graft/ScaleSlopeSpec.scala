@@ -41,6 +41,11 @@ class ScaleSlopeSpec extends SparkSpec {
     // windowed map-side emission) plus the remaining heavyweights whose
     // slopes previously lived only in PLANS.md narrative
     "q_token_cdf" -> 1.5,
+    // round-13: the exact Zipf fit's rank moved off the global
+    // vocabulary window onto range-sort + zipWithIndex — pinned on the
+    // vocab-growing replica so the rank can't regress to a one-task
+    // sort (the q_bpe_encode round-10 whale class)
+    "q_zipf_fit" -> 1.5,
     "q_cooccur_pmi" -> 1.5,
     "q_containment" -> 1.5,
     "q_semdedup" -> 1.5,
