@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, GraftShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distributed SEGMENTED PREFIX SUM — per-shard running totals in a
+  * deterministic total order, without a one-task-per-shard window.
+  *
+  * `sum(v) OVER (PARTITION BY shard ORDER BY o ROWS UNBOUNDED PRECEDING)`
+  * funnels each shard through ONE window task: fine when shards are
+  * plentiful, a parallelism ceiling of #shards when they are few — the
+  * sequence packers shard by LANGUAGE, so at corpus scale one task
+  * sorts and scans an entire language (billions of rows for a dominant
+  * language) while the other 999 executors idle. The slope gates never
+  * see it: the cost is linear, only the PARALLELISM is capped.
+  *
+  * This is the classic two-pass scan algorithm (Blelloch): range-sort
+  * on (shard, order) — distributed, ties split across partitions —
+  * then (1) one pass computing per-(partition, shard) subtotals,
+  * Θ(#partitions) rows collected; the driver chains them into each
+  * partition's per-shard START offset; (2) one narrow pass adding the
+  * local running sum to the offset. Values are identical to the window
+  * form because (shard, order...) is sorted globally and the fold is
+  * the same left-to-right sum; the order columns must make the sort a
+  * TOTAL order for the output to be deterministic (callers pass a
+  * unique key, e.g. doc_id). Both passes run over the executed plan's
+  * InternalRow RDD (`GraftShim.internalRdd` — no per-row Row
+  * encode/decode; a first cut on `df.rdd` measured 5.19 s vs the
+  * window's 3.18 s at the 5M-doc replica from exactly that overhead)
+  * and share one RDD lineage, so the range shuffle is written once and
+  * re-read (RDD shuffle reuse), not run twice. Per-partition
+  * imperative folds are the documented `mapPartitions` carve-out.
+  */
+object PrefixSum {
+
+  /** Copy a shard key out of a (possibly buffer-reused) InternalRow so
+    * it can be retained as a map key across `next()` calls.
+    */
+  private def copyKey(k: Any): Any = k match {
+    case s: UTF8String => s.copy()
+    case x => x // primitives box immutably
+  }
+
+  /** `df` + `outCol` = INCLUSIVE per-`shardCol` running sum of
+    * `valueCol` (LongType) ordered by `orderCols` within the shard.
+    * (`shardCol`, `orderCols`) must be a unique key of `df`; `valueCol`
+    * and `shardCol` must be non-null.
+    */
+  def byShard(df: DataFrame, shardCol: String, orderCols: Seq[String],
+              valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sortCols = (shardCol +: orderCols).map(col)
+    // materialize the narrow input ONCE: repartitionByRange runs a
+    // sampling job over its child, which would re-run the caller's
+    // upstream (for q_seq_pack_bpe that is the whole BPE encode fold)
+    // a second time. DURABILITY: lineage-severed, non-replicated — the
+    // same ledger class as the weighted-rep cluster frames (PLANS.md
+    // round-12 ledger); a preemptible cluster swaps in a reliable
+    // checkpoint via the same one-line rule.
+    val cp = df.localCheckpoint(true)
+    val sorted = cp.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+    val shardIdx = schema.fieldIndex(shardCol)
+    val shardType = schema(shardIdx).dataType
+    val valIdx = schema.fieldIndex(valueCol)
+    val nFields = schema.length
+    val types = schema.fields.map(_.dataType)
+    // buffer-reuse safety: only atomic fields (copyKey covers strings;
+    // numerics are value types) — pass a narrow projection, not arrays
+    require(!types.exists(t =>
+        t.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.StructType]),
+      s"PrefixSum.byShard supports atomic column types only; got ${schema.simpleString}")
+    val rdd = GraftShim.internalRdd(sorted) // shared lineage: one range shuffle
+
+    // pass 1: per-(partition, shard) subtotals, in shard order within
+    // each partition — Θ(#partitions + #shard-boundary-crossings) rows
+    val subtotals: Array[(Int, Array[(Any, Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r =>
+          val k = r.get(shardIdx, shardType)
+          acc.get(k) match {
+            case Some(v) => acc.update(k, v + r.getLong(valIdx))
+            case None => acc.put(copyKey(k), r.getLong(valIdx))
+          }
+        }
+        Iterator.single((pid, acc.toArray))
+      }.collect()
+
+    // driver: chain subtotals in partition order into per-partition
+    // START offsets for exactly the shards that partition touches
+    val running = scala.collection.mutable.HashMap.empty[Any, Long]
+    val offsets = new Array[Map[Any, Long]](parts)
+    subtotals.sortBy(_._1).foreach { case (pid, subs) =>
+      offsets(pid) = subs.map { case (k, _) => k -> running.getOrElse(k, 0L) }.toMap
+      subs.foreach { case (k, s) => running.update(k, running.getOrElse(k, 0L) + s) }
+    }
+    for (pid <- 0 until parts) if (offsets(pid) == null) offsets(pid) = Map.empty
+
+    // pass 2: narrow — local running sum + the partition's start offset.
+    // Emitted rows copy retained values (UTF8String) out of the reused
+    // input buffer; numerics are value types.
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val cur = scala.collection.mutable.HashMap.empty[Any, Long]
+      offsets(pid).foreach { case (k, v) => cur.update(k, v) }
+      it.map { r =>
+        val k = r.get(shardIdx, shardType)
+        val c = cur.getOrElse(k, 0L) + r.getLong(valIdx)
+        cur.get(k) match {
+          case Some(_) => cur.update(k, c)
+          case None => cur.put(copyKey(k), c)
+        }
+        val vals = new Array[Any](nFields + 1)
+        var i = 0
+        while (i < nFields) {
+          vals(i) = copyKey(r.get(i, types(i)))
+          i += 1
+        }
+        vals(nFields) = c
+        new GenericInternalRow(vals): InternalRow
+      }
+    }
+    GraftShim.ofInternal(spark, out,
+      StructType(schema.fields :+ StructField(outCol, LongType, nullable = false)))
+  }
+}

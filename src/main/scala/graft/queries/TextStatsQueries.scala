@@ -153,9 +153,14 @@ object TextStatsQueries {
   /** Sequence packing (concat-and-chunk): documents are laid out as a
     * contiguous token stream per shard (= lang here) in deterministic
     * doc_id order; bin = the 512-token block where each document STARTS.
-    * This is the pretraining packing op; the per-shard window keeps it
-    * scalable (shards pack independently — no global order, no single
-    * partition), exactly how a 1000-executor run would shard it.
+    * This is the pretraining packing op. The running total rides
+    * [[graft.operators.PrefixSum]] (round 13) rather than a
+    * per-lang window: shards pack independently either way, but a
+    * lang-partitioned window caps parallelism at #languages — one task
+    * owns a whole language's stream, a silent ceiling at corpus scale
+    * that the linear slope gates cannot see. The segmented two-pass
+    * scan keeps the identical left-to-right sums (same unique
+    * (lang, doc_id) order) at full partition parallelism.
     */
   val seqPack: QueryDef = QueryDef.sql(
     "q_seq_pack",
@@ -165,13 +170,9 @@ object TextStatsQueries {
       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |      FROM t)
       |SELECT lang, doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS bin FROM c""".stripMargin) { (spark, dir) =>
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Tables(spark, dir, "documents")
+    val t = Tables(spark, dir, "documents")
       .select(col("lang"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+    graft.operators.PrefixSum.byShard(t, "lang", Seq("doc_id"), "n_tok", "cum")
       .select(col("lang"), col("doc_id"), col("n_tok"),
         expr("(cum - n_tok) div 512").as("bin"))
   }

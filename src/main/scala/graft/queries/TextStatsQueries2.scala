@@ -33,12 +33,16 @@ object TextStatsQueries2 {
     * `q_bpe_encode` checksum discipline, now per block instead of per
     * document.
     *
-    * SCALE: shards pack independently (PARTITION BY lang — no global
-    * order, no single partition; exactly how a 1000-executor run
-    * shards it). The only doc-ordered work is the per-shard cumulative
-    * token count, a DOC-scale window (one row per document, never
-    * exploded tokens); each token's global position is then
-    * doc-start + in-doc offset, computed map-side at explode time. The
+    * SCALE: shards pack independently (segmented by lang — no global
+    * order). The only doc-ordered work is the per-shard cumulative
+    * token count over one row per document (never exploded tokens),
+    * computed by [[graft.operators.PrefixSum]] (round 13): a
+    * lang-partitioned window put each language's whole doc stream
+    * through ONE task — a parallelism ceiling of #languages that the
+    * linear slope gates cannot see — where the segmented two-pass scan
+    * keeps identical sums at full parallelism. Each token's global
+    * position is then doc-start + in-doc offset, computed map-side at
+    * explode time. The
     * token→id join broadcasts the tokenizer-sized vocab (the
     * `q_bpe_encode` rationale) so the exploded stream never shuffles
     * for it, and the block aggregate partial-aggregates inside scan
@@ -88,15 +92,22 @@ object TextStatsQueries2 {
       val v = enc.select(explode(col("toks")).as("tok")).distinct()
         .orderBy("tok").as[String].rdd.zipWithIndex()
         .map { case (t, i) => (t, i + 1L) }.toDF("tok", "id")
-      // per-shard doc-scale window: one row per doc, cum0 = shard
-      // stream offset where this doc STARTS
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id").asc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
+      // per-shard doc-scale prefix sum: one row per doc, cum0 = shard
+      // stream offset where this doc STARTS. Segmented two-pass scan
+      // (graft.operators.PrefixSum) over the NARROW (lang, doc_id, nt)
+      // projection instead of a lang-partitioned window — the window
+      // caps parallelism at #languages (one task per language owns the
+      // whole shard stream; the slope gates can't see a parallelism
+      // ceiling); the prefix frame then re-joins the token arrays on
+      // doc_id, so the token mass still crosses exactly ONE exchange,
+      // same as the window form's lang exchange.
       val nt = size(col("toks")).cast("long")
-      val c = enc.withColumn("cum0", sum(nt).over(w) - nt)
-      val e = c.select(col("lang"), col("doc_id"), col("cum0"),
+      val cum = graft.operators.PrefixSum.byShard(
+          enc.select(col("doc_id"), col("lang"), nt.as("nt")),
+          "lang", Seq("doc_id"), "nt", "cumi")
+        .select(col("doc_id"), (col("cumi") - col("nt")).as("cum0"))
+      val e = enc.join(cum, "doc_id")
+        .select(col("lang"), col("doc_id"), col("cum0"),
           posexplode(col("toks")).as(Seq("p0", "tok")))
         .select(col("lang"), col("doc_id"),
           (col("cum0") + col("p0")).as("gpos"), col("tok"))

@@ -239,10 +239,31 @@ object BroadcastAudit {
 
     var unbounded = 0
     val windowMode = args.drop(1).headOption.contains("windows")
+    // winkeys: the PARTITIONED-window inventory — a window whose
+    // partition key has few distinct values (lang, source, band) caps
+    // parallelism at #groups even when the slope stays linear (one
+    // task per group processes its whole group: the SNM
+    // row_number-by-prefix class, which the empty-partitionSpec gate
+    // cannot see). Prints every WindowExec's partition keys so hot-able
+    // keys can be adjudicated by hand.
+    val winKeysMode = args.drop(1).headOption.contains("winkeys")
     for (q <- graft.SparkEntry.registry) {
       val t0 = System.nanoTime()
       try {
         val plan = q.fn(spark, sf).queryExecution.executedPlan
+        if (winKeysMode) {
+          for (w <- plan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.nonEmpty => w }) {
+            val keys = w.partitionSpec.map(_.sql).mkString(", ")
+            println(s"WINKEYS ${q.name}: partitionBy($keys) over [${signature(w.child)}]")
+          }
+          for (w <- plan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w }) {
+            val keys = w.partitionSpec.map(_.sql).mkString(", ")
+            println(s"WINLIM  ${q.name}: partitionBy($keys)")
+          }
+        }
         if (windowMode) {
           // unpartitioned Window/global Sort audit: every such operator
           // funnels its whole input through ONE task — fine over a

@@ -20,4 +20,21 @@ object GraftShim {
   def rebind(session: SparkSession, df: DataFrame): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
       df.queryExecution.logical)
+
+  /** The executed plan's InternalRow RDD — the zero-copy alternative to
+    * `df.rdd` for per-partition imperative passes (no Row encode/decode
+    * per row). CAUTION: operators reuse row buffers; callers must copy
+    * any value (UTF8String, struct) they retain across `next()`.
+    */
+  def internalRdd(df: DataFrame): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** Wrap an InternalRow RDD back into a DataFrame (the package-private
+    * `internalCreateDataFrame`). Rows must match `schema` exactly.
+    */
+  def ofInternal(session: SparkSession,
+                 rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    session.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

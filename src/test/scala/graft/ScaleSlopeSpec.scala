@@ -186,9 +186,10 @@ class ScaleSlopeSpec extends SparkSpec {
     "q_quality_train" -> 1.5,
     "q_quality_logreg" -> 1.5,
     "q_quality_auc" -> 1.5,
-    // round-11: the BPE-id packer — doc-scale shard window + map-side
+    // round-11: the BPE-id packer — doc-scale shard prefix sum (round
+    // 13: segmented two-pass scan, no per-lang window) + map-side
     // token positions + broadcast vocab + one block-keyed exchange
-    // (0.05 at 100x perturbed when added); pinned so the shard window
+    // (0.05 at 100x perturbed when added); pinned so the prefix sum
     // can't regress to a token-scale or global sort
     "q_seq_pack_bpe" -> 1.5)
 
