@@ -51,10 +51,33 @@ object PrefixSum {
     * and `shardCol` must be non-null.
     */
   def byShard(df: DataFrame, shardCol: String, orderCols: Seq[String],
-              valueCol: String, outCol: String): DataFrame = {
+              valueCol: String, outCol: String): DataFrame =
+    byShardOrdered(df, shardCol, orderCols.map(col), valueCol, outCol)
+
+  /** Per-shard ROW NUMBER in (`orderCols`) order — a prefix sum of
+    * ones: the distributed replacement for
+    * `row_number() OVER (PARTITION BY shard ORDER BY ...)` when the
+    * shard key has few values (enum/lang) and a window would put each
+    * whole shard through one task. `orderCols` may carry explicit
+    * direction and null ordering (`asc_nulls_last`) and must make
+    * (shard, order) a unique total order.
+    */
+  def rowNumber(df: DataFrame, shardCol: String,
+                orderCols: Seq[org.apache.spark.sql.Column],
+                outCol: String): DataFrame =
+    byShardOrdered(df.withColumn("__graft_one", org.apache.spark.sql.functions.lit(1L)),
+      shardCol, orderCols, "__graft_one", outCol).drop("__graft_one")
+
+  /** [[byShard]] with explicit ordering columns (direction + null
+    * ordering honored by both the range partitioner and the
+    * within-partition sort).
+    */
+  def byShardOrdered(df: DataFrame, shardCol: String,
+                     orderCols: Seq[org.apache.spark.sql.Column],
+                     valueCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val sortCols = (shardCol +: orderCols).map(col)
+    val sortCols = col(shardCol) +: orderCols
     // materialize the narrow input ONCE: repartitionByRange runs a
     // sampling job over its child, which would re-run the caller's
     // upstream (for q_seq_pack_bpe that is the whole BPE encode fold)

@@ -120,13 +120,17 @@ object CurationQueries2 {
       |FROM events e JOIN b USING (event_type)
       |GROUP BY e.event_type, b.lo, b.hi""".stripMargin) { (spark, dir) =>
     val events = Tables.events(spark, dir)
-    val wr = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").asc, col("event_id").asc)
-    val wn = Window.partitionBy(col("event_type"))
-    val b = events
-      .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("rn", row_number().over(wr))
-      .withColumn("n", count(lit(1)).over(wn))
+    // ranks via the segmented scan (round 13): a row_number window
+    // partitioned by the handful of event types puts each type's whole
+    // event stream through one task (the packer-postmortem parallelism
+    // ceiling); PrefixSum.rowNumber keeps the identical (value, id)
+    // order at full parallelism, and the type-sized count frame joins
+    // back unhinted (AQE broadcasts it on its real stats)
+    val et = events.select(col("event_type"), col("event_id"), col("value"))
+    val cnt = et.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val b = graft.operators.PrefixSum.rowNumber(et, "event_type",
+        Seq(col("value").asc, col("event_id").asc), "rn")
+      .join(cnt, "event_type")
       .groupBy("event_type")
       .agg(min(when(col("rn") * 20 >= col("n"), col("value"))).as("lo"),
         min(when(col("rn") * 20 >= col("n") * 19, col("value"))).as("hi"))

@@ -293,27 +293,30 @@ object EventQueries {
       |         AS n_outliers
       |FROM d JOIN mad USING (event_type)
       |GROUP BY d.event_type""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val events = Tables.events(spark, dir)
     // NULLS LAST in both engines: Spark ASC defaults nulls FIRST, DuckDB
     // LAST — a null value would otherwise shift which row each engine
     // picks as the nearest-rank median. Rank arithmetic is integral DIV,
-    // never a truncated double quotient.
-    val wv = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").asc_nulls_last, col("event_id").asc)
-    val wn = Window.partitionBy(col("event_type"))
-    val med = events
-      .select(col("event_type"), col("value"),
-        row_number().over(wv).as("rn"), count(lit(1)).over(wn).as("n"))
+    // never a truncated double quotient. Both rank passes ride
+    // PrefixSum.rowNumber (round 13): a row_number window partitioned
+    // by the handful of event types is the packer-postmortem
+    // parallelism ceiling; the segmented scan keeps the identical
+    // NULLS-LAST total order at full parallelism.
+    val ev = events.select(col("event_type"), col("event_id"), col("value"))
+    val cnt = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val med = graft.operators.PrefixSum.rowNumber(ev, "event_type",
+        Seq(col("value").asc_nulls_last, col("event_id").asc), "rn")
+      .join(cnt, "event_type")
       .groupBy("event_type")
       .agg(max(when(col("rn") === expr("(n + 1) DIV 2"), col("value"))).as("med"),
         max(col("n")).as("n"))
     val d = events.join(broadcast(med), "event_type")
       .select(col("event_type"), col("event_id"),
         abs(col("value") - col("med")).as("dev"), col("med"), col("n"))
-    val wd = Window.partitionBy(col("event_type"))
-      .orderBy(col("dev").asc_nulls_last, col("event_id").asc)
-    val mad = d.withColumn("drn", row_number().over(wd))
+    val mad = graft.operators.PrefixSum.rowNumber(
+        d.select(col("event_type"), col("event_id"), col("dev"), col("n")),
+        "event_type",
+        Seq(col("dev").asc_nulls_last, col("event_id").asc), "drn")
       .groupBy(col("event_type").as("mtype"))
       .agg(max(when(col("drn") === expr("(n + 1) DIV 2"), col("dev"))).as("mad"))
     d.join(broadcast(mad), col("mtype") === col("event_type"))

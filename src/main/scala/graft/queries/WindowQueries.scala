@@ -33,7 +33,14 @@ object WindowQueries {
   }
 
   /** Exact lower median per group: the value at row floor((n+1)/2) of the
-    * deterministic (l_quantity, l_orderkey, l_linenumber) sort.
+    * deterministic (l_quantity, l_orderkey, l_linenumber) sort. Ranks
+    * ride [[graft.operators.PrefixSum.rowNumber]] (round 13): a
+    * row_number window partitioned by the 3-value return flag puts ~a
+    * third of the fact table through ONE task — the #groups parallelism
+    * ceiling the packer postmortem measured — where the segmented scan
+    * keeps the identical (value, id...) total order at full
+    * parallelism. Group counts join back from a flag-sized aggregate
+    * (unhinted: AQE broadcasts an enum-sized frame on its real stats).
     */
   val median: QueryDef = QueryDef.sql(
     "q_median",
@@ -48,12 +55,13 @@ object WindowQueries {
       |       max(CASE WHEN rn = (n * 95 + 99) // 100 THEN l_quantity END) AS p95_qty,
       |       max(n) AS n
       |FROM r GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-    val wn = Window.partitionBy(col("l_returnflag"))
-    Tables(spark, dir, "lineitem")
+    val t = Tables(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity"),
-        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+        col("l_orderkey"), col("l_linenumber"))
+    val cnt = t.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    graft.operators.PrefixSum.rowNumber(t, "l_returnflag",
+        Seq(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc), "rn")
+      .join(cnt, "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
         max(when(col("rn") === ((col("n") + 1) / lit(2)).cast("long"), col("l_quantity"))).as("median_qty"),
