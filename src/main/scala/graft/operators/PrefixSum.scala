@@ -37,6 +37,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PrefixSum {
 
+  /** Row count at or below which the prefix sum runs as a plain shard
+    * window over the already-materialized narrow frame instead of the
+    * two-pass scan — the ConnectedComponents.DriverMaxEdges analogy: a
+    * one-task window over ≤2^20 narrow rows costs well under a second,
+    * while the scan path pays a sampling job, a subtotal collect, and a
+    * second pass (3 extra scheduler round-trips; measured as +0.3-1.1 s
+    * per rank pass on the sf0.1 bench, PLANS.md round 13). Corpus-scale
+    * inputs take the scan path; the fallback window result is
+    * checkpointed so BOTH paths hand back an RDD leaf — callers and
+    * plan gates see one shape.
+    */
+  val SmallInputRows = 1L << 20
+
   /** Copy a shard key out of a (possibly buffer-reused) InternalRow so
     * it can be retained as a map key across `next()` calls.
     */
@@ -51,8 +64,9 @@ object PrefixSum {
     * and `shardCol` must be non-null.
     */
   def byShard(df: DataFrame, shardCol: String, orderCols: Seq[String],
-              valueCol: String, outCol: String): DataFrame =
-    byShardOrdered(df, shardCol, orderCols.map(col), valueCol, outCol)
+              valueCol: String, outCol: String,
+              smallInputRows: Long = SmallInputRows): DataFrame =
+    byShardOrdered(df, shardCol, orderCols.map(col), valueCol, outCol, smallInputRows)
 
   /** Per-shard ROW NUMBER in (`orderCols`) order — a prefix sum of
     * ones: the distributed replacement for
@@ -64,9 +78,10 @@ object PrefixSum {
     */
   def rowNumber(df: DataFrame, shardCol: String,
                 orderCols: Seq[org.apache.spark.sql.Column],
-                outCol: String): DataFrame =
+                outCol: String,
+                smallInputRows: Long = SmallInputRows): DataFrame =
     byShardOrdered(df.withColumn("__graft_one", org.apache.spark.sql.functions.lit(1L)),
-      shardCol, orderCols, "__graft_one", outCol).drop("__graft_one")
+      shardCol, orderCols, "__graft_one", outCol, smallInputRows).drop("__graft_one")
 
   /** [[byShard]] with explicit ordering columns (direction + null
     * ordering honored by both the range partitioner and the
@@ -74,7 +89,8 @@ object PrefixSum {
     */
   def byShardOrdered(df: DataFrame, shardCol: String,
                      orderCols: Seq[org.apache.spark.sql.Column],
-                     valueCol: String, outCol: String): DataFrame = {
+                     valueCol: String, outCol: String,
+                     smallInputRows: Long = SmallInputRows): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val sortCols = col(shardCol) +: orderCols
@@ -86,6 +102,19 @@ object PrefixSum {
     // round-12 ledger); a preemptible cluster swaps in a reliable
     // checkpoint via the same one-line rule.
     val cp = df.localCheckpoint(true)
+    val n = cp.count() // cheap: counts the checkpointed partitions
+    if (n <= smallInputRows) {
+      // small-input fast path (see SmallInputRows): identical values —
+      // same shard groups, same total order, same left-to-right fold
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(shardCol))
+        .orderBy(orderCols: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      return cp.withColumn(outCol,
+        org.apache.spark.sql.functions.sum(col(valueCol)).over(w))
+        .localCheckpoint(true)
+    }
     val sorted = cp.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema

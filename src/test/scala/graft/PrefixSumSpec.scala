@@ -18,11 +18,13 @@ class PrefixSumSpec extends SparkSpec {
     df.withColumn("cum", sum(col("n_tok")).over(w))
   }
 
-  test("equals the per-shard window on the documents table") {
+  test("equals the per-shard window on the documents table (scan path)") {
     val t = Tables(spark, sf0001, "documents")
       .select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val got = PrefixSum.byShard(t, "lang", Seq("doc_id"), "n_tok", "cum")
+    // smallInputRows = 0 forces the two-pass scan — the at-scale path
+    val got = PrefixSum.byShard(t, "lang", Seq("doc_id"), "n_tok", "cum",
+        smallInputRows = 0L)
       .select("lang", "doc_id", "cum").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val want = windowForm(t)
@@ -32,13 +34,25 @@ class PrefixSumSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("small-input fast path returns the same values as the scan path") {
+    val t = Tables(spark, sf0001, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    def vals(threshold: Long) =
+      PrefixSum.byShard(t, "lang", Seq("doc_id"), "n_tok", "cum", threshold)
+        .select("lang", "doc_id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(vals(PrefixSum.SmallInputRows) == vals(0L))
+  }
+
   test("one dominant shard: sums still exact, all partitions used") {
     import spark.implicits._
     // 10k rows, 99% in one shard — the #shards parallelism ceiling case
     val df = (1L to 10000L).map(i =>
         (if (i % 100 == 0) "rare" else "hot", i, i % 7 + 1))
       .toDF("lang", "doc_id", "n_tok")
-    val got = PrefixSum.byShard(df, "lang", Seq("doc_id"), "n_tok", "cum")
+    val got = PrefixSum.byShard(df, "lang", Seq("doc_id"), "n_tok", "cum",
+      smallInputRows = 0L)
     val want = windowForm(df)
     assert(got.select("lang", "doc_id", "cum").collect().toSet ==
       want.select("lang", "doc_id", "cum").collect().toSet)
@@ -64,7 +78,8 @@ class PrefixSumSpec extends SparkSpec {
       s2.conf.set("spark.sql.shuffle.partitions", parts)
       import org.apache.spark.sql.GraftShim
       val d2 = GraftShim.rebind(s2, df.localCheckpoint(true))
-      PrefixSum.byShard(d2, "lang", Seq("doc_id"), "n_tok", "cum")
+      PrefixSum.byShard(d2, "lang", Seq("doc_id"), "n_tok", "cum",
+          smallInputRows = 0L)
         .select("lang", "doc_id", "cum").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     }
