@@ -37,18 +37,34 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PrefixSum {
 
-  /** Row count at or below which the prefix sum runs as a plain shard
-    * window over the already-materialized narrow frame instead of the
-    * two-pass scan — the ConnectedComponents.DriverMaxEdges analogy: a
-    * one-task window over ≤2^20 narrow rows costs well under a second,
-    * while the scan path pays a sampling job, a subtotal collect, and a
-    * second pass (3 extra scheduler round-trips; measured as +0.3-1.1 s
-    * per rank pass on the sf0.1 bench, PLANS.md round 13). Corpus-scale
-    * inputs take the scan path; the fallback window result is
-    * checkpointed so BOTH paths hand back an RDD leaf — callers and
-    * plan gates see one shape.
+  /** Catalyst size ESTIMATE at or below which the prefix sum stays a
+    * plain lazy shard window — the pre-round-13 plan, zero overhead —
+    * instead of the two-pass scan. The scan pays an eager
+    * materialization, a sampling job, a subtotal collect, and a second
+    * pass: +0.3-1.1 s PER RANK PASS at sf0.1 (PLANS.md round 13), pure
+    * scheduler latency that is also pure waste when a hot shard fits
+    * one task trivially. Dispatch reads `optimizedPlan.stats
+    * .sizeInBytes` — plan-time, NO job (the GraftLimits stream-static
+    * precedent); a first cut that localCheckpointed + counted the input
+    * to decide recovered nothing (the materialization WAS the tax —
+    * bench receipts in PLANS.md). 256 MB through one window task is
+    * well inside any executor; misestimation is a performance wobble,
+    * never wrongness (both paths produce identical values), and errs
+    * toward the scan at scale: a corpus-sized frame estimates in
+    * GB-TB, and an unknown-stats leaf estimates Long.MaxValue. Tests
+    * and plan gates force the scan shape with [[ThresholdConf]] = -1
+    * (or the parameter) so the at-scale path stays pinned at sandbox
+    * SFs.
     */
-  val SmallInputRows = 1L << 20
+  val SmallInputBytes = 1L << 28
+
+  /** Spark-conf override for [[SmallInputBytes]] — lets plan gates and
+    * probes force one path (`-1` = always scan) through call sites that
+    * use the default, without touching query code. `spark.`-prefixed so
+    * `-Dspark.graft...=-1` reaches a fresh session through SparkConf's
+    * system-property pickup (SQLConf merges SparkConf entries).
+    */
+  val ThresholdConf = "spark.graft.prefixSum.smallInputBytes"
 
   /** Copy a shard key out of a (possibly buffer-reused) InternalRow so
     * it can be retained as a map key across `next()` calls.
@@ -65,8 +81,8 @@ object PrefixSum {
     */
   def byShard(df: DataFrame, shardCol: String, orderCols: Seq[String],
               valueCol: String, outCol: String,
-              smallInputRows: Long = SmallInputRows): DataFrame =
-    byShardOrdered(df, shardCol, orderCols.map(col), valueCol, outCol, smallInputRows)
+              smallInputBytes: Long = SmallInputBytes): DataFrame =
+    byShardOrdered(df, shardCol, orderCols.map(col), valueCol, outCol, smallInputBytes)
 
   /** Per-shard ROW NUMBER in (`orderCols`) order — a prefix sum of
     * ones: the distributed replacement for
@@ -79,9 +95,9 @@ object PrefixSum {
   def rowNumber(df: DataFrame, shardCol: String,
                 orderCols: Seq[org.apache.spark.sql.Column],
                 outCol: String,
-                smallInputRows: Long = SmallInputRows): DataFrame =
+                smallInputBytes: Long = SmallInputBytes): DataFrame =
     byShardOrdered(df.withColumn("__graft_one", org.apache.spark.sql.functions.lit(1L)),
-      shardCol, orderCols, "__graft_one", outCol, smallInputRows).drop("__graft_one")
+      shardCol, orderCols, "__graft_one", outCol, smallInputBytes).drop("__graft_one")
 
   /** [[byShard]] with explicit ordering columns (direction + null
     * ordering honored by both the range partitioner and the
@@ -90,8 +106,22 @@ object PrefixSum {
   def byShardOrdered(df: DataFrame, shardCol: String,
                      orderCols: Seq[org.apache.spark.sql.Column],
                      valueCol: String, outCol: String,
-                     smallInputRows: Long = SmallInputRows): DataFrame = {
+                     smallInputBytes: Long = SmallInputBytes): DataFrame = {
     val spark = df.sparkSession
+    val threshold = spark.conf.get(ThresholdConf, smallInputBytes.toString).toLong
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)) {
+      // small-input fast path (see SmallInputBytes): the plain LAZY
+      // shard window — identical values (same shard groups, same total
+      // order, same left-to-right fold), zero extra jobs, the exact
+      // pre-round-13 plan
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(shardCol))
+        .orderBy(orderCols: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      return df.withColumn(outCol,
+        org.apache.spark.sql.functions.sum(col(valueCol)).over(w))
+    }
     val parts = spark.sessionState.conf.numShufflePartitions
     val sortCols = col(shardCol) +: orderCols
     // materialize the narrow input ONCE: repartitionByRange runs a
@@ -102,19 +132,6 @@ object PrefixSum {
     // round-12 ledger); a preemptible cluster swaps in a reliable
     // checkpoint via the same one-line rule.
     val cp = df.localCheckpoint(true)
-    val n = cp.count() // cheap: counts the checkpointed partitions
-    if (n <= smallInputRows) {
-      // small-input fast path (see SmallInputRows): identical values —
-      // same shard groups, same total order, same left-to-right fold
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(shardCol))
-        .orderBy(orderCols: _*)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      return cp.withColumn(outCol,
-        org.apache.spark.sql.functions.sum(col(valueCol)).over(w))
-        .localCheckpoint(true)
-    }
     val sorted = cp.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema

@@ -50,6 +50,9 @@ object PackProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the probe A/Bs window vs SCAN — pin the scan dispatch so the
+    // size-estimate fast path can't silently measure window-vs-window
+    spark.conf.set(graft.operators.PrefixSum.ThresholdConf, "-1")
 
     def run(name: String, mk: => DataFrame): Unit = {
       var best = Double.MaxValue

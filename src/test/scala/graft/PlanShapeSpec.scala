@@ -242,7 +242,12 @@ class PlanShapeSpec extends SparkSpec {
     // may shuffle on doc_id, which is fine and well-distributed). A
     // WindowExec reappearing means the shard window crept back; an SMJ
     // ordering by TOKEN STRING means the vocab join lost its broadcast.
-    val plan = staticPlan(graft.queries.TextStatsQueries2.seqPackBpe.fn(spark, sf0001))
+    // The at-scale shape is pinned by FORCING the scan dispatch (the
+    // size-estimate fast path legitimately keeps the lazy lang window
+    // at sandbox SFs — PrefixSum.SmallInputBytes scaladoc).
+    spark.conf.set(graft.operators.PrefixSum.ThresholdConf, "-1")
+    val plan = try staticPlan(graft.queries.TextStatsQueries2.seqPackBpe.fn(spark, sf0001))
+      finally spark.conf.unset(graft.operators.PrefixSum.ThresholdConf)
     assert(plan.collectFirst { case w if w.nodeName.contains("Window") => w }.isEmpty,
       "per-lang shard window crept back (the #languages parallelism ceiling)")
     assert(plan.collectFirst {

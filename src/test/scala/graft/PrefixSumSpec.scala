@@ -22,9 +22,9 @@ class PrefixSumSpec extends SparkSpec {
     val t = Tables(spark, sf0001, "documents")
       .select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-    // smallInputRows = 0 forces the two-pass scan — the at-scale path
+    // smallInputBytes = -1 forces the two-pass scan — the at-scale path
     val got = PrefixSum.byShard(t, "lang", Seq("doc_id"), "n_tok", "cum",
-        smallInputRows = 0L)
+        smallInputBytes = -1L)
       .select("lang", "doc_id", "cum").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val want = windowForm(t)
@@ -38,11 +38,34 @@ class PrefixSumSpec extends SparkSpec {
     val t = Tables(spark, sf0001, "documents")
       .select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-    def vals(threshold: Long) =
+    def form(threshold: Long) =
       PrefixSum.byShard(t, "lang", Seq("doc_id"), "n_tok", "cum", threshold)
-        .select("lang", "doc_id", "cum").collect()
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "doc_id", "cum").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    assert(vals(PrefixSum.SmallInputRows) == vals(0L))
+    val fast = form(PrefixSum.SmallInputBytes)
+    // the default path on a sandbox-SF frame IS the lazy window (zero
+    // extra jobs); the forced path is the segmented scan (RDD leaf).
+    // Assert on the LOGICAL plan: with AQE on, the physical root is an
+    // opaque AdaptiveSparkPlanExec that collect() does not descend into
+    assert(fast.queryExecution.optimizedPlan.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty)
+    val scan = form(-1L)
+    assert(scan.queryExecution.optimizedPlan.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty)
+    assert(vals(fast) == vals(scan))
+  }
+
+  test("the conf override forces the scan through default call sites") {
+    val t = Tables(spark, sf0001, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    spark.conf.set(PrefixSum.ThresholdConf, "-1")
+    try {
+      val out = PrefixSum.byShard(t, "lang", Seq("doc_id"), "n_tok", "cum")
+      assert(out.queryExecution.optimizedPlan.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty)
+    } finally spark.conf.unset(PrefixSum.ThresholdConf)
   }
 
   test("one dominant shard: sums still exact, all partitions used") {
@@ -52,7 +75,7 @@ class PrefixSumSpec extends SparkSpec {
         (if (i % 100 == 0) "rare" else "hot", i, i % 7 + 1))
       .toDF("lang", "doc_id", "n_tok")
     val got = PrefixSum.byShard(df, "lang", Seq("doc_id"), "n_tok", "cum",
-      smallInputRows = 0L)
+      smallInputBytes = -1L)
     val want = windowForm(df)
     assert(got.select("lang", "doc_id", "cum").collect().toSet ==
       want.select("lang", "doc_id", "cum").collect().toSet)
@@ -79,7 +102,7 @@ class PrefixSumSpec extends SparkSpec {
       import org.apache.spark.sql.GraftShim
       val d2 = GraftShim.rebind(s2, df.localCheckpoint(true))
       PrefixSum.byShard(d2, "lang", Seq("doc_id"), "n_tok", "cum",
-          smallInputRows = 0L)
+          smallInputBytes = -1L)
         .select("lang", "doc_id", "cum").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     }

@@ -218,9 +218,13 @@ class ScaleSlopeSpec extends SparkSpec {
 
   test("10x scale slopes of the heaviest queries stay sub-quadratic") {
     ScaleProbe.buildReplica(spark, src, dst, factor, perturbText = true)
-    val bad = thresholds.flatMap { case (name, maxSlope) =>
+    // force the prefix-sum SCAN dispatch: these gates pin the at-scale
+    // mechanism, and the size-estimate fast path would otherwise route
+    // replica-scale inputs through the lazy window it replaces
+    spark.conf.set(graft.operators.PrefixSum.ThresholdConf, "-1")
+    val bad = try thresholds.flatMap { case (name, maxSlope) =>
       gatedSlope(src, dst, name, maxSlope)
-    }
+    } finally spark.conf.unset(graft.operators.PrefixSum.ThresholdConf)
     assert(bad.isEmpty, s"super-linear scale slopes: ${bad.mkString("; ")}")
   }
 
