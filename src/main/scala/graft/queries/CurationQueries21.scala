@@ -52,11 +52,18 @@ object CurationQueries21 {
       .select(col("doc_id"),
         winnowFast(toks, 3, 4).as("fp"),
         shingleHashesFast(toks, 3).as("sh"))
+    // capped collect (round-13 aggkeys sweep, same fix as
+    // q_winnow_overlap): exact count n + at most 65 buffered ids, so
+    // the 2..64 df filter sees identical groups while a boilerplate
+    // fingerprint can no longer put Θ(corpus) ids in one reducer buffer
+    val cappedCollect = udaf(
+      new graft.operators.TypedOps.CappedCollectAggregator(64),
+      org.apache.spark.sql.Encoders.scalaLong)
     val pairs = sides
       .select(col("doc_id"), explode(col("fp")).as("f"))
-      .groupBy("f").agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")).between(2, 64))
-      .select(explode(orderedPairsFast(col("ids"))).as("p"))
+      .groupBy("f").agg(cappedCollect(col("doc_id")).as("c"))
+      .filter(col("c.n").between(2, 64))
+      .select(explode(orderedPairsFast(col("c.ids"))).as("p"))
       .groupBy(col("p.ida").as("ida"), col("p.idb").as("idb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 3)

@@ -118,28 +118,51 @@ object RelationalQueries2 {
 
   /** Approximate percentile with the rank-error bound ENCODED IN THE
     * QUERY, like [[approxDistinct]]: `percentile_approx` (accuracy
-    * 10000 → rank error ≤ N/10000) must land between the exact p±5%
-    * quantiles computed by the SAME engine — each engine checks its own
-    * bounds, the oracle asserts literal TRUE, and a sketch outside the
-    * envelope fails the hash gate. The exact element-based median twin
-    * is `q_median` (window formulation).
+    * 10000 → rank error ≤ N/10000, an element of the data) must land
+    * between the exact p±5% RANK-selected elements computed by the SAME
+    * engine — each engine checks its own bounds, the oracle asserts
+    * literal TRUE, and a sketch outside the envelope fails the hash
+    * gate. The exact envelope rides
+    * [[graft.operators.PrefixSum.rowNumber]] (round-13 aggkeys sweep):
+    * the previous exact `percentile(...)` aggregate buffered every
+    * (value, count) of its group in ONE reducer's heap, grouped by the
+    * 3-value return flag — Θ(corpus/3) state per task, the aggregate
+    * form of the hot-group class the q_median window rewrite retired.
+    * Element selection at ranks ⌊.45n⌋/⌈.55n⌉/⌊.85n⌋/⌈.95n⌉ bounds the
+    * sketch the same way (the sketch's true rank is within n/10000 of
+    * target, and sorted order maps rank containment to value
+    * containment) with zero per-group state. The exact element-based
+    * median twin is `q_median` (same segmented-scan rank path).
     */
   val approxQuantile: QueryDef = QueryDef.sql(
     "q_approx_quantile",
     """SELECT l_returnflag, count(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
-    // array-percentage forms: ONE exact accumulation and ONE sketch per
-    // group (four separate percentile() exprs each build their own
-    // value map — 4x the agg state for the same answer)
-    Tables(spark, dir, "lineitem")
+    val t = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val cnt = t.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    def atRank(r: org.apache.spark.sql.Column, out: String) =
+      max(when(col("rn") === r, col("l_extendedprice"))).as(out)
+    val env = graft.operators.PrefixSum.rowNumber(t, "l_returnflag",
+        Seq(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc), "rn")
+      .join(cnt, "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"),
-        percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9)), lit(10000)).as("a"),
-        expr("percentile(l_extendedprice, array(0.45, 0.55, 0.85, 0.95))").as("p"))
+      .agg(max(col("n")).as("n"),
+        atRank(greatest((col("n") * 45 / lit(100)).cast("long"), lit(1L)), "p45"),
+        atRank(((col("n") * 55 + 99) / lit(100)).cast("long"), "p55"),
+        atRank(greatest((col("n") * 85 / lit(100)).cast("long"), lit(1L)), "p85"),
+        atRank(((col("n") * 95 + 99) / lit(100)).cast("long"), "p95"))
+    // ONE sketch per group (the array-percentage form: four separate
+    // percentile_approx exprs would build four summaries for the same answer)
+    val apx = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9)), lit(10000)).as("a"))
+    env.join(apx, "l_returnflag")
       .select(col("l_returnflag"), col("n"),
-        (col("a")(0) >= col("p")(0) && col("a")(0) <= col("p")(1)).as("p50_ok"),
-        (col("a")(1) >= col("p")(2) && col("a")(1) <= col("p")(3)).as("p90_ok"))
+        (col("a")(0) >= col("p45") && col("a")(0) <= col("p55")).as("p50_ok"),
+        (col("a")(1) >= col("p85") && col("a")(1) <= col("p95")).as("p90_ok"))
   }
 
   /** Monthly revenue trend: date_trunc bucketing over two years. */

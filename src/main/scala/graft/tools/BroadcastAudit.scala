@@ -247,6 +247,18 @@ object BroadcastAudit {
     // cannot see). Prints every WindowExec's partition keys so hot-able
     // keys can be adjudicated by hand.
     val winKeysMode = args.drop(1).headOption.contains("winkeys")
+    // aggkeys: the buffering-aggregate inventory — collect_list /
+    // collect_set (and any TypedImperativeAggregate) keep EVERY input
+    // value in the group's buffer, so partial aggregation shrinks
+    // nothing and the final merge holds a whole group's values in ONE
+    // task's heap. Grouped by a per-entity key (doc/user/token) the
+    // buffer is entity-bounded; grouped by a few-valued key (lang,
+    // event_type, source, band) it is Θ(corpus/#groups) — the same
+    // hot-group class the winkeys sweep exposed for windows, but here
+    // the failure is reducer OOM, not just a parallelism ceiling.
+    // Prints every such aggregate's grouping keys + child signature
+    // for hand adjudication (PLANS.md round 13).
+    val aggKeysMode = args.drop(1).headOption.contains("aggkeys")
     for (q <- graft.SparkEntry.registry) {
       val t0 = System.nanoTime()
       try {
@@ -262,6 +274,26 @@ object BroadcastAudit {
             case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w }) {
             val keys = w.partitionSpec.map(_.sql).mkString(", ")
             println(s"WINLIM  ${q.name}: partitionBy($keys)")
+          }
+        }
+        if (aggKeysMode) {
+          import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final, TypedImperativeAggregate}
+          for (a <- plan.collect {
+            case o: ObjectHashAggregateExec => (o.groupingExpressions, o.aggregateExpressions, o.child)
+            case s: SortAggregateExec => (s.groupingExpressions, s.aggregateExpressions, s.child)
+          }) {
+            val (grouping, aggs, child) = a
+            // report the Final/Complete site only (each agg also plans a
+            // Partial twin upstream — same keys, same functions)
+            val buffering = aggs.filter(ae =>
+              (ae.mode == Final || ae.mode == Complete) &&
+                ae.aggregateFunction.isInstanceOf[TypedImperativeAggregate[_]])
+            if (buffering.nonEmpty) {
+              val keys = if (grouping.isEmpty) "<global>"
+                else grouping.map(_.name).mkString(", ")
+              val fns = buffering.map(_.aggregateFunction.prettyName).distinct.mkString(",")
+              println(s"AGGKEYS ${q.name}: groupBy($keys) agg[$fns] over [${signature(child)}]")
+            }
           }
         }
         if (windowMode) {
