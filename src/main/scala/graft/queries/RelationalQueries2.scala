@@ -144,7 +144,10 @@ object RelationalQueries2 {
     val cnt = t.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     def atRank(r: org.apache.spark.sql.Column, out: String) =
       max(when(col("rn") === r, col("l_extendedprice"))).as(out)
-    val env = graft.operators.PrefixSum.rowNumber(t, "l_returnflag",
+    // envelope AND sketch fold out of ONE pass over the rank frame
+    // (which the scan path has already checkpointed): a separate
+    // sketch branch would re-scan the fact table a second time
+    graft.operators.PrefixSum.rowNumber(t, "l_returnflag",
         Seq(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc), "rn")
       .join(cnt, "l_returnflag")
       .groupBy("l_returnflag")
@@ -152,14 +155,11 @@ object RelationalQueries2 {
         atRank(greatest((col("n") * 45 / lit(100)).cast("long"), lit(1L)), "p45"),
         atRank(((col("n") * 55 + 99) / lit(100)).cast("long"), "p55"),
         atRank(greatest((col("n") * 85 / lit(100)).cast("long"), lit(1L)), "p85"),
-        atRank(((col("n") * 95 + 99) / lit(100)).cast("long"), "p95"))
-    // ONE sketch per group (the array-percentage form: four separate
-    // percentile_approx exprs would build four summaries for the same answer)
-    val apx = Tables(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_extendedprice"),
-        array(lit(0.5), lit(0.9)), lit(10000)).as("a"))
-    env.join(apx, "l_returnflag")
+        atRank(((col("n") * 95 + 99) / lit(100)).cast("long"), "p95"),
+        // ONE sketch per group (the array-percentage form: separate
+        // percentile_approx exprs would build four summaries)
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("a"))
       .select(col("l_returnflag"), col("n"),
         (col("a")(0) >= col("p45") && col("a")(0) <= col("p55")).as("p50_ok"),
         (col("a")(1) >= col("p85") && col("a")(1) <= col("p95")).as("p90_ok"))
