@@ -209,6 +209,79 @@ object BroadcastAudit {
     ("q_bloom_prejoin", "b") -> BloomBuckets,
   )
 
+  // ---- buffering-aggregate gate (round-13 aggkeys sweep, executable) ----
+
+  /** Aggregate functions whose buffer grows with the GROUP, not a
+    * constant/config cap: the builtin collectors plus the exact
+    * element-buffering percentile family. Constant-buffer
+    * TypedImperativeAggregates (percentile_approx, HLL/CMS sketches)
+    * and capped/fixed-size typed Aggregators (CappedCollectAggregator,
+    * GramAggregator — bounds declared at their class sites) are out of
+    * scope by construction.
+    */
+  private val UnboundedBufferAggs = Set(
+    "collect_list", "collect_set", "array_agg", "listagg",
+    "percentile", "median", "mode")
+
+  /** Every Final/Complete-mode aggregate in `plan` whose functions
+    * include an unbounded-buffer collector: (signature, input child).
+    * Signature = grouping key names + function names — stable across
+    * expression-id churn, specific enough to pin WHAT is collected.
+    */
+  def bufferingAggs(plan: SparkPlan): Seq[(String, SparkPlan)] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
+    plan.collect {
+      case o: ObjectHashAggregateExec => (o.groupingExpressions, o.aggregateExpressions, o.child)
+      case s: SortAggregateExec => (s.groupingExpressions, s.aggregateExpressions, s.child)
+    }.flatMap { case (grouping, aggs, child) =>
+      val fns = aggs.filter(ae => (ae.mode == Final || ae.mode == Complete) &&
+          UnboundedBufferAggs.contains(ae.aggregateFunction.prettyName))
+        .map(_.aggregateFunction.prettyName).distinct.sorted
+      if (fns.isEmpty) None
+      else {
+        val keys = if (grouping.isEmpty) "<global>" else grouping.map(_.name).mkString(", ")
+        Some((s"groupBy($keys) agg[${fns.mkString(",")}]", child))
+      }
+    }
+  }
+
+  private val PerEntityCollect =
+    "per-entity collect: grouping key is a row-entity id (doc/user/session), so the " +
+      "group is the entity's own rows — doc-keyed arrays are bounded by the truncation-" +
+      "capped document length, user/session groups by the entity's bounded event set; " +
+      "never corpus-wide"
+  private val HourRollup =
+    "hour-rollup input: the collect reads the per-(key, hour) count table, so the array " +
+      "is horizon hours long — grows with wall-clock time, not bytes ingested"
+  private val CapRecollect =
+    "re-collect of the df-capped posting set: input rows per hash key ≤ cap+1 by the " +
+      "CappedCollectAggregator upstream, so the array is O(cap) at any skew"
+  private val RankLimited =
+    "rank-limited collect: a row_number ≤ k filter (map-side WindowGroupLimit) bounds " +
+      "the rows entering the collect to k per group"
+
+  /** (query name, aggregate signature) → documented bound for
+    * unbounded-buffer collectors over UNPROVEN-bounded inputs. The
+    * executable form of the round-13 aggkeys adjudication: a NEW
+    * collect_list/collect_set/exact-percentile site over corpus-fed
+    * input fails the registry gate until its bound is argued here.
+    */
+  val AggAllowed: Map[(String, String), String] = Map(
+    ("q_overlap_join", "groupBy(doc_id) agg[collect_list]") -> PerEntityCollect,
+    ("q_overlap_top", "groupBy(doc_id) agg[collect_list]") -> PerEntityCollect,
+    ("q_ppjoin", "groupBy(doc_id) agg[collect_list]") -> PerEntityCollect,
+    ("q_snm_blocking", "groupBy(doc_id) agg[collect_list]") -> PerEntityCollect,
+    ("q_map_funcs", "groupBy(user_id) agg[collect_list]") -> PerEntityCollect,
+    ("q_event_itemsets", "groupBy(user_id, session_window) agg[collect_set]") -> PerEntityCollect,
+    ("q_ewma", "groupBy(event_type) agg[collect_list]") -> HourRollup,
+    ("q_holt", "groupBy(event_type) agg[collect_list]") -> HourRollup,
+    ("q_kmeans", "groupBy(cluster) agg[collect_list]") -> Centroids,
+    ("q_centroid_classify", "groupBy(cluster) agg[collect_list]") -> Centroids,
+    ("q_containment", "groupBy(h) agg[collect_list]") -> CapRecollect,
+    ("q_ngram_jaccard", "groupBy(h) agg[collect_list]") -> CapRecollect,
+    ("q_postings", "groupBy(tok) agg[collect_list]") -> RankLimited,
+  )
+
   /** One-line description of the operand for the audit report. */
   private def describe(raw: SparkPlan): String = {
     val child = raw.transform {
@@ -295,6 +368,11 @@ object BroadcastAudit {
               println(s"AGGKEYS ${q.name}: groupBy($keys) agg[$fns] over [${signature(child)}]")
             }
           }
+          // gate view: unbounded-buffer collectors over unproven input
+          for ((sig, child) <- bufferingAggs(plan)
+               if classify(child) == "UNBOUNDED" &&
+                 !AggAllowed.contains((q.name, sig)))
+            println(s"AGG-UNLISTED ${q.name}: $sig over [${signature(child)}]")
         }
         if (windowMode) {
           // unpartitioned Window/global Sort audit: every such operator

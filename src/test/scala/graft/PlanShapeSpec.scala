@@ -381,6 +381,19 @@ class PlanShapeSpec extends SparkSpec {
             offenders += s"${q.name} CARTESIAN of two unbounded sides:\n" +
               c.treeString.linesIterator.take(12).mkString("\n")
         }
+        // buffering aggregates (round-13 aggkeys sweep): collect_list /
+        // collect_set / exact percentile keep every group value in ONE
+        // reducer buffer — partial aggregation shrinks nothing — so a
+        // collector over an unproven-bounded input needs an AggAllowed
+        // entry arguing why its groups cannot be corpus-sized (the
+        // q_winnow posting-list OOM and q_approx_quantile's exact
+        // percentile-by-enum were both this class)
+        for ((sig, child) <- BroadcastAudit.bufferingAggs(plan)) {
+          if (BroadcastAudit.classify(child) == "UNBOUNDED" &&
+              !BroadcastAudit.AggAllowed.contains((q.name, sig)))
+            offenders += s"${q.name} UNBOUNDED-BUFFER AGG $sig\n" +
+              child.treeString.linesIterator.take(12).mkString("\n")
+        }
         // and for UNPARTITIONED windows — the other single-point-of-
         // collapse (empty partitionSpec = the whole input through ONE
         // task): the input must be plan-provably bounded or carry a
@@ -413,6 +426,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(dead.isEmpty, s"allow-list entries for unregistered queries: $dead")
     val deadW = BroadcastAudit.WindowAllowed.keys.filterNot { case (n, _) => names.contains(n) }
     assert(deadW.isEmpty, s"window allow-list entries for unregistered queries: $deadW")
+    val deadA = BroadcastAudit.AggAllowed.keys.filterNot { case (n, _) => names.contains(n) }
+    assert(deadA.isEmpty, s"aggregate allow-list entries for unregistered queries: $deadA")
   }
 
   test("bigram_ppl: LM joins are hash-keyed, never cartesian") {
