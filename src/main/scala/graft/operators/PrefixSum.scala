@@ -99,6 +99,41 @@ object PrefixSum {
     byShardOrdered(df.withColumn("__graft_one", org.apache.spark.sql.functions.lit(1L)),
       shardCol, orderCols, "__graft_one", outCol, smallInputBytes).drop("__graft_one")
 
+  /** [[byShard]] for a frame that CARRIES WIDE COLUMNS (token arrays)
+    * the scan cannot fold over (atomic-types-only contract): on the
+    * small-input path the running sum windows IN PLACE — the wide
+    * columns ride the one shard exchange and the caller's upstream
+    * (e.g. the BPE encode fold) runs ONCE, the exact pre-round-13
+    * plan; at scale the scan runs over the narrow
+    * (shard, order, value) projection and re-joins on `orderCols`
+    * (which must be a unique key). The join-back recomputes the
+    * caller's upstream for the wide side — at corpus scale that is
+    * CPU traded for not materializing the wide frame, the documented
+    * packer rule; at sandbox scale it was measured as the one
+    * structural drift of the round (q_seq_pack_bpe +0.7 s in every
+    * same-session run while its window A/B arm priced ~r12) and is
+    * exactly what this entry point removes.
+    */
+  def runningTotal(df: DataFrame, shardCol: String, orderCols: Seq[String],
+                   valueCol: String, outCol: String,
+                   smallInputBytes: Long = SmallInputBytes): DataFrame = {
+    val spark = df.sparkSession
+    val threshold = spark.conf.get(ThresholdConf, smallInputBytes.toString).toLong
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(shardCol))
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      df.withColumn(outCol, org.apache.spark.sql.functions.sum(col(valueCol)).over(w))
+    } else {
+      val narrow = df.select((shardCol +: orderCols :+ valueCol).map(col): _*)
+      val cum = byShardOrdered(narrow, shardCol, orderCols.map(col), valueCol, outCol, -1L)
+        .select((orderCols :+ outCol).map(col): _*)
+      df.join(cum, orderCols)
+    }
+  }
+
   /** [[byShard]] with explicit ordering columns (direction + null
     * ordering honored by both the range partitioner and the
     * within-partition sort).

@@ -93,20 +93,21 @@ object TextStatsQueries2 {
         .orderBy("tok").as[String].rdd.zipWithIndex()
         .map { case (t, i) => (t, i + 1L) }.toDF("tok", "id")
       // per-shard doc-scale prefix sum: one row per doc, cum0 = shard
-      // stream offset where this doc STARTS. Segmented two-pass scan
-      // (graft.operators.PrefixSum) over the NARROW (lang, doc_id, nt)
-      // projection instead of a lang-partitioned window — the window
-      // caps parallelism at #languages (one task per language owns the
-      // whole shard stream; the slope gates can't see a parallelism
-      // ceiling); the prefix frame then re-joins the token arrays on
-      // doc_id, so the token mass still crosses exactly ONE exchange,
-      // same as the window form's lang exchange.
+      // stream offset where this doc STARTS. PrefixSum.runningTotal:
+      // at sandbox SFs the sum windows IN PLACE (the encode fold runs
+      // once, arrays ride the one lang exchange — the pre-round-13
+      // plan; a narrow-scan + doc_id join-back here re-ran the whole
+      // BPE fold a second time, the round's one structural drift);
+      // at corpus scale the segmented two-pass scan runs over the
+      // narrow (lang, doc_id, nt) projection — no #languages
+      // parallelism ceiling — and re-joins the token arrays on
+      // doc_id, so the token mass still crosses exactly ONE exchange.
       val nt = size(col("toks")).cast("long")
-      val cum = graft.operators.PrefixSum.byShard(
-          enc.select(col("doc_id"), col("lang"), nt.as("nt")),
+      val e = graft.operators.PrefixSum.runningTotal(
+          enc.withColumn("nt", nt),
           "lang", Seq("doc_id"), "nt", "cumi")
-        .select(col("doc_id"), (col("cumi") - col("nt")).as("cum0"))
-      val e = enc.join(cum, "doc_id")
+        .select(col("lang"), col("doc_id"),
+          (col("cumi") - col("nt")).as("cum0"), col("toks"))
         .select(col("lang"), col("doc_id"), col("cum0"),
           posexplode(col("toks")).as(Seq("p0", "tok")))
         .select(col("lang"), col("doc_id"),
