@@ -30,6 +30,21 @@ object GraftLimits {
     */
   val MaxLiteralWeights: Int = 4096
 
+  /** Count form of [[requireBoundedVocab]], for checking a DISTRIBUTED
+    * `count()` BEFORE any driver-side materialization: the map form can
+    * only fire after a Θ(vocab) collect has already landed on the
+    * driver (the round-13 watch item on `tokenizerArtifacts`) — this
+    * one gates the collect itself.
+    */
+  def requireBoundedVocabCount(n: Long, what: String): Unit =
+    require(n <= MaxLiteralVocab,
+      s"$what: vocabulary has $n entries (cap $MaxLiteralVocab) — refusing to collect " +
+        "it to the driver. A corpus-derived (Heaps-growing) vocabulary must NOT ship " +
+        "as a task-closure literal — the round-12 decade probe measured slope 4.98 for " +
+        "the literal-map encode vs 0.50 for the vocab-as-table broadcast join. Persist " +
+        "the vocabulary with ModelArtifacts.saveVocabFrame and join it instead " +
+        "(q_bpe_encode_artifact).")
+
   /** Assert `vocab` is tokenizer-bounded before it rides a task
     * closure. Returns the vocab so call sites stay expressions.
     */

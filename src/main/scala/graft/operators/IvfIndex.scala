@@ -107,4 +107,58 @@ object IvfIndex {
   def probe(spark: SparkSession, indexDir: String, clusters: Seq[Long]): DataFrame =
     spark.read.parquet(indexDir)
       .filter(col("cluster").isin(clusters: _*))
+
+  // ---- versioned-manifest serving layout (round-14: index rotation) ----
+  //
+  //   <root>/<version>/index/      cluster-partitioned vector files
+  //   <root>/<version>/centroids/  the k-row codebook that built them
+  //   <root>/MANIFEST              one line: the current version name
+  //
+  // A rebuild/compaction writes its version directory COMPLETELY, then
+  // swaps the pointer atomically — so a concurrent reader either sees
+  // the old version (still intact on disk) or the new one, never a
+  // half-written index. The streaming ANN server re-reads the pointer
+  // per micro-batch (driver-side, one tiny file — trigger-bounded), so
+  // a retrain swaps in WITHOUT restarting the stream; the reference's
+  // only analog is restart-to-reload (`multirag.c:359`).
+
+  /** Build index + codebook under `root/version/` and atomically point
+    * `root/MANIFEST` at it.
+    */
+  def publishVersion(emb: DataFrame, seeds: DataFrame, root: String,
+                     version: String): Unit = {
+    build(emb, seeds, s"$root/$version/index")
+    seeds.write.mode("overwrite").parquet(s"$root/$version/centroids")
+    publishManifest(emb.sparkSession, root, version)
+  }
+
+  /** Atomic pointer swap: write `MANIFEST.tmp`, rename with OVERWRITE
+    * (atomic on HDFS and on a local fs — both readers and writers go
+    * through the Hadoop FileContext API, never half-written content).
+    */
+  def publishManifest(spark: SparkSession, root: String, version: String): Unit = {
+    require(version.nonEmpty && !version.contains("/"),
+      s"version must be a single path segment, got '$version'")
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    fs.mkdirs(rootPath)
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, "MANIFEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, "MANIFEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The version `root/MANIFEST` currently points at. */
+  def currentVersion(spark: SparkSession, root: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$root/MANIFEST")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
 }

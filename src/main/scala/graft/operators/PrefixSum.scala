@@ -62,9 +62,30 @@ object PrefixSum {
     * probes force one path (`-1` = always scan) through call sites that
     * use the default, without touching query code. `spark.`-prefixed so
     * `-Dspark.graft...=-1` reaches a fresh session through SparkConf's
-    * system-property pickup (SQLConf merges SparkConf entries).
+    * system-property pickup (SQLConf merges SparkConf entries). The
+    * conf is consulted ONLY when the caller left `smallInputBytes` at
+    * the default — an explicit parameter is the caller's decision
+    * (e.g. [[runningTotal]]'s scale branch passes -1 because it has
+    * already dispatched) and must not be silently overridden.
     */
   val ThresholdConf = "spark.graft.prefixSum.smallInputBytes"
+
+  /** Ceiling on pass-1 driver state: one subtotal entry per DISTINCT
+    * shard value per partition, so the collect is Θ(#partitions ×
+    * #shards-touched-per-partition) — a few thousand entries for the
+    * few-valued (lang/enum) keys this operator exists for. A
+    * high-cardinality shard key (doc-keyed) would ship corpus-scale
+    * state through the driver — the exact single-point class the
+    * BroadcastAudit gates reject elsewhere — so the collect fails
+    * fast past this cap instead of silently growing (the
+    * AggAllowed-adjudication discipline, enforced at runtime).
+    */
+  val MaxDriverSubtotals: Long = 1L << 20
+
+  private def resolvedThreshold(spark: org.apache.spark.sql.SparkSession,
+                                smallInputBytes: Long): Long =
+    if (smallInputBytes != SmallInputBytes) smallInputBytes
+    else spark.conf.get(ThresholdConf, SmallInputBytes.toString).toLong
 
   /** Copy a shard key out of a (possibly buffer-reused) InternalRow so
     * it can be retained as a map key across `next()` calls.
@@ -73,6 +94,36 @@ object PrefixSum {
     case s: UTF8String => s.copy()
     case x => x // primitives box immutably
   }
+
+  /** Atomic-only column contract shared by the scan paths: arrays /
+    * maps / structs would alias the reused InternalRow buffer, and
+    * BinaryType (`Array[Byte]`) both aliases AND hashes by reference
+    * as a map key (every row its own shard — silently wrong
+    * subtotals); CalendarInterval is mutable for the same reason.
+    */
+  private def requireAtomic(schema: StructType, what: String): Unit =
+    require(!schema.fields.map(_.dataType).exists(t =>
+        t.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.StructType] ||
+        t == org.apache.spark.sql.types.BinaryType ||
+        t == org.apache.spark.sql.types.CalendarIntervalType),
+      s"$what supports atomic column types only (no array/map/struct/binary/interval); " +
+        s"got ${schema.simpleString}")
+
+  /** Fail loudly on a NULL shard key (documented non-null contract):
+    * every count/rank join-back call site would otherwise DROP a
+    * null-keyed row silently where the window form it replaced kept a
+    * NULL partition — this wraps the shard column so a nullable key
+    * regresses as an error, not as row loss. Codegen-friendly: one
+    * null check per row.
+    */
+  private def guardedShard(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.when(c.isNull,
+      org.apache.spark.sql.functions.raise_error(org.apache.spark.sql.functions.lit(
+        "PrefixSum: NULL shard key — shardCol is contractually non-null " +
+          "(a null key would silently drop rows at join-back call sites)")))
+      .otherwise(c)
 
   /** `df` + `outCol` = INCLUSIVE per-`shardCol` running sum of
     * `valueCol` (LongType) ordered by `orderCols` within the shard.
@@ -118,10 +169,10 @@ object PrefixSum {
                    valueCol: String, outCol: String,
                    smallInputBytes: Long = SmallInputBytes): DataFrame = {
     val spark = df.sparkSession
-    val threshold = spark.conf.get(ThresholdConf, smallInputBytes.toString).toLong
+    val threshold = resolvedThreshold(spark, smallInputBytes)
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)) {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(shardCol))
+        .partitionBy(guardedShard(col(shardCol)))
         .orderBy(orderCols.map(col): _*)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
@@ -130,6 +181,8 @@ object PrefixSum {
       val narrow = df.select((shardCol +: orderCols :+ valueCol).map(col): _*)
       val cum = byShardOrdered(narrow, shardCol, orderCols.map(col), valueCol, outCol, -1L)
         .select((orderCols :+ outCol).map(col): _*)
+      // join keys are the unique-key order columns — non-null by the
+      // total-order contract; a null shard already failed in the scan
       df.join(cum, orderCols)
     }
   }
@@ -143,14 +196,14 @@ object PrefixSum {
                      valueCol: String, outCol: String,
                      smallInputBytes: Long = SmallInputBytes): DataFrame = {
     val spark = df.sparkSession
-    val threshold = spark.conf.get(ThresholdConf, smallInputBytes.toString).toLong
+    val threshold = resolvedThreshold(spark, smallInputBytes)
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)) {
       // small-input fast path (see SmallInputBytes): the plain LAZY
       // shard window — identical values (same shard groups, same total
       // order, same left-to-right fold), zero extra jobs, the exact
       // pre-round-13 plan
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(shardCol))
+        .partitionBy(guardedShard(col(shardCol)))
         .orderBy(orderCols: _*)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
@@ -177,11 +230,7 @@ object PrefixSum {
     val types = schema.fields.map(_.dataType)
     // buffer-reuse safety: only atomic fields (copyKey covers strings;
     // numerics are value types) — pass a narrow projection, not arrays
-    require(!types.exists(t =>
-        t.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
-        t.isInstanceOf[org.apache.spark.sql.types.MapType] ||
-        t.isInstanceOf[org.apache.spark.sql.types.StructType]),
-      s"PrefixSum.byShard supports atomic column types only; got ${schema.simpleString}")
+    requireAtomic(schema, "PrefixSum.byShard")
     val rdd = GraftShim.internalRdd(sorted) // shared lineage: one range shuffle
 
     // pass 1: per-(partition, shard) subtotals, in shard order within
@@ -191,6 +240,9 @@ object PrefixSum {
         val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
         it.foreach { r =>
           val k = r.get(shardIdx, shardType)
+          if (k == null) throw new IllegalStateException(
+            "PrefixSum: NULL shard key — shardCol is contractually non-null " +
+              "(a null key would silently drop rows at join-back call sites)")
           acc.get(k) match {
             case Some(v) => acc.update(k, v + r.getLong(valIdx))
             case None => acc.put(copyKey(k), r.getLong(valIdx))
@@ -198,6 +250,14 @@ object PrefixSum {
         }
         Iterator.single((pid, acc.toArray))
       }.collect()
+    // driver-state bound: Θ(#partitions × #shards-per-partition) —
+    // corpus-keyed misuse fails here instead of growing silently
+    val nSub = subtotals.iterator.map(_._2.length.toLong).sum
+    require(nSub <= MaxDriverSubtotals,
+      s"PrefixSum: pass-1 collected $nSub per-(partition, shard) subtotals " +
+        s"(cap $MaxDriverSubtotals). The shard key must be few-valued (lang/enum); " +
+        "a row-identity shard key ships corpus-scale state through the driver — " +
+        "use globalRowNumber (no shard) or a keyed aggregation instead.")
 
     // driver: chain subtotals in partition order into per-partition
     // START offsets for exactly the shards that partition touches
@@ -232,7 +292,72 @@ object PrefixSum {
         new GenericInternalRow(vals): InternalRow
       }
     }
+    // nullable = true so both dispatch paths emit the SAME schema: the
+    // window form's sum() is nullable, and a query's declared schema
+    // must not flip with the plan-time size estimate
     GraftShim.ofInternal(spark, out,
-      StructType(schema.fields :+ StructField(outCol, LongType, nullable = false)))
+      StructType(schema.fields :+ StructField(outCol, LongType, nullable = true)))
+  }
+
+  /** GLOBAL 1-based row number over the unique total order `orderCols`
+    * — the distributed replacement for (a) an UNPARTITIONED
+    * `row_number()` window (serial corpus-scale sort through one task)
+    * and (b) the hand-rolled `df.rdd.zipWithIndex()` idiom, which pays
+    * a per-row Row encode/decode the PackProbe receipts measured at
+    * ~1.6× (5.19 vs 3.18 s at the 5M-doc replica — the exact overhead
+    * [[byShardOrdered]] avoids via `GraftShim.internalRdd`).
+    *
+    * Shape: range-sort on `orderCols` (distributed; ties split across
+    * partitions, so `orderCols` must be a unique total order for the
+    * output to be deterministic), then per-partition row counts —
+    * Θ(#partitions) driver state, NO corpus-scale anything — chained
+    * into start offsets, and one narrow pass emitting the offset +
+    * local position. Both passes share one RDD lineage, so the range
+    * shuffle is written once and re-read. Output = `df`'s columns plus
+    * `outCol` (LongType). Same atomic-column contract as [[byShard]]:
+    * pass a narrow projection.
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+                      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // materialize once: repartitionByRange's sampling job would re-run
+    // the caller's upstream a second time (the byShardOrdered rule;
+    // same durability ledger class — lineage-severed, non-replicated)
+    val cp = df.localCheckpoint(true)
+    val sorted = cp.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = sorted.schema
+    val nFields = schema.length
+    val types = schema.fields.map(_.dataType)
+    requireAtomic(schema, "PrefixSum.globalRowNumber")
+    val rdd = GraftShim.internalRdd(sorted) // shared lineage: one range shuffle
+    // pass 1: per-partition row counts — Θ(#partitions) driver state
+    val counts: Array[(Int, Long)] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single((pid, n))
+    }.collect()
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    counts.sortBy(_._1).foreach { case (pid, n) => offsets(pid) = acc; acc += n }
+    // pass 2: narrow — start offset + local position; retained values
+    // (UTF8String) copy out of the reused input buffer
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = offsets(pid)
+      it.map { r =>
+        i += 1
+        val vals = new Array[Any](nFields + 1)
+        var j = 0
+        while (j < nFields) {
+          vals(j) = copyKey(r.get(j, types(j)))
+          j += 1
+        }
+        vals(nFields) = i
+        new GenericInternalRow(vals): InternalRow
+      }
+    }
+    GraftShim.ofInternal(spark, out,
+      StructType(schema.fields :+ StructField(outCol, LongType, nullable = true)))
   }
 }

@@ -99,10 +99,11 @@ object CurationQueries5 {
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
     // global dense rank over the unique total order (cnt DESC, tok):
-    // range-sort + zipWithIndex (the q_bpe_encode vocab-rank idiom)
-    val q = f.select(col("cnt"), col("tok")).as[(Long, String)]
-      .orderBy(col("cnt").desc, col("tok").asc).rdd.zipWithIndex()
-      .map { case ((cnt, _), i) => (i + 1L, cnt) }.toDF("rnk", "cnt")
+    // range-sort + per-partition offsets (PrefixSum.globalRowNumber —
+    // InternalRow end to end, no per-row Row encode/decode)
+    val q = graft.operators.PrefixSum.globalRowNumber(
+        f.select(col("cnt"), col("tok")),
+        Seq(col("cnt").desc, col("tok").asc), "rnk")
       .select(floor(lnf(col("rnk").cast("double")) * Q20).cast("long").as("x"),
         floor(lnf(col("cnt").cast("double")) * Q20).cast("long").as("y"))
     val s = q.agg(count(lit(1)).cast("double").as("n"),

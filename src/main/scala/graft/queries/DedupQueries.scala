@@ -931,12 +931,15 @@ object DedupQueries {
       val skt = docs.select(col("doc_id"),
         array_join(slice(tokens(col("text")), 1, 3), " ").as("sk"))
       // global dense rank over the unique total order (sk, doc_id):
-      // range-sort + zipWithIndex. One RDD instance feeds BOTH join
-      // sides below, so the sort's map outputs are written once and
-      // re-read (RDD shuffle reuse) — not a doubled sort.
-      val rnk = skt.select(col("sk"), col("doc_id")).as[(String, Long)]
-        .orderBy("sk", "doc_id").rdd.zipWithIndex()
-        .map { case ((_, id), i) => (id, i + 1L) }.toDF("doc_id", "rn")
+      // range-sort + per-partition offsets (PrefixSum.globalRowNumber —
+      // InternalRow end to end, no per-row Row encode/decode). One RDD
+      // instance feeds BOTH join sides below, so the sort's map outputs
+      // are written once and re-read (RDD shuffle reuse) — not a
+      // doubled sort.
+      val rnk = graft.operators.PrefixSum.globalRowNumber(
+          skt.select(col("sk"), col("doc_id")),
+          Seq(col("sk").asc, col("doc_id").asc), "rn")
+        .select(col("doc_id"), col("rn"))
       // banded within-w join: left row keyed by rn DIV 4; right row carries
       // band and band-1, so each qualifying pair matches on exactly one key
       val a = rnk.select(col("doc_id").as("ida"), col("rn").as("ra"),

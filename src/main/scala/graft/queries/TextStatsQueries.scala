@@ -743,11 +743,21 @@ object TextStatsQueries {
     import spark.implicits._
     val merges = learnedMergeRows(spark, dir, BpeIters)
       .map { case (_, l, r, _, _) => (l, r) }
-    val vocab = Tables(spark, dir, "documents")
+    val distinctToks = Tables(spark, dir, "documents")
       .select(merges.foldLeft(tokens(col("text"))) { case (c, (l, r)) =>
         graft.functions.HashExpressions.bpeMergeFast(c, l, r)
       }.as("toks"))
       .select(explode(col("toks")).as("tok")).distinct()
+      // Θ(vocab) DISTRIBUTED materialization (executor blocks), so the
+      // boundedness gate below runs on a cheap count BEFORE any driver
+      // allocation — a corpus-derived (Heaps-growing) vocabulary fails
+      // fast here, not after a Θ(vocab) collect has already landed
+      // (round-13 watch item); it also keeps the BPE encode fold from
+      // running twice (once for the count, once for the collect)
+      .localCheckpoint(true)
+    graft.GraftLimits.requireBoundedVocabCount(distinctToks.count(),
+      "tokenizerArtifacts")
+    val vocab = distinctToks
       .orderBy("tok").as[String].collect().zipWithIndex
       .map { case (t, i) => t -> (i + 1L) }.toMap
     (merges, vocab)
@@ -1010,9 +1020,9 @@ object TextStatsQueries {
         graft.functions.HashExpressions.bpeMergeFast(c, l, r)
       }.as("toks"))
     import spark.implicits._
-    val v = enc.select(explode(col("toks")).as("tok")).distinct()
-      .orderBy("tok").as[String].rdd.zipWithIndex()
-      .map { case (t, i) => (t, i + 1L) }.toDF("tok", "id")
+    val v = graft.operators.PrefixSum.globalRowNumber(
+      enc.select(explode(col("toks")).as("tok")).distinct(),
+      Seq(col("tok").asc), "id")
     // nc is functionally dependent on doc_id: it rides the exploded
     // frame as an 8-byte payload and folds back out of the aggregate as
     // max() — no second join against the documents scan (see docstring)

@@ -87,11 +87,13 @@ object TextStatsQueries2 {
           graft.functions.HashExpressions.bpeMergeFast(cc, l, r)
         }.as("toks"))
         .filter(size(col("toks")) >= 1)
-      // vocab rank: distributed range-sort + zipWithIndex (the
-      // q_bpe_encode rationale — no unpartitioned window)
-      val v = enc.select(explode(col("toks")).as("tok")).distinct()
-        .orderBy("tok").as[String].rdd.zipWithIndex()
-        .map { case (t, i) => (t, i + 1L) }.toDF("tok", "id")
+      // vocab rank: distributed range-sort + per-partition offsets (the
+      // q_bpe_encode rationale — no unpartitioned window; round 14
+      // unified the idiom on PrefixSum.globalRowNumber, InternalRow
+      // end to end)
+      val v = graft.operators.PrefixSum.globalRowNumber(
+        enc.select(explode(col("toks")).as("tok")).distinct(),
+        Seq(col("tok").asc), "id")
       // per-shard doc-scale prefix sum: one row per doc, cum0 = shard
       // stream offset where this doc STARTS. PrefixSum.runningTotal:
       // at sandbox SFs the sum windows IN PLACE (the encode fold runs
@@ -155,12 +157,13 @@ object TextStatsQueries2 {
       ms.foldLeft(tokens(col("text"))) { case (c, (l, r)) =>
         graft.functions.HashExpressions.bpeMergeFast(c, l, r)
       }.as("toks"))
-    // vocab trains DISTRIBUTED (range-sort + zipWithIndex, the
-    // q_bpe_encode rationale) and persists sharded — never collected
+    // vocab trains DISTRIBUTED (range-sort + per-partition offsets via
+    // PrefixSum.globalRowNumber, the q_bpe_encode rationale) and
+    // persists sharded — never collected
     graft.pipelines.ModelArtifacts.saveVocabFrame(spark,
-      encOf(merges).select(explode(col("toks")).as("tok")).distinct()
-        .orderBy("tok").as[String].rdd.zipWithIndex()
-        .map { case (t, i) => (t, i + 1L) }.toDF("tok", "id"),
+      graft.operators.PrefixSum.globalRowNumber(
+        encOf(merges).select(explode(col("toks")).as("tok")).distinct(),
+        Seq(col("tok").asc), "id"),
       s"$base/vocab.parquet")
     val v = graft.pipelines.ModelArtifacts.loadVocabFrame(spark, s"$base/vocab.parquet")
     val e = encOf(m2).select(col("doc_id"), col("nc"),

@@ -87,4 +87,33 @@ object AnnStreams {
           .write.mode("append").parquet(outDir)
       }
       .start()
+
+  /** [[serve]] with INDEX ROTATION (round-14): instead of a fixed
+    * `indexDir`, each micro-batch re-reads the versioned-manifest
+    * pointer at `root/MANIFEST` ([[graft.operators.IvfIndex
+    * .currentVersion]] — one tiny driver-side read per trigger) and
+    * probes that version's index with that version's own codebook. A
+    * rebuild/compaction publishes a complete new version directory and
+    * atomically swaps the pointer ([[graft.operators.IvfIndex
+    * .publishVersion]]), so a retrain takes effect at the next trigger
+    * WITHOUT restarting the stream — the reference's only analog is
+    * restart-to-reload (`multirag.c:359`). Old versions stay intact on
+    * disk, so a batch planned against the previous pointer finishes
+    * against a consistent index. Output rows carry `index_version`, so
+    * every result is attributable to the index that produced it.
+    */
+  def serveRotating(queries: DataFrame, root: String, k: Int, nprobe: Int,
+                    outDir: String, ckptDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val ver = graft.operators.IvfIndex.currentVersion(spark, root)
+        val centroids = spark.read.parquet(s"$root/$ver/centroids")
+        servedTopK(batch, centroids, s"$root/$ver/index", k, nprobe)
+          .withColumn("index_version", lit(ver))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
 }

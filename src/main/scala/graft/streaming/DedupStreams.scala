@@ -67,6 +67,48 @@ object DedupStreams {
       }
   }
 
+  case class DocRow(lang: String, doc_id: Long, text: String)
+  case class CkDoc(lang: String, doc_id: Long, text: String,
+                   h64: Long, h128: String, len: Int)
+
+  /** Streaming EXACT dedup with a DETERMINISTIC keeper — the streaming
+    * face of the batch funnel's min-id exact-dedup stage
+    * (`q_pipeline_funnel` s2, [[graft.operators.Dedup.exactGroups]]):
+    * the first-arriving copy of each content key survives, every later
+    * copy is dropped. Under the pipeline's doc_id-ordered arrival
+    * contract (the packer's contract — chunked sources in id order)
+    * "first arriving" IS min doc_id, so the survivor set equals the
+    * batch stage's exactly; within a micro-batch the min-id row is
+    * selected explicitly, so batch boundaries never change the keeper.
+    *
+    * Keyed on the batch [[graft.operators.Dedup.contentKey]] fields
+    * (xxhash64 + md5 + length — never the raw text), computed map-side;
+    * state per distinct content key is one boolean. The standing-state
+    * bound is Θ(distinct texts), the same ledger class as the LSH
+    * bucket anchors above; a production deployment expires idle keys
+    * with `ProcessingTimeTimeout` exactly like the other detectors.
+    */
+  def exactDedupDocs(docs: DataFrame): Dataset[DocRow] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("lang"), col("doc_id"), col("text"),
+        xxhash64(col("text")).as("h64"),
+        md5(col("text").cast("binary")).as("h128"),
+        length(col("text")).as("len"))
+      .as[CkDoc]
+      .groupByKey(d => (d.h64, d.h128, d.len))
+      .flatMapGroupsWithState[Boolean, DocRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String, Int), rows: Iterator[CkDoc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(_.doc_id)
+            Iterator.single(DocRow(first.lang, first.doc_id, first.text))
+          }
+      }
+  }
+
   case class PhashHit(band: Int, key: Long, media_id: Long, dhash: Long)
   case class PhashDup(media_id: Long, anchor_id: Long, hamming: Int, band: Int)
 

@@ -282,6 +282,56 @@ object BroadcastAudit {
     ("q_postings", "groupBy(tok) agg[collect_list]") -> RankLimited,
   )
 
+  /** The registry gate's PER-PLAN check, factored out of the
+    * PlanShapeSpec sweep so the sweep and its ADVERSARIAL negative
+    * tests (round-14: the gates' false-negative risk was untested)
+    * exercise the exact same code path. `plan` must be built with AQE
+    * off and `autoBroadcastJoinThreshold = -1` (so the only
+    * BroadcastExchanges are hint-forced and unhinted bounded joins
+    * surface as cartesians). Returns one offender line per violation,
+    * naming the query, the offense class, and the operand signature:
+    *
+    *   - FORCED BROADCAST of an unproven-bounded operand
+    *   - CARTESIAN of two unproven-bounded sides
+    *   - UNBOUNDED-BUFFER AGG (collect_list / collect_set / exact
+    *     percentile over unproven-bounded input)
+    *   - UNPARTITIONED WINDOW over unproven-bounded input
+    */
+  def planOffenders(name: String, plan: SparkPlan): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def head(p: SparkPlan): String =
+      p.treeString.linesIterator.take(12).mkString("\n")
+    for (b <- plan.collect { case b: BroadcastExchangeExec => b }) {
+      val cls = classify(b.child)
+      val sig = signature(b.child)
+      if (cls == "UNBOUNDED" && !Allowed.contains((name, sig)))
+        out += s"$name FORCED BROADCAST of unbounded operand sig=[$sig]\n${head(b.child)}"
+    }
+    // cartesian products: legitimate ONLY when one side is provably
+    // bounded (a corpus×corpus cartesian is a query killer at any
+    // scale, and no allow-list can excuse one)
+    for (c <- plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }) {
+      def ok(s: SparkPlan) =
+        classify(s) != "UNBOUNDED" || Allowed.contains((name, signature(s)))
+      if (!ok(c.left) && !ok(c.right))
+        out += s"$name CARTESIAN of two unbounded sides:\n${head(c)}"
+    }
+    for ((sig, child) <- bufferingAggs(plan)) {
+      if (classify(child) == "UNBOUNDED" && !AggAllowed.contains((name, sig)))
+        out += s"$name UNBOUNDED-BUFFER AGG $sig\n${head(child)}"
+    }
+    for (w <- plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w }) {
+      val cls = classify(w.child)
+      val sig = signature(w.child)
+      if (cls == "UNBOUNDED" && !WindowAllowed.contains((name, sig)))
+        out += s"$name UNPARTITIONED WINDOW over sig=[$sig]\n${head(w.child)}"
+    }
+    out.result()
+  }
+
   /** One-line description of the operand for the audit report. */
   private def describe(raw: SparkPlan): String = {
     val child = raw.transform {

@@ -92,6 +92,57 @@ object OverlapProbe {
       .select(col("ida"), col("idb"), col("cont"))
   }
 
+  /** Round-14 candidate (verdict item 1): DICTIONARY-ENCODED postings.
+    * Dense ids replace the incompressible 8-byte polyhash in every wide
+    * stage after the first h-exchange:
+    *
+    *   - dict (h → hid, df) builds from a PARTIAL-AGGREGATED
+    *     `groupBy(h)` over the raw posting table (map-side combine
+    *     collapses duplicate h before the exchange — a vocab-scale
+    *     write, NOT posting-scale) and ranks via the eager InternalRow
+    *     globalRowNumber, so the materialized RDD gives BOTH enc
+    *     consumers identical ids (a lazy monotonically_increasing_id
+    *     would re-assign on recompute and silently break the
+    *     candidate join).
+    *   - enc = postings ⋈ dict on h: the posting side rides the ONE
+    *     explicit h-repartition (ReusedExchange, like r13), the dict
+    *     side is a vocab-sized exchange (also reused between the two
+    *     enc consumers).
+    *   - the per-doc arrays carry struct(df int saturated, hid) —
+    *     12 B raw vs 16, and dense small-valued ids compress where
+    *     random polyhash longs cannot.
+    *   - the candidate join keys on hid for both sides. COST vs r13:
+    *     the full side no longer reuses the h-exchange (hid ≠ h), so
+    *     it pays a NEW posting-mass exchange of compressible ids —
+    *     the measurement decides whether the dense-id compression
+    *     buys more than the lost reuse.
+    */
+  private def edgesDict(docs: DataFrame): DataFrame = {
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val hsH = hs.filter(col("doc_id").isNotNull).repartition(col("h"))
+    val dict = graft.operators.PrefixSum.globalRowNumber(
+      hs.groupBy("h").agg(count(lit(1)).as("df")), Seq(col("h").asc), "hid")
+    val enc = hsH.join(dict, "h")
+      .select(col("doc_id"), col("hid"),
+        least(col("df"), lit(Int.MaxValue.toLong)).cast("int").as("df"))
+    val sorted = enc.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("hid")))).as("sh"))
+    val pref = sorted.select(col("doc_id"),
+      explode(expr("slice(sh, 1, CAST(size(sh) - (8 * size(sh) + 9) DIV 10 + 1 AS INT))"))
+        .as("p"))
+      .select(col("doc_id").as("pid"), col("p.hid").as("hid"))
+    val cand = pref.join(enc.select(col("doc_id").as("fid"), col("hid")), "hid")
+      .filter(col("pid") =!= col("fid"))
+      .select(least(col("pid"), col("fid")).as("ida"),
+        greatest(col("pid"), col("fid")).as("idb"))
+      .distinct()
+    Dedup.jaccardForPairsSets(cand,
+        Dedup.shingleSets(docs, "doc_id", "text", 3), "doc_id")
+      .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("cont") >= 0.8)
+      .select(col("ida"), col("idb"), col("cont"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_scale_x100_dup20")
     val passes = args.drop(1).headOption.map(_.toInt).getOrElse(2)

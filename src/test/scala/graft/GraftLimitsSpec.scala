@@ -25,6 +25,16 @@ class GraftLimitsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("saveVocabFrame"), "message must name the cure")
   }
 
+  test("count form gates BEFORE the driver materialization") {
+    GraftLimits.requireBoundedVocabCount(GraftLimits.MaxLiteralVocab.toLong, "spec")
+    val e = intercept[IllegalArgumentException] {
+      GraftLimits.requireBoundedVocabCount(GraftLimits.MaxLiteralVocab + 1L, "spec")
+    }
+    assert(e.getMessage.contains("refusing to collect"),
+      "message must state the collect is being refused, not just the literal")
+    assert(e.getMessage.contains("4.98") && e.getMessage.contains("saveVocabFrame"))
+  }
+
   test("feature-grid weight vector passes; corpus-sized frame fails") {
     val w = Seq(1L, 2L, 3L)
     assert(GraftLimits.requireBoundedWeights(w, "spec") eq w)
@@ -73,5 +83,27 @@ class GraftLimitsSparkSpec extends SparkSpec {
       GraftLimits.requireBoundedDim(huge, "spec")
     }
     assert(e.getMessage.contains("pre-bucketed store"))
+  }
+
+  test("tokenizerArtifacts refuses a corpus-derived vocabulary before collecting it") {
+    // round-13 watch item: the Θ(vocab) driver collect used to happen
+    // BEFORE any guard fired (the map-form guard sat at the stream
+    // constructor, after the allocation). A corpus whose post-merge
+    // vocabulary exceeds the literal cap must now fail at the
+    // distributed count, with the refusal message — not OOM the driver
+    // and not fail only downstream.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("vocab-guard").toString
+    val n = GraftLimits.MaxLiteralVocab + 2048
+    spark.range(n)
+      .select((col("id") / 100).cast("long").as("doc_id"),
+        concat(lit("tok"), col("id")).as("tok"))
+      .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.TextStatsQueries.tokenizerArtifacts(spark, dir)
+    }
+    assert(e.getMessage.contains("refusing to collect"),
+      s"guard must fire at the count, got: ${e.getMessage}")
   }
 }

@@ -356,60 +356,16 @@ class PlanShapeSpec extends SparkSpec {
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the four offense classes (forced broadcast / cartesian /
+    // buffering aggregate / unpartitioned window) live in ONE shared
+    // checker — BroadcastAudit.planOffenders — so the adversarial
+    // negative test below exercises exactly the code path this sweep
+    // enforces (round-14: the gates' false-negative risk was untested)
     val offenders = Seq.newBuilder[String]
     try {
-      for (q <- SparkEntry.registry) {
-        val plan = q.fn(spark, sf0001).queryExecution.executedPlan
-        for (b <- plan.collect {
-          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b }) {
-          val cls = BroadcastAudit.classify(b.child)
-          val sig = BroadcastAudit.signature(b.child)
-          if (cls == "UNBOUNDED" && !BroadcastAudit.Allowed.contains((q.name, sig)))
-            offenders += s"${q.name} sig=[$sig]\n${b.child.treeString.linesIterator.take(12).mkString("\n")}"
-        }
-        // same discipline for cartesian products: with auto-broadcast
-        // off, an unhinted crossJoin of a 1-row aggregate plans as
-        // CartesianProductExec — legitimate ONLY when one side is
-        // provably bounded (a corpus×corpus cartesian is a query
-        // killer at any scale, and no allow-list can excuse one)
-        for (c <- plan.collect {
-          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }) {
-          def ok(s: org.apache.spark.sql.execution.SparkPlan) =
-            BroadcastAudit.classify(s) != "UNBOUNDED" ||
-              BroadcastAudit.Allowed.contains((q.name, BroadcastAudit.signature(s)))
-          if (!ok(c.left) && !ok(c.right))
-            offenders += s"${q.name} CARTESIAN of two unbounded sides:\n" +
-              c.treeString.linesIterator.take(12).mkString("\n")
-        }
-        // buffering aggregates (round-13 aggkeys sweep): collect_list /
-        // collect_set / exact percentile keep every group value in ONE
-        // reducer buffer — partial aggregation shrinks nothing — so a
-        // collector over an unproven-bounded input needs an AggAllowed
-        // entry arguing why its groups cannot be corpus-sized (the
-        // q_winnow posting-list OOM and q_approx_quantile's exact
-        // percentile-by-enum were both this class)
-        for ((sig, child) <- BroadcastAudit.bufferingAggs(plan)) {
-          if (BroadcastAudit.classify(child) == "UNBOUNDED" &&
-              !BroadcastAudit.AggAllowed.contains((q.name, sig)))
-            offenders += s"${q.name} UNBOUNDED-BUFFER AGG $sig\n" +
-              child.treeString.linesIterator.take(12).mkString("\n")
-        }
-        // and for UNPARTITIONED windows — the other single-point-of-
-        // collapse (empty partitionSpec = the whole input through ONE
-        // task): the input must be plan-provably bounded or carry a
-        // WindowAllowed entry naming its rollup and cap. Global
-        // SortExec is out of scope: range partitioning parallelizes it.
-        for (w <- plan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w }) {
-          val cls = BroadcastAudit.classify(w.child)
-          val sig = BroadcastAudit.signature(w.child)
-          if (cls == "UNBOUNDED" &&
-              !BroadcastAudit.WindowAllowed.contains((q.name, sig)))
-            offenders += s"${q.name} UNPARTITIONED WINDOW over sig=[$sig]\n" +
-              w.child.treeString.linesIterator.take(12).mkString("\n")
-        }
-      }
+      for (q <- SparkEntry.registry)
+        offenders ++= BroadcastAudit.planOffenders(q.name,
+          q.fn(spark, sf0001).queryExecution.executedPlan)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
@@ -428,6 +384,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(deadW.isEmpty, s"window allow-list entries for unregistered queries: $deadW")
     val deadA = BroadcastAudit.AggAllowed.keys.filterNot { case (n, _) => names.contains(n) }
     assert(deadA.isEmpty, s"aggregate allow-list entries for unregistered queries: $deadA")
+  }
+
+  test("gate negative paths: deliberately-bad plans are rejected by name") {
+    // The three registry sweeps are only proven on plans that PASS —
+    // this is the false-negative check (round-13 verdict item 6): one
+    // deliberately-bad plan per offense class, asserted to be REJECTED
+    // with the right offense name by the same BroadcastAudit
+    // .planOffenders the registry sweep runs. None of these are
+    // registered queries, so no allow-list entry can excuse them.
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list, row_number}
+    import graft.tools.BroadcastAudit
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables(spark, sf0001, "documents")
+      def offenders(df: DataFrame) =
+        BroadcastAudit.planOffenders("adversarial", df.queryExecution.executedPlan)
+      // 1. corpus-scaled FORCED broadcast: the class that recurred in
+      //    r10 (pair stream) and r11 (weight tables)
+      val badBroadcast = docs.join(
+        broadcast(docs.select(col("doc_id"), col("n_chars"))), "doc_id")
+      assert(offenders(badBroadcast).exists(_.contains("FORCED BROADCAST")),
+        "gate must reject a hint-forced broadcast of a corpus-scaled operand")
+      // 2. UNPARTITIONED growing window: the whole corpus through one
+      //    window task (the q_token_cdf lesson)
+      val badWindow = docs.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      assert(offenders(badWindow).exists(_.contains("UNPARTITIONED WINDOW")),
+        "gate must reject an unpartitioned window over corpus-scaled input")
+      // 3. uncapped collect over a few-valued key: one reducer buffers
+      //    corpus/#langs rows (the q_winnow posting-list OOM class)
+      val badCollect = docs.groupBy("lang").agg(collect_list(col("text")).as("texts"))
+      assert(offenders(badCollect).exists(_.contains("UNBOUNDED-BUFFER AGG")),
+        "gate must reject an uncapped collect_list over corpus-fed input")
+      // 4. cartesian of two corpus-scaled sides
+      val badCartesian = docs.select(col("doc_id"))
+        .crossJoin(docs.select(col("doc_id").as("d2")))
+      assert(offenders(badCartesian).exists(_.contains("CARTESIAN")),
+        "gate must reject a corpus×corpus cartesian product")
+      // and a GOOD plan of each shape passes: scalar broadcast,
+      // enum-rollup window input, per-entity collect
+      val goodScalar = docs.crossJoin(
+        broadcast(docs.agg(org.apache.spark.sql.functions.count(col("doc_id")).as("n"))))
+      assert(offenders(goodScalar).isEmpty,
+        "gate must admit a 1-row scalar broadcast / cartesian side")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 
   test("bigram_ppl: LM joins are hash-keyed, never cartesian") {

@@ -211,8 +211,19 @@ class ScaleSlopeSpec extends SparkSpec {
     val (ft1, ftn, fs) =
       if (!violated) (t1, tn, s)
       else ScaleProbe.slope(spark, src, dst, factor, name, passes = 3)
-    val retried = if (violated) f" (first pass $s%.2f, retried min-of-3)" else ""
+    // both measurements stay visible so an INTERMITTENT mechanism
+    // regression (reproduces in some passes, masked by the min-of-3
+    // retry) still leaves a trail in the CI log; a first-pass margin
+    // past 2x the gate is flagged explicitly — GC-pause noise (the
+    // class the retry targets) rarely overshoots that far
+    val retried = if (violated)
+      f" (first pass 1x=$t1%.2fs ${factor}x=$tn%.2fs slope=$s%.2f, retried min-of-3)"
+    else ""
     info(f"$name%-18s 1x=$ft1%6.2fs ${factor}x=$ftn%6.2fs slope=$fs%5.2f (max $maxSlope)$retried")
+    if (violated && s > 2 * maxSlope && fs <= maxSlope)
+      info(f"$name: first-pass slope $s%.2f exceeded 2x the gate ($maxSlope) but the " +
+        "min-of-3 passed — if this recurs, suspect an intermittent mechanism " +
+        "regression, not ambient GC noise")
     if (fs > maxSlope) Some(f"$name slope $fs%.2f > $maxSlope") else None
   }
 

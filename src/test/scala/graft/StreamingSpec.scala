@@ -718,6 +718,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == want, "foreachBatch serve diverges from the batch replay")
   }
 
+  test("ANN serve rotation: manifest swap between micro-batches, per-version batch replays") {
+    // round-13 verdict item 4: the serving stream must pick up a
+    // rebuilt index WITHOUT restarting — each trigger re-reads the
+    // MANIFEST pointer. v1 indexes the full embedding table; v2 is a
+    // "compaction" that drops the odd vec_ids, so post-swap results
+    // PROVABLY differ (no odd neighbor can appear). Batch 1 is served
+    // before the swap, batch 2 after; each must equal servedTopK
+    // replayed against its own version, and carry that version's name.
+    import graft.operators.IvfIndex
+    import graft.streaming.AnnStreams
+    val root = Files.createTempDirectory("ann-rotate").toString
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+      .localCheckpoint()
+    val embV2 = emb.filter(col("vec_id") % 2 === 0).localCheckpoint()
+    IvfIndex.publishVersion(emb, seeds, root, "v1")
+    assert(IvfIndex.currentVersion(spark, root) == "v1")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      .localCheckpoint()
+    val q01 = queries.filter(col("qid") < 2)
+    val q23 = queries.filter(col("qid") >= 2)
+    val srcDir = s"$root/qsrc"
+    q01.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c0")
+    new java.io.File(s"$srcDir/c0").listFiles().foreach(_.setLastModified(1700000000000L))
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val sq = AnnStreams.serveRotating(stream, root, 5, 2, s"$root/out", s"$root/ckpt")
+    try {
+      sq.processAllAvailable() // batch 1: q01 under v1
+      // rebuild + atomic swap while the stream is RUNNING
+      IvfIndex.publishVersion(embV2, seeds, root, "v2")
+      assert(IvfIndex.currentVersion(spark, root) == "v2")
+      q23.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c1")
+      new java.io.File(s"$srcDir/c1").listFiles().foreach(_.setLastModified(1700000060000L))
+      sq.processAllAvailable() // batch 2: q23 under v2
+    } finally sq.stop()
+    val out = spark.read.parquet(s"$root/out")
+    def replay(qs: org.apache.spark.sql.DataFrame, ver: String) =
+      AnnStreams.servedTopK(qs, spark.read.parquet(s"$root/$ver/centroids"),
+          s"$root/$ver/index", 5, 2)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val got1 = out.filter(col("qid") < 2)
+    val got2 = out.filter(col("qid") >= 2)
+    // every pre-swap row carries v1, every post-swap row v2
+    assert(got1.select("index_version").distinct().as[String].collect().toSeq == Seq("v1"),
+      "pre-swap results must be attributed to v1")
+    assert(got2.select("index_version").distinct().as[String].collect().toSeq == Seq("v2"),
+      "post-swap results must be attributed to v2")
+    def strip(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "nid", "dist").as[(Long, Long, Long, Double)].collect().toSet
+    assert(strip(got1) == replay(q01, "v1"),
+      "pre-swap batch must equal the v1 replay")
+    assert(strip(got2) == replay(q23, "v2"),
+      "post-swap batch must equal the v2 replay")
+    // the swap was LOAD-BEARING: v1 serves odd neighbors for these
+    // queries (fixture property), v2 cannot contain any
+    val v1OddForQ23 = replay(q23, "v1").exists { case (_, _, nid, _) => nid % 2 != 0 }
+    assert(v1OddForQ23, "fixture must give v1 at least one odd neighbor for q23")
+    assert(strip(got2).forall { case (_, _, nid, _) => nid % 2 == 0 },
+      "post-swap results must come from the compacted v2 index only")
+  }
+
   test("packer flush sentinel: trailing partials emit, total output equals batch exactly") {
     // round-13 ADVICE: Append+NoTimeout never emits the carried partial,
     // so full batch parity was unreachable from stream output alone. A
@@ -858,6 +922,135 @@ class StreamingSpec extends SparkSpec {
       s"${copies.size} of $nDocs late copies flagged after restart")
     assert(copies.forall(c => pairs(c) < 10000L),
       "a late copy anchored to another copy: pre-restart anchors were lost")
+  }
+
+  test("end-to-end pipeline: quality -> exact dedup -> tokenize -> pack, each stage killed once") {
+    // Round-13 verdict item 7: every stream is pinned against its
+    // batch twin individually — this chains them into ONE pipeline.
+    // Stage 1 (stateless quality gate + stateful exact-dedup keeper)
+    // streams the corpus in four doc_id-ranged chunks and lands
+    // survivors in a bronze dir via foreachBatch (per-batch subdirs +
+    // explicit mtimes => deterministic stage-2 arrival order); stage 2
+    // (map-side tokenize + stateful PackState fold) streams the bronze
+    // dir into packed context blocks. BOTH stages are stopped
+    // mid-corpus and restarted from their checkpoints — so the final
+    // equality proves recovery of both state stores, not just each in
+    // isolation. The pin is an INDEPENDENT batch composition: the
+    // funnel's s1+s2 stages (q_pipeline_funnel exprs), the same
+    // tokenizer artifacts, and the window-based packing shape of
+    // q_seq_pack_bpe — a different mechanism (window vs stateful fold)
+    // computing the same blocks.
+    import graft.streaming.{DedupStreams, PackerStreams}
+    val base = Files.createTempDirectory("pipe-e2e").toString
+    val docs = Tables(spark, sf0001, "documents").select("lang", "doc_id", "text")
+    val ids = docs.select("doc_id").orderBy("doc_id").as[Long].collect()
+    val cuts = (1 to 3).map(i => ids(i * ids.length / 4))
+    val ranges = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+    def writeChunk(i: Int): Unit = {
+      val (lo, hi) = ranges(i)
+      val f = new java.io.File(s"$base/src", s"chunk$i")
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(f.toString)
+      for (p <- f.listFiles()) p.setLastModified(1700000000000L + i * 60000L)
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val (merges, vocab) =
+      graft.queries.TextStatsQueries.tokenizerArtifacts(spark, sf0001)
+    // ---- stage 1: quality gate + exact dedup -> bronze ----
+    val toks = split(col("text"), " ")
+    def qualityGate(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("nt", size(toks).cast("long"))
+      .withColumn("uniq_bp",
+        floor(size(array_distinct(toks)) * 10000.0 / col("nt")).cast("long"))
+      .withColumn("stop_bp",
+        floor(size(filter(toks, t => t === "a" || t === "the")) * 10000.0 / col("nt"))
+          .cast("long"))
+      .filter(col("nt") >= 20 && col("uniq_bp") >= 4000 && col("stop_bp") <= 1000)
+      .select("lang", "doc_id", "text")
+    def startStage1() = {
+      val in = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src/*")
+      DedupStreams.exactDedupDocs(qualityGate(in)).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt1")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val dir = new java.io.File(s"$base/bronze", s"batch_$bid")
+          b.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+          for (p <- dir.listFiles()) p.setLastModified(1800000000000L + bid * 60000L)
+          dir.setLastModified(1800000000000L + bid * 60000L)
+          ()
+        }.start()
+    }
+    writeChunk(0); writeChunk(1)
+    val s1a = startStage1()
+    try s1a.processAllAvailable() finally s1a.stop() // stage-1 "kill" mid-corpus
+    writeChunk(2); writeChunk(3) // lands while stage 1 is DOWN
+    val s1b = startStage1()
+    try s1b.processAllAvailable() finally s1b.stop()
+    val bronzeDirs = new java.io.File(s"$base/bronze").listFiles().sortBy(_.getName)
+    assert(bronzeDirs.length == 4, s"expected 4 bronze batches, got ${bronzeDirs.length}")
+    // ---- stage 2: tokenize + pack from bronze, killed after 2 batches ----
+    // hide the post-restart half so the first run genuinely stops with
+    // partial blocks in state (dir renames preserve mtimes)
+    for (d <- bronzeDirs.drop(2))
+      assert(d.renameTo(new java.io.File(s"$base/staged_${d.getName}")))
+    val bronzeSchema = spark.read.parquet(bronzeDirs.head.toString).schema
+    def startStage2() = {
+      val in = spark.readStream.schema(bronzeSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/bronze/*")
+      PackerStreams.packedBlocks(in, merges, vocab).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .format("parquet").option("path", s"$base/packed")
+        .start()
+    }
+    val s2a = startStage2()
+    try s2a.processAllAvailable() finally s2a.stop() // stage-2 "kill"
+    val midBlocks = spark.read.parquet(s"$base/packed").count()
+    for (d <- bronzeDirs.drop(2))
+      assert(new java.io.File(s"$base/staged_${d.getName}")
+        .renameTo(new java.io.File(s"$base/bronze", d.getName)))
+    val s2b = startStage2()
+    try s2b.processAllAvailable() finally s2b.stop()
+    val got = spark.read.parquet(s"$base/packed")
+    assert(got.count() > midBlocks,
+      "fixture must emit full blocks on BOTH sides of the stage-2 restart")
+    // ---- the independent batch composition ----
+    val s1 = qualityGate(docs)
+    val keep = s1.select(col("doc_id"),
+        graft.operators.Dedup.contentKey(col("text")).as("ck"))
+      .groupBy("ck").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s2 = s1.join(keep, "doc_id")
+    assert(s2.count() > 0 && s2.count() < docs.count(),
+      "fixture must lose docs to the quality gate or dedup stage")
+    val vlit = typedLit(vocab)
+    val encT = merges.foldLeft(graft.functions.TextFunctions.tokens(col("text"))) {
+      case (c, (l, r)) => graft.functions.HashExpressions.bpeMergeFast(c, l, r)
+    }
+    val enc = s2.select(col("lang"), col("doc_id"),
+        transform(encT, t => coalesce(element_at(vlit, t), lit(0L))).as("tids"))
+      .filter(size(col("tids")) >= 1)
+      .withColumn("nt", size(col("tids")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    val ctx = graft.queries.TextStatsQueries2.CtxLen
+    val want = enc
+      .withColumn("cum0", sum("nt").over(w) - col("nt"))
+      .select(col("lang"), col("doc_id"), col("cum0"),
+        posexplode(col("tids")).as(Seq("p0", "id")))
+      .select(col("lang"), col("doc_id"), (col("cum0") + col("p0")).as("gpos"), col("id"))
+      .groupBy(col("lang"), expr(s"gpos DIV $ctx").as("bin"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        sum("id").cast("long").as("id_sum"),
+        sum((col("gpos") % ctx + 1) * col("id")).cast("long").as("id_oxw"))
+      .filter(col("n_tok") === ctx)
+    assert(want.count() > 0, "fixture must produce full blocks through the funnel")
+    assert(got.count() == want.count(),
+      s"block counts diverge: streamed ${got.count()} vs batch ${want.count()}")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "end-to-end streamed blocks diverge from the batch pipeline composition")
   }
 
   test("streaming shard manifest: latest snapshots equal the batch manifest") {
