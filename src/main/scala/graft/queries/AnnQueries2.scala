@@ -227,6 +227,89 @@ object AnnQueries2 {
         queries, seeds, s"$base/serve_idx", 5, 2)
   }
 
+  /** One serving pipeline per index version for the [[annRotate]]
+    * oracle: assignment (quantized L2 argmin over that version's seed
+    * set), nprobe=2 routing, self-match exclusion, (dist, nid) ranking
+    * — the `q_ann_serve_batch` algebra with version-suffixed CTEs.
+    */
+  private def rotateVersionCtes(tag: String): String =
+    s"""a_$tag AS (SELECT ed.vec_id, c_$tag.cluster,
+       |              CAST(sum(CAST(floor((ed.x - c_$tag.c) * (ed.x - c_$tag.c) * $S45) AS BIGINT)) AS BIGINT) AS d2
+       |       FROM ed JOIN c_$tag ON c_$tag.i = ed.i GROUP BY 1, 2),
+       |rk_$tag AS (SELECT vec_id, cluster,
+       |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |       FROM a_$tag),
+       |s1_$tag AS (SELECT vec_id, cluster FROM rk_$tag WHERE rn = 1),
+       |qp_$tag AS (SELECT vec_id AS qid, cluster FROM rk_$tag WHERE rn <= 2 AND vec_id < 4),
+       |cand_$tag AS (SELECT q.qid, e.vec_id AS nid, ${cosDistSql("e.v", "q.qv")} AS dist
+       |         FROM e JOIN s1_$tag ON s1_$tag.vec_id = e.vec_id
+       |                JOIN qp_$tag ON qp_$tag.cluster = s1_$tag.cluster
+       |                JOIN q ON q.qid = qp_$tag.qid
+       |         WHERE e.vec_id <> q.qid),
+       |rkd_$tag AS (SELECT qid, nid, dist,
+       |               CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank
+       |        FROM cand_$tag)""".stripMargin
+
+  /** INDEX ROTATION, oracle-gated (round 14): the versioned-manifest
+    * serving path as a registry query — publish v1 (seeds = vec_id<8),
+    * serve a query batch THROUGH THE MANIFEST POINTER, publish v2 (a
+    * retrain with seeds = vec_id 8..15), serve the same batch again;
+    * output is both batches tagged with the version that served them.
+    * The pointer is read back via [[graft.operators.IvfIndex
+    * .currentVersion]] after each publish — so the driver's hash gate
+    * proves the atomic-swap read path AND both versions' full serving
+    * algebra (assignment, routing, pruned probe, ranking) bit-exact
+    * cross-engine. StreamingSpec proves the same swap on a LIVE
+    * stream; this makes it part of the 246-query oracle surface.
+    * SCALE: identical to `q_ann_serve_batch` per version — k-row
+    * codebook broadcasts, the probe reads nprobe/nlist of the files,
+    * WindowGroupLimit top-k; the manifest read is one tiny driver-side
+    * file per trigger. Old versions stay intact on disk, so in-flight
+    * plans against the previous pointer stay consistent.
+    */
+  val annRotate: QueryDef = QueryDef.sql(
+    "q_ann_rotate",
+    s"""WITH ed AS (SELECT vec_id, i, embedding[i] AS x
+       |           FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)),
+       |c_v1 AS (SELECT vec_id AS cluster, i, x AS c FROM ed WHERE vec_id < 8),
+       |c_v2 AS (SELECT vec_id AS cluster, i, x AS c FROM ed
+       |         WHERE vec_id >= 8 AND vec_id < 16),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < 4),
+       |${rotateVersionCtes("v1")},
+       |${rotateVersionCtes("v2")}
+       |SELECT 'v1' AS index_version, qid, rank, nid, dist FROM rkd_v1 WHERE rank <= 5
+       |UNION ALL
+       |SELECT 'v2', qid, rank, nid, dist FROM rkd_v2 WHERE rank <= 5""".stripMargin) {
+    (spark, dir) =>
+      import graft.operators.IvfIndex
+      val base = s"/tmp/graft_artifacts/${spark.sparkContext.applicationId}/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/rotate"
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      def seeds(pred: org.apache.spark.sql.Column) = emb.filter(pred)
+        .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+      val queries = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      // serve through the POINTER, never a hard-coded version path —
+      // the read-back is the thing under test
+      def serveCurrent() = {
+        val ver = IvfIndex.currentVersion(spark, base)
+        val cents = spark.read.parquet(s"$base/$ver/centroids")
+        graft.streaming.AnnStreams.servedTopK(queries, cents, s"$base/$ver/index", 5, 2)
+          .withColumn("index_version", lit(ver))
+      }
+      IvfIndex.publishVersion(emb, seeds(col("vec_id") < 8), base, "v1")
+      val r1 = serveCurrent()
+      // the "retrain": new codebook, full rebuild, atomic pointer swap
+      IvfIndex.publishVersion(emb,
+        seeds(col("vec_id") >= 8 && col("vec_id") < 16), base, "v2")
+      val r2 = serveCurrent()
+      r1.unionByName(r2)
+        .select(col("index_version"), col("qid"), col("rank"), col("nid"), col("dist"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(filteredAnn, ivfProbeArtifact, ivfNprobeArtifact, annServeBatch)
+    Seq(filteredAnn, ivfProbeArtifact, ivfNprobeArtifact, annServeBatch, annRotate)
 }

@@ -170,6 +170,8 @@ object BroadcastAudit {
     ("q_kmeans", "cluster,cv") -> Centroids,
     ("q_ann_serve_batch", "cluster,cv") -> Centroids, // 8-row serving codebook
     ("q_ann_serve_batch", "cluster,qid,qv") -> ProbeSet, // per-batch routed queries
+    ("q_ann_rotate", "cluster,cv") -> Centroids, // per-version 8-row codebook
+    ("q_ann_rotate", "cluster,qid,qv") -> ProbeSet, // per-batch routed queries
     ("q_ivfpq", "cluster,cv") -> Centroids,
     ("q_centroid_classify", "clabel,cv") -> Centroids,
     ("q_embed_outliers", "cluster,cv") -> Centroids,

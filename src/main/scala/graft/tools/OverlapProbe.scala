@@ -143,6 +143,108 @@ object OverlapProbe {
       .select(col("ida"), col("idb"), col("cont"))
   }
 
+  /** Round-14 fallback cut: the r13 topology VERBATIM (shared
+    * h-exchange + ReusedExchange candidate join — nothing re-keys), but
+    * the per-doc array structs carry df as a SATURATED INT (4 bytes
+    * fewer per posting through the doc-keyed exchange; ordering
+    * unchanged for every df < 2^31, and ultra-hot shingles past the
+    * saturation point sort last regardless — they never enter a
+    * prefix).
+    */
+  private def edgesDfInt(docs: DataFrame): DataFrame = {
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val hsH = hs.filter(col("doc_id").isNotNull).repartition(col("h"))
+    val sorted = hsH
+      .withColumn("df", least(count(lit(1)).over(Window.partitionBy(col("h"))),
+        lit(Int.MaxValue.toLong)).cast("int"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"))
+    val pref = sorted.select(col("doc_id"),
+      explode(expr("slice(sh, 1, CAST(size(sh) - (8 * size(sh) + 9) DIV 10 + 1 AS INT))"))
+        .as("p"))
+      .select(col("doc_id").as("pid"), col("p.h").as("h"))
+    val cand = pref.join(hsH.select(col("doc_id").as("fid"), col("h")), "h")
+      .filter(col("pid") =!= col("fid"))
+      .select(least(col("pid"), col("fid")).as("ida"),
+        greatest(col("pid"), col("fid")).as("idb"))
+      .distinct()
+    Dedup.jaccardForPairsSets(cand,
+        Dedup.shingleSets(docs, "doc_id", "text", 3), "doc_id")
+      .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("cont") >= 0.8)
+      .select(col("ida"), col("idb"), col("cont"))
+  }
+
+  /** Round-14 variant 3: RANK-ENCODED arrays, candidate join on hid.
+    * The dictionary ranks h by (df ASC, h ASC), so the dense id ITSELF
+    * is the rare-first prefix order — the per-doc arrays drop the df
+    * field entirely and ship as plain array<bigint> (the dfint
+    * measurement exposed UnsafeRow's 8-byte field slots: narrowing a
+    * struct field saves nothing, but dropping the field halves the
+    * element, and losing the nested-struct headers saves more).
+    * Prefix slice semantics are IDENTICAL to r13 (same order).
+    * Candidate join keys on hid — pays the dict variant's full-side
+    * re-exchange.
+    */
+  private def edgesRankDict(docs: DataFrame): DataFrame = {
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val hsH = hs.filter(col("doc_id").isNotNull).repartition(col("h"))
+    val dict = graft.operators.PrefixSum.globalRowNumber(
+      hs.groupBy("h").agg(count(lit(1)).as("df")),
+      Seq(col("df").asc, col("h").asc), "hid").drop("df")
+    val enc = hsH.join(dict, "h").select(col("doc_id"), col("hid"))
+    val sorted = enc.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("hid"))).as("sh"))
+    val pref = sorted.select(col("doc_id"),
+      explode(expr("slice(sh, 1, CAST(size(sh) - (8 * size(sh) + 9) DIV 10 + 1 AS INT))"))
+        .as("hid"))
+      .select(col("doc_id").as("pid"), col("hid"))
+    val cand = pref.join(enc.select(col("doc_id").as("fid"), col("hid")), "hid")
+      .filter(col("pid") =!= col("fid"))
+      .select(least(col("pid"), col("fid")).as("ida"),
+        greatest(col("pid"), col("fid")).as("idb"))
+      .distinct()
+    Dedup.jaccardForPairsSets(cand,
+        Dedup.shingleSets(docs, "doc_id", "text", 3), "doc_id")
+      .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("cont") >= 0.8)
+      .select(col("ida"), col("idb"), col("cont"))
+  }
+
+  /** Round-14 variant 4: rank-encoded arrays (as [[edgesRankDict]]) but
+    * the prefix rows map hid BACK to h through the dictionary before
+    * the candidate join, so the full side keeps the r13 ReusedExchange
+    * (zero new posting-mass write). Costs one prefix-mass hid exchange
+    * + one prefix-mass h re-exchange (~20% of posting mass each);
+    * saves the struct-array doc exchange.
+    */
+  private def edgesRankBack(docs: DataFrame): DataFrame = {
+    val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val hsH = hs.filter(col("doc_id").isNotNull).repartition(col("h"))
+    val dict = graft.operators.PrefixSum.globalRowNumber(
+      hs.groupBy("h").agg(count(lit(1)).as("df")),
+      Seq(col("df").asc, col("h").asc), "hid").drop("df")
+    val enc = hsH.join(dict, "h").select(col("doc_id"), col("hid"))
+    val sorted = enc.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("hid"))).as("sh"))
+    val pref = sorted.select(col("doc_id"),
+      explode(expr("slice(sh, 1, CAST(size(sh) - (8 * size(sh) + 9) DIV 10 + 1 AS INT))"))
+        .as("hid"))
+      .select(col("doc_id").as("pid"), col("hid"))
+      .join(dict, "hid") // hid -> h: prefix-mass + vocab exchange
+      .select(col("pid"), col("h"))
+    val cand = pref.join(hsH.select(col("doc_id").as("fid"), col("h")), "h")
+      .filter(col("pid") =!= col("fid"))
+      .select(least(col("pid"), col("fid")).as("ida"),
+        greatest(col("pid"), col("fid")).as("idb"))
+      .distinct()
+    Dedup.jaccardForPairsSets(cand,
+        Dedup.shingleSets(docs, "doc_id", "text", 3), "doc_id")
+      .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("cont") >= 0.8)
+      .select(col("ida"), col("idb"), col("cont"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_scale_x100_dup20")
     val passes = args.drop(1).headOption.map(_.toInt).getOrElse(2)
@@ -187,6 +289,10 @@ object OverlapProbe {
     args.drop(2).headOption.getOrElse("all") match {
       case "r12" => run("r12-edges", edgesR12(docs))
       case "hyb" => run("hyb-edges", edgesHybrid(docs))
+      case "dict" => run("dict-edges", edgesDict(docs))
+      case "dfint" => run("dfint-edges", edgesDfInt(docs))
+      case "rankdict" => run("rankdict-edges", edgesRankDict(docs))
+      case "rankback" => run("rankback-edges", edgesRankBack(docs))
       case "r13" => run("r13-edges",
         graft.queries.CurationQueries13.overlapJoin.fn(spark, dir))
       case "top" => run("r13-top",

@@ -49,6 +49,16 @@ object SnmProbe {
       .map { case ((_, id), i) => (id, i + 1L) }.toDF("doc_id", "rn")
   }
 
+  /** The round-14 registry shape: PrefixSum.globalRowNumber —
+    * identical range-sort, but per-partition offsets over InternalRow
+    * instead of zipWithIndex's per-row Row encode/decode.
+    */
+  private def rankGr(skt: DataFrame): DataFrame =
+    graft.operators.PrefixSum.globalRowNumber(
+        skt.select(col("sk"), col("doc_id")),
+        Seq(col("sk").asc, col("doc_id").asc), "rn")
+      .select(col("doc_id"), col("rn"))
+
   /** The shared banded within-w=4 candidate join. */
   private def candidates(rnk: DataFrame): DataFrame = {
     val a = rnk.select(col("doc_id").as("ida"), col("rn").as("ra"),
@@ -91,9 +101,11 @@ object SnmProbe {
     which match {
       case "old" => run("old-cand", candidates(rankOld(skt)))
       case "new" => run("new-cand", candidates(rankNew(skt)))
+      case "gr" => run("gr-cand", candidates(rankGr(skt)))
       case _ =>
         run("old-cand", candidates(rankOld(skt)))
         run("new-cand", candidates(rankNew(skt)))
+        run("gr-cand", candidates(rankGr(skt)))
     }
     spark.stop()
   }
