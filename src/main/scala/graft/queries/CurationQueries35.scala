@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.tokens
+
+/** Thirty-fifth curation batch (round 14): the Pareto-frontier document
+  * selector (distributed 2-D skyline), blocked fuzzy record linkage,
+  * the SCD2 change-history builder, and the encoding anomaly audit —
+  * four pipeline stages a corpus curation run needs that were not yet
+  * first-class queries.
+  */
+object CurationQueries35 {
+
+  /** PARETO / SKYLINE DOCUMENT SELECT — the non-dominated set on two
+    * axes a budgeted selector trades off: token COST (minimize
+    * `n_tok`) vs lexical-diversity QUALITY (maximize `q_bp`, distinct
+    * tokens per token in basis points). A doc is dominated iff some
+    * other doc is at least as good on both axes and strictly better on
+    * one; ties on both axes all survive (no strict dominator), matching
+    * the oracle's NOT EXISTS definition exactly.
+    *
+    * SCALE: the textbook skyline is the oracle's all-pairs NOT EXISTS —
+    * Θ(n²), unusable past sandbox SF. This plan reduces the corpus to
+    * its TOKEN-LENGTH HISTOGRAM first (one map-side-combined aggregate,
+    * ≤ max-doc-token-count rows — the q_token_cdf rank-spine class,
+    * corpus-independent by the truncation cap), runs the frontier
+    * recurrence as an exclusive prefix-max over that domain-bounded
+    * spine (a doc at length t survives iff q = max(q | t) and
+    * q > max(q | t' < t)), and joins the surviving (t, qt) frontier
+    * back — at scale a broadcast of ≤ |frontier| ≤ |distinct t| rows
+    * under AQE. One corpus aggregate + one corpus join; nothing
+    * pairwise, nothing corpus-scale through one task.
+    */
+  val skylineSelect: QueryDef = QueryDef.sql(
+    "q_skyline_select",
+    """WITH d AS (SELECT doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |                    * 10000 // len(string_split(text, ' ')) AS q_bp
+      |           FROM documents)
+      |SELECT doc_id, n_tok, q_bp FROM d a
+      |WHERE NOT EXISTS (SELECT 1 FROM d b
+      |                  WHERE b.q_bp >= a.q_bp AND b.n_tok <= a.n_tok
+      |                    AND (b.q_bp > a.q_bp OR b.n_tok < a.n_tok))""".stripMargin) {
+    (spark, dir) =>
+      val d = Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 10000" +
+          " DIV size(split(text, ' '))").as("q_bp"))
+      // length histogram: ≤ max-doc-token-count rows (domain-bounded)
+      val byT = d.groupBy("n_tok").agg(max("q_bp").as("qt"))
+      // frontier recurrence on the spine: survive iff qt beats every
+      // shorter length's best quality (exclusive prefix max)
+      val w = Window.orderBy(col("n_tok").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = byT
+        .withColumn("prev_max", max(col("qt")).over(w))
+        .filter(col("prev_max").isNull || col("qt") > col("prev_max"))
+        .select(col("n_tok").as("f_tok"), col("qt"))
+      d.join(frontier, d("n_tok") === frontier("f_tok") && d("q_bp") === frontier("qt"))
+        .select("doc_id", "n_tok", "q_bp")
+  }
+
+  /** BLOCKED FUZZY RECORD LINKAGE — the entity-resolution candidate
+    * generator: a self-join of `customer` restricted to a blocking key
+    * (nation × market segment × 14-char name prefix), scored by name
+    * edit distance and account-balance distance in exact cents. The
+    * Fellegi–Sunter shape: blocking bounds the candidate space,
+    * per-pair field comparisons feed a match score downstream.
+    *
+    * SCALE: one shuffle on the blocking key; pair volume is
+    * Θ(Σ_b |b|²) over BLOCKS. The enum pair (nation × segment) alone
+    * is a FIXED 125-key domain, so its block sizes — and the pair
+    * mass — would grow quadratically with the corpus; the name-prefix
+    * component makes the key's cardinality track the data (prefix
+    * space ∝ N), holding block sizes bounded at any N — the SNM/LSH
+    * blocking discipline. The cost is blocking RECALL (a true pair
+    * differing inside the prefix is never compared; production runs
+    * add a second pass with a different key — the standard multi-pass
+    * blocking pattern). The edit distance is computed ONCE per
+    * candidate pair with the BANDED builtin (`levenshtein(l, r, k)`:
+    * O(k·n) per pair, -1 past the threshold) instead of a full O(n²)
+    * DP per pair.
+    */
+  val recordLinkage: QueryDef = QueryDef.sql(
+    "q_record_linkage",
+    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
+      |       CAST(abs(floor(a.c_acctbal * 100) - floor(b.c_acctbal * 100)) AS BIGINT)
+      |         AS bal_cents_diff
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+      | AND substr(a.c_name, 1, 14) = substr(b.c_name, 1, 14)
+      | AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin) { (spark, dir) =>
+    val c = Tables(spark, dir, "customer").select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+      substring(col("c_name"), 1, 14).as("blk"),
+      floor(col("c_acctbal") * 100).as("bal_cents"))
+    val a = c.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      col("blk").as("blk_a"), col("bal_cents").as("bal_a"))
+    val b = c.select(col("c_custkey").as("key_b"), col("c_name").as("name_b"),
+      col("c_nationkey").as("nk2"), col("c_mktsegment").as("seg2"),
+      col("blk").as("blk_b"), col("bal_cents").as("bal_b"))
+    a.join(b, col("nk") === col("nk2") && col("seg") === col("seg2") &&
+        col("blk_a") === col("blk_b") && col("key_a") < col("key_b"))
+      .withColumn("name_dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .filter(col("name_dist") >= 0)
+      .select(col("key_a"), col("key_b"),
+        col("name_dist").cast("long").as("name_dist"),
+        abs(col("bal_a") - col("bal_b")).as("bal_cents_diff"))
+  }
+
+  /** SCD2 CHANGE HISTORY — the type-2 slowly-changing-dimension build
+    * every CDC/incremental-ingest pipeline runs: collapse each user's
+    * event stream to its STATE CHANGES (consecutive-duplicate
+    * elimination on `event_type`) and emit validity intervals
+    * [valid_from, valid_to) with an open-ended current row. The
+    * complement of `q_latest_event` (latest-wins compaction): this
+    * keeps the full history a training-data snapshot query needs to
+    * reconstruct "state as of t".
+    *
+    * SCALE: two windows over the SAME (user_id; ts, event_id)
+    * partitioning — one exchange, the second window rides the first's
+    * sort (no re-shuffle, no re-sort). user_id is a row-identity-scale
+    * key, so per-task state is one user's events — the sessionize
+    * class, never a corpus funnel. Timestamps exported as epoch-µs
+    * BIGINT (the ledger's cross-engine timestamp convention).
+    */
+  val scd2History: QueryDef = QueryDef.sql(
+    "q_scd2_history",
+    """WITH o AS (SELECT user_id, event_id, ts, event_type,
+      |                  lag(event_type) OVER (PARTITION BY user_id
+      |                                        ORDER BY ts, event_id) AS prev
+      |           FROM events),
+      |c AS (SELECT user_id, event_id, ts, event_type FROM o
+      |      WHERE prev IS NULL OR prev <> event_type),
+      |v AS (SELECT user_id, event_type,
+      |             CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+      |             CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+      |                                          ORDER BY ts, event_id)) AS BIGINT)
+      |               AS valid_to_us
+      |      FROM c)
+      |SELECT user_id, event_type, valid_from_us, valid_to_us,
+      |       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM v""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("valid_to_ts")).as("valid_to_us"),
+        when(col("valid_to_ts").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
+  /** ENCODING ANOMALY AUDIT — per-source counts of documents carrying
+    * non-ASCII bytes and C0 control characters (the crawl-ingest
+    * screens that catch charset mis-decodes and binary-in-text before
+    * tokenization), plus the whitespace mass in basis points (a
+    * degenerate space ratio flags markup/table extractions). The
+    * fixture is clean ASCII, so the anomaly counts pin ZERO exactly —
+    * the oracle checks the detector logic, the spec injects positives.
+    *
+    * SCALE: map-only regex screens into one enum-keyed (per-source)
+    * aggregate — partial-aggregated map-side, |sources| rows on the
+    * wire.
+    */
+  val encodingAudit: QueryDef = QueryDef.sql(
+    "q_encoding_audit",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_nonascii,
+      |  CAST(sum(CASE WHEN regexp_matches(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+      |  CAST(sum((length(text) - length(replace(text, ' ', ''))) * 10000
+      |    // length(text)) // count(*) AS BIGINT) AS avg_space_bp
+      |FROM documents GROUP BY source""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        col("text").rlike("[^\\x00-\\x7F]").cast("long").as("nonascii"),
+        col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").cast("long").as("ctrl"),
+        expr("(length(text) - length(replace(text, ' ', ''))) * 10000 DIV length(text)")
+          .as("space_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nonascii").as("n_nonascii"),
+        sum("ctrl").as("n_ctrl"),
+        expr("sum(space_bp) DIV count(*)").as("avg_space_bp"))
+  }
+
+  /** WATER-FILLING BUDGET ALLOCATOR — the capped-uniform complement of
+    * `q_mix_epochs`' temperature mix: split a global token budget
+    * B = Σavail/2 EQUALLY across sources, except that a source can
+    * never contribute more than it has — its surplus is re-spread over
+    * the others (the classic water-filling level solve). Exact integer
+    * algebra: sources sorted by availability, k* = first rank whose
+    * supply clears the residual-uniform level
+    * (avail·(S−rn+1) > B − prefix), capped sources (rn < k*) give all
+    * they have, the rest get the common level
+    * (B − prefix_{k*}) DIV (S − k* + 1). Requires B < Σavail (true by
+    * construction here); floor loses < S tokens (spec-pinned).
+    *
+    * SCALE: one corpus aggregate to the |sources| frame; every window/
+    * scalar after that is over ≤ |S| rows (enum-bounded — WindowAllowed
+    * entries) and the two broadcasts are 1-row global aggregates.
+    */
+  val mixWaterfill: QueryDef = QueryDef.sql(
+    "q_mix_waterfill",
+    """WITH s AS (SELECT source,
+      |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      |           FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(avail) AS BIGINT) AS ta,
+      |             CAST(count(*) AS BIGINT) AS ns FROM s),
+      |r AS (SELECT source, avail,
+      |             CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS rn,
+      |             CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx
+      |      FROM s),
+      |k AS (SELECT min(r.rn) AS k, min_by(r.pfx, r.rn) AS pk
+      |      FROM r, t WHERE r.avail * (t.ns - r.rn + 1) > (t.ta // 2) - r.pfx)
+      |SELECT r.source, r.avail,
+      |       CAST(CASE WHEN r.rn < k.k THEN r.avail
+      |            ELSE ((t.ta // 2) - k.pk) // (t.ns - k.k + 1) END AS BIGINT)
+      |         AS alloc_tokens,
+      |       CAST(CASE WHEN r.rn < k.k THEN 1 ELSE 0 END AS BIGINT) AS capped
+      |FROM r, t, k""".stripMargin) { (spark, dir) =>
+    val s = Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("avail"))
+    val t = s.agg(sum("avail").cast("long").as("ta"), count(lit(1)).as("ns"))
+    val wOrd = Window.orderBy(col("avail"), col("source"))
+    val r = s
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("pfx", coalesce(
+        sum("avail").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val rt = r.crossJoin(broadcast(t))
+    val k = rt.filter(expr("avail * (ns - rn + 1) > (ta DIV 2) - pfx"))
+      .agg(min("rn").as("k"), min_by(col("pfx"), col("rn")).as("pk"))
+    rt.crossJoin(broadcast(k))
+      .select(col("source"), col("avail"),
+        when(col("rn") < col("k"), col("avail"))
+          .otherwise(expr("((ta DIV 2) - pk) DIV (ns - k + 1)")).as("alloc_tokens"),
+        when(col("rn") < col("k"), 1L).otherwise(0L).as("capped"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(skylineSelect, recordLinkage, scd2History, encodingAudit, mixWaterfill)
+}

@@ -310,4 +310,48 @@ object EventStreams {
           out.iterator
       }
   }
+
+  case class Scd2Event(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  case class Scd2Closed(user_id: Long, event_type: String,
+                        valid_from_us: Long, valid_to_us: Long)
+  case class Scd2Open(event_type: String, valid_from_us: Long)
+
+  /** Streaming SCD2 — the incremental face of `q_scd2_history`: per
+    * user, consecutive-duplicate collapse on `event_type` into validity
+    * intervals, emitting each interval the moment a state CHANGE closes
+    * it; the open (current) interval lives in keyed state, so the
+    * stream's closed-interval set is exactly the batch twin's
+    * `is_current = 0` rows once the same events have flowed
+    * (StreamingSpec pins it, across a mid-stream restart — only a
+    * recovered state store can close an interval whose open end
+    * predates the restart).
+    *
+    * SCALE: state is Θ(1) per user (one open interval — two fields),
+    * key-partitioned by the state store; nothing buffers the stream.
+    * Arrival contract (the pipeline's id-ordered rule, same as the
+    * packer and the exact-dedup keeper): batches arrive in
+    * (ts, event_id) order ACROSS triggers; within a trigger the group
+    * iterator is unordered and is sorted here.
+    */
+  def scd2Intervals(events: Dataset[Scd2Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Scd2Event], state: GroupState[Scd2Open]) =>
+          val sorted = batch.toArray.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          var open = state.getOption.orNull
+          sorted.foreach { e =>
+            if (open == null) open = Scd2Open(e.event_type, e.ts_us)
+            else if (e.event_type != open.event_type) {
+              out += Scd2Closed(uid, open.event_type, open.valid_from_us, e.ts_us)
+              open = Scd2Open(e.event_type, e.ts_us)
+            }
+          }
+          if (open != null) state.update(open)
+          out.iterator
+      }
+  }
 }

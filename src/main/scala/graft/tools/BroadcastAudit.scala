@@ -134,6 +134,13 @@ object BroadcastAudit {
       "hourly rollup: rows = horizon hours",
     ("q_token_cdf", "cnt,n") ->
       "token-length histogram: ≤ max document token count (the q_token_cdf rank spine)",
+    ("q_skyline_select", "n_tok,qt") ->
+      ("token-length histogram: the skyline frontier spine rides distinct doc lengths " +
+        "(≤ max document token count, truncation-capped) — corpus-independent"),
+    ("q_mix_waterfill", "avail,source") ->
+      "per-source token inventory: ≤ |sources| rows (enum-keyed aggregate output)",
+    ("q_mix_waterfill", "avail,rn,source") ->
+      "per-source token inventory: ≤ |sources| rows (enum-keyed aggregate output)",
     ("q_budget_select", "bucket_tokens,n_docs,score_bp") ->
       "score-bucket rollup: ≤ 10001 basis-point buckets by construction",
     ("q_quality_auc", "logit,n,npos") ->

@@ -191,7 +191,19 @@ class ScaleSlopeSpec extends SparkSpec {
     // token positions + broadcast vocab + one block-keyed exchange
     // (0.05 at 100x perturbed when added); pinned so the prefix sum
     // can't regress to a token-scale or global sort
-    "q_seq_pack_bpe" -> 1.5)
+    "q_seq_pack_bpe" -> 1.5,
+    // round-14 batch 35: the skyline must stay histogram-shaped (one
+    // corpus aggregate over the domain-bounded length spine + a tiny
+    // frontier join) — a regression to anything pairwise reads ~N here;
+    // SCD2 is two windows on one (user; ts, id) exchange — pinned so
+    // the second window can't grow its own shuffle or the key migrate
+    // to a few-valued column. (q_record_linkage is deliberately NOT
+    // pinned: the replica copies customer names verbatim, so every
+    // copy-pair is a TRUE dist-0 match and the output itself grows
+    // quadratically — an output-bound measurement, not a mechanism one;
+    // the LinkageProbe block histogram is its scale receipt instead.)
+    "q_skyline_select" -> 1.5,
+    "q_scd2_history" -> 1.5)
 
   /** Single-pass slope, re-measured at min-of-3 passes only when it
     * violates the gate. The suite's long-lived forked JVM accumulates

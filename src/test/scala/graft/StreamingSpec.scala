@@ -1078,4 +1078,53 @@ class StreamingSpec extends SparkSpec {
         "streaming manifest snapshots differ from the one-pass batch manifest")
     } finally q.stop()
   }
+
+  test("streaming SCD2: closed intervals equal the batch history across a restart") {
+    val srcDir = Files.createTempDirectory("scd2-src").toString
+    val ckpt = Files.createTempDirectory("scd2-ckpt").toString
+    val outDir = Files.createTempDirectory("scd2-out").toString
+    val ev = Tables.events(spark, sf0001).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
+    // arrival contract: chunks land in (ts, event_id) order across triggers
+    val ordered = ev.orderBy("ts_us", "event_id").collect()
+    val n = ordered.length
+    def writeChunk(rows: Array[org.apache.spark.sql.Row]): Unit = {
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), ev.schema)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(1100) // distinct mtimes => deterministic batch order
+    }
+    writeChunk(ordered.slice(0, n / 3))
+    writeChunk(ordered.slice(n / 3, 2 * n / 3))
+    def start() = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .as[EventStreams.Scd2Event]
+      EventStreams.scd2Intervals(stream)
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).outputMode("append").start()
+    }
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val mid = spark.read.parquet(outDir).count()
+    // the third chunk lands while the stream is DOWN; the restarted query
+    // must recover every user's OPEN interval from the state store
+    writeChunk(ordered.slice(2 * n / 3, n))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "event_type", "valid_from_us", "valid_to_us")
+      .as[(Long, String, Long, Long)].collect().sorted
+    val batch = graft.queries.CurationQueries35.scd2History.fn(spark, sf0001)
+      .filter(col("is_current") === 0)
+      .select(col("user_id"), col("event_type"), col("valid_from_us"), col("valid_to_us"))
+      .as[(Long, String, Long, Long)].collect().sorted
+    assert(got.length == batch.length && got.sameElements(batch),
+      s"streamed closed intervals (${got.length}) diverge from batch (${batch.length})")
+    assert(mid > 0 && got.length > mid, "intervals must close on both sides of the restart")
+    // recovered-state witness: an interval OPENED before the restart and
+    // CLOSED after it — only a recovered open-interval state can emit it
+    val boundaryTs = ordered(2 * n / 3 - 1).getLong(1)
+    assert(got.exists(iv => iv._3 <= boundaryTs && iv._4 > boundaryTs),
+      "no interval spans the restart boundary — recovery untested")
+  }
 }
