@@ -108,7 +108,11 @@ object CurationQueries35 {
       col("blk").as("blk_b"), col("bal_cents").as("bal_b"))
     a.join(b, col("nk") === col("nk2") && col("seg") === col("seg2") &&
         col("blk_a") === col("blk_b") && col("key_a") < col("key_b"))
-      .withColumn("name_dist", levenshtein(col("name_a"), col("name_b"), 2))
+      // the block key pins the first 14 chars equal, and edit distance
+      // is invariant under common-prefix stripping — the DP runs on the
+      // 4-char remainders (probe: 2.8 -> 0.9 s at sf0.1, same output)
+      .withColumn("name_dist", levenshtein(substring(col("name_a"), 15, Int.MaxValue),
+        substring(col("name_b"), 15, Int.MaxValue), 2))
       .filter(col("name_dist") >= 0)
       .select(col("key_a"), col("key_b"),
         col("name_dist").cast("long").as("name_dist"),

@@ -41,6 +41,16 @@ object LinkageProbe {
     t("join+banded-lev")(j.withColumn("d", levenshtein(col("name_a"), col("name_b"), 2))
       .filter(col("d") >= 0).count())
     t("join+full-lev")(j.filter(levenshtein(col("name_a"), col("name_b")) <= 2).count())
+    // the block key pins the first 14 chars equal, and edit distance is
+    // invariant under common-prefix stripping — same result, 4-char DP
+    t("join+suffix-lev")(j.withColumn("d",
+        levenshtein(substring(col("name_a"), 15, 1000),
+          substring(col("name_b"), 15, 1000), 2))
+      .filter(col("d") >= 0).count())
+    t("join+suffix-lev")(j.withColumn("d",
+        levenshtein(substring(col("name_a"), 15, 1000),
+          substring(col("name_b"), 15, 1000), 2))
+      .filter(col("d") >= 0).count())
     spark.stop()
   }
 }
