@@ -152,6 +152,32 @@ object IvfIndex {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Hot-add vectors to the CURRENT version without a retrain or a
+    * pointer swap: each new vector is assigned with that version's OWN
+    * codebook (so routing stays consistent — a query probing cluster c
+    * finds every vector whose nearest seed is c, old or new) and
+    * appended as new cluster-partitioned part files into the version's
+    * index directory. Readers list files per scan — the streaming
+    * server picks appends up at its next trigger, batch probes on
+    * their next run; a reader mid-append sees whole files only (task
+    * commit renames them in atomically). Retrain/compaction still goes
+    * through [[publishVersion]] + swap; append covers the ingest-time
+    * trickle between rebuilds — the reference's only analog is a full
+    * rebuild + restart (`vector-db.c:42-79`, `multirag.c:359`).
+    * `emb`'s columns must match the version's index schema (vec_id,
+    * embedding, ...). SCALE: one broadcast-codebook argmin + one
+    * append write — Θ(new rows), regardless of index size.
+    * Returns the version appended to.
+    */
+  def appendVectors(emb: DataFrame, root: String): String = {
+    val spark = emb.sparkSession
+    val v = currentVersion(spark, root)
+    val seeds = spark.read.parquet(s"$root/$v/centroids")
+    emb.join(assign(emb, seeds), "vec_id")
+      .write.mode("append").partitionBy("cluster").parquet(s"$root/$v/index")
+    v
+  }
+
   /** The version `root/MANIFEST` currently points at. */
   def currentVersion(spark: SparkSession, root: String): String = {
     val conf = spark.sessionState.newHadoopConf()

@@ -746,7 +746,15 @@ class StreamingSpec extends SparkSpec {
     new java.io.File(s"$srcDir/c0").listFiles().foreach(_.setLastModified(1700000000000L))
     val stream = spark.readStream.schema(queries.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    def replay(qs: org.apache.spark.sql.DataFrame, ver: String) =
+      AnnStreams.servedTopK(qs, spark.read.parquet(s"$root/$ver/centroids"),
+          s"$root/$ver/index", 5, 2)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    // batch-3 queries: the q23 vectors under fresh qids, so the
+    // post-append serving rows are distinguishable in the shared sink
+    val q23b = q23.select((col("qid") + 100L).as("qid"), col("qv")).localCheckpoint()
     val sq = AnnStreams.serveRotating(stream, root, 5, 2, s"$root/out", s"$root/ckpt")
+    var rep2pre: Set[(Long, Long, Long, Double)] = null
     try {
       sq.processAllAvailable() // batch 1: q01 under v1
       // rebuild + atomic swap while the stream is RUNNING
@@ -755,14 +763,20 @@ class StreamingSpec extends SparkSpec {
       q23.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c1")
       new java.io.File(s"$srcDir/c1").listFiles().foreach(_.setLastModified(1700000060000L))
       sq.processAllAvailable() // batch 2: q23 under v2
+      rep2pre = replay(q23, "v2") // v2 replay BEFORE the hot-add lands
+      // hot-add WITHOUT a swap: exact duplicates of the q23 queries
+      // under fresh ids, appended into v2 with v2's own codebook — the
+      // next trigger must find them (file listing per scan, no restart)
+      val added = q23.select((col("qid") + 90000L).as("vec_id"), col("qv").as("embedding"))
+      assert(IvfIndex.appendVectors(added, root) == "v2")
+      q23b.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c2")
+      new java.io.File(s"$srcDir/c2").listFiles().foreach(_.setLastModified(1700000120000L))
+      sq.processAllAvailable() // batch 3: same vectors, post-append
     } finally sq.stop()
     val out = spark.read.parquet(s"$root/out")
-    def replay(qs: org.apache.spark.sql.DataFrame, ver: String) =
-      AnnStreams.servedTopK(qs, spark.read.parquet(s"$root/$ver/centroids"),
-          s"$root/$ver/index", 5, 2)
-        .as[(Long, Long, Long, Double)].collect().toSet
     val got1 = out.filter(col("qid") < 2)
-    val got2 = out.filter(col("qid") >= 2)
+    val got2 = out.filter(col("qid") >= 2 && col("qid") < 100)
+    val got3 = out.filter(col("qid") >= 100)
     // every pre-swap row carries v1, every post-swap row v2
     assert(got1.select("index_version").distinct().as[String].collect().toSeq == Seq("v1"),
       "pre-swap results must be attributed to v1")
@@ -772,14 +786,34 @@ class StreamingSpec extends SparkSpec {
       df.select("qid", "rank", "nid", "dist").as[(Long, Long, Long, Double)].collect().toSet
     assert(strip(got1) == replay(q01, "v1"),
       "pre-swap batch must equal the v1 replay")
-    assert(strip(got2) == replay(q23, "v2"),
-      "post-swap batch must equal the v2 replay")
+    assert(strip(got2) == rep2pre,
+      "post-swap batch must equal the pre-append v2 replay")
     // the swap was LOAD-BEARING: v1 serves odd neighbors for these
     // queries (fixture property), v2 cannot contain any
     val v1OddForQ23 = replay(q23, "v1").exists { case (_, _, nid, _) => nid % 2 != 0 }
     assert(v1OddForQ23, "fixture must give v1 at least one odd neighbor for q23")
     assert(strip(got2).forall { case (_, _, nid, _) => nid % 2 == 0 },
       "post-swap results must come from the compacted v2 index only")
+    // the hot-add was picked up WITHOUT swap or restart: batch 3 equals
+    // the post-append replay, still attributed to v2, and every query's
+    // rank-1 neighbor is its appended exact duplicate at distance 0
+    assert(got3.select("index_version").distinct().as[String].collect().toSeq == Seq("v2"),
+      "post-append results must still be attributed to v2")
+    assert(strip(got3) == replay(q23b, "v2"),
+      "post-append batch must equal the post-append v2 replay")
+    // each query's appended exact duplicate is served at ~distance 0
+    // (qid 102's ORIGINAL — vec_id 2, even, still in v2 — legitimately
+    // ties at 0 and wins the nid tie-break; qid 103's original was odd
+    // and compacted away, so its appended copy must be rank-1)
+    val hits3 = got3.select("qid", "nid", "dist", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    Seq(102L, 103L).foreach { qid =>
+      val dup = hits3.filter(h => h._1 == qid && h._2 == 90000L + (qid - 100L))
+      assert(dup.length == 1 && math.abs(dup.head._3) < 1e-12,
+        s"appended duplicate for qid $qid must serve at ~distance 0: ${hits3.toSeq}")
+    }
+    assert(hits3.exists(h => h._1 == 103L && h._2 == 90003L && h._4 == 1L),
+      "qid 103's appended copy must be rank-1 (its original was compacted away)")
   }
 
   test("packer flush sentinel: trailing partials emit, total output equals batch exactly") {
