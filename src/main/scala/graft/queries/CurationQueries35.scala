@@ -85,17 +85,12 @@ object CurationQueries35 {
     * O(k·n) per pair, -1 past the threshold) instead of a full O(n²)
     * DP per pair.
     */
-  val recordLinkage: QueryDef = QueryDef.sql(
-    "q_record_linkage",
-    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
-      |       CAST(abs(floor(a.c_acctbal * 100) - floor(b.c_acctbal * 100)) AS BIGINT)
-      |         AS bal_cents_diff
-      |FROM customer a JOIN customer b
-      |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
-      | AND substr(a.c_name, 1, 14) = substr(b.c_name, 1, 14)
-      | AND a.c_custkey < b.c_custkey
-      |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin) { (spark, dir) =>
+  /** The blocked, edit-distance-verified candidate pairs shared by
+    * [[recordLinkage]] (the scored pair report) and [[linkageClusters]]
+    * (the entity-id assignment).
+    */
+  private def linkagePairs(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
     val c = Tables(spark, dir, "customer").select(
       col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
       substring(col("c_name"), 1, 14).as("blk"),
@@ -114,9 +109,47 @@ object CurationQueries35 {
       .withColumn("name_dist", levenshtein(substring(col("name_a"), 15, Int.MaxValue),
         substring(col("name_b"), 15, Int.MaxValue), 2))
       .filter(col("name_dist") >= 0)
+  }
+
+  private val LinkagePairsSql =
+    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
+      |       CAST(abs(floor(a.c_acctbal * 100) - floor(b.c_acctbal * 100)) AS BIGINT)
+      |         AS bal_cents_diff
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+      | AND substr(a.c_name, 1, 14) = substr(b.c_name, 1, 14)
+      | AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin
+
+  val recordLinkage: QueryDef = QueryDef.sql(
+    "q_record_linkage", LinkagePairsSql) { (spark, dir) =>
+    linkagePairs(spark, dir)
       .select(col("key_a"), col("key_b"),
         col("name_dist").cast("long").as("name_dist"),
         abs(col("bal_a") - col("bal_b")).as("bal_cents_diff"))
+  }
+
+  /** ENTITY IDS FROM LINKAGE PAIRS — step 2 of entity resolution: the
+    * verified match pairs become edges, connected components assign
+    * each linked record an entity id (min reachable key — the
+    * survivorship canonical id). Same operator and oracle shape as the
+    * dedup clustering (`q_dedup_groups`); components here cannot cross
+    * a block, so component size is bounded by the block-size bound.
+    */
+  val linkageClusters: QueryDef = QueryDef.sql(
+    "q_linkage_clusters",
+    s"""WITH RECURSIVE p AS ($LinkagePairsSql),
+       |edges AS (SELECT key_a AS src, key_b AS dst FROM p
+       |          UNION SELECT key_b, key_a FROM p),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+       |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin) {
+    (spark, dir) =>
+      graft.operators.ConnectedComponents.components(
+        linkagePairs(spark, dir).select("key_a", "key_b"), "key_a", "key_b")
   }
 
   /** SCD2 CHANGE HISTORY — the type-2 slowly-changing-dimension build
@@ -254,5 +287,6 @@ object CurationQueries35 {
   }
 
   val all: Seq[QueryDef] =
-    Seq(skylineSelect, recordLinkage, scd2History, encodingAudit, mixWaterfill)
+    Seq(skylineSelect, recordLinkage, linkageClusters, scd2History, encodingAudit,
+      mixWaterfill)
 }

@@ -69,6 +69,21 @@ class CurationSpec33 extends SparkSpec {
     assert(crossBlock.nonEmpty && !got.exists(p => crossBlock.contains((p._1, p._2))))
   }
 
+  test("linkage clusters: pairs share an entity, entity is the min member, endpoints only") {
+    import spark.implicits._
+    val pairs = queries.CurationQueries35.recordLinkage.fn(spark, sf0001)
+      .select("key_a", "key_b").as[(Long, Long)].collect()
+    val comp = queries.CurationQueries35.linkageClusters.fn(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across entities") }
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(c == members.keys.min, s"entity $c is not its min member") }
+    assert(comp.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet,
+      "components must cover exactly the linked endpoints")
+  }
+
   test("scd2 intervals are contiguous, change-only, and reconstruct as-of state") {
     val rows = queries.CurationQueries35.scd2History.fn(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
