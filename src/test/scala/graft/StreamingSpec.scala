@@ -1113,6 +1113,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming linkage: pairs emit on second-member arrival, equal batch across a restart") {
+    import graft.streaming.LinkageStreams
+    val srcDir = Files.createTempDirectory("link-src").toString
+    val ckpt = Files.createTempDirectory("link-ckpt").toString
+    val outDir = Files.createTempDirectory("link-out").toString
+    val c = Tables(spark, sf0001, "customer").select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"), col("c_mktsegment"), floor(col("c_acctbal") * 100).as("bal_cents"))
+    val rows = c.collect()
+    val n = rows.length
+    def writeChunk(part: Array[org.apache.spark.sql.Row]): Unit = {
+      spark.createDataFrame(spark.sparkContext.parallelize(part.toSeq, 1), c.schema)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(1100)
+    }
+    writeChunk(rows.slice(0, n / 3))
+    writeChunk(rows.slice(n / 3, 2 * n / 3))
+    def start() = {
+      val stream = spark.readStream.schema(c.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .as[LinkageStreams.CustRecord]
+      LinkageStreams.linkagePairs(stream)
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).outputMode("append").start()
+    }
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val mid = spark.read.parquet(outDir).count()
+    writeChunk(rows.slice(2 * n / 3, n))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    val batch = graft.queries.CurationQueries35.recordLinkage.fn(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    assert(got.length == batch.length && got.sameElements(batch),
+      s"streamed pairs (${got.length}) diverge from batch (${batch.length})")
+    assert(mid > 0 && got.length > mid, "pairs must emit on both sides of the restart")
+    // recovered-state witness: a pair whose FIRST member arrived before
+    // the restart and whose second arrived after — only recovered block
+    // members can produce it
+    val pre = rows.slice(0, 2 * n / 3).map(_.getLong(0)).toSet
+    val post = rows.slice(2 * n / 3, n).map(_.getLong(0)).toSet
+    assert(got.exists(p => (pre(p._1) && post(p._2)) || (pre(p._2) && post(p._1))),
+      "no pair spans the restart boundary — recovery untested")
+  }
+
   test("streaming SCD2: closed intervals equal the batch history across a restart") {
     val srcDir = Files.createTempDirectory("scd2-src").toString
     val ckpt = Files.createTempDirectory("scd2-ckpt").toString
