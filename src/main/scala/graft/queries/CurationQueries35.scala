@@ -45,11 +45,17 @@ object CurationQueries35 {
       |                  WHERE b.q_bp >= a.q_bp AND b.n_tok <= a.n_tok
       |                    AND (b.q_bp > a.q_bp OR b.n_tok < a.n_tok))""".stripMargin) {
     (spark, dir) =>
-      val d = Tables(spark, dir, "documents").select(
+      // stage the narrow (doc_id, n_tok, q_bp) projection ONCE: both the
+      // histogram and the join-back consume it, and re-tokenizing the
+      // full text costs far more than materializing 24 bytes/doc
+      // (ScaleProbe 100x: 23.5 -> 2.5 s; the PrefixSum narrow-input
+      // rule. DURABILITY: lineage-severed — the standard ledger class,
+      // reliable-checkpoint escape hatch via the one conf)
+      val d = graft.Durability.stage(Tables(spark, dir, "documents").select(
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
         expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 10000" +
-          " DIV size(split(text, ' '))").as("q_bp"))
+          " DIV size(split(text, ' '))").as("q_bp")))
       // length histogram: ≤ max-doc-token-count rows (domain-bounded)
       val byT = d.groupBy("n_tok").agg(max("q_bp").as("qt"))
       // frontier recurrence on the spine: survive iff qt beats every
