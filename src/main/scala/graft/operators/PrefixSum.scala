@@ -316,10 +316,35 @@ object PrefixSum {
     * shuffle is written once and re-read. Output = `df`'s columns plus
     * `outCol` (LongType). Same atomic-column contract as [[byShard]]:
     * pass a narrow projection.
+    *
+    * Same size-estimate dispatch as [[byShardOrdered]]: at or below
+    * [[SmallInputBytes]] (or the [[ThresholdConf]] override) the rank
+    * stays a plain LAZY unpartitioned `row_number` window — identical
+    * values (same total order), zero extra jobs. The scan path's
+    * localCheckpoint + sampling + counts collect is a fixed ~0.3-0.4 s
+    * scheduler tax PER CALL that the round-14 close bench caught on all
+    * five registry call sites (q_seq_pack_bpe 1.13 -> 1.48 s,
+    * q_snm_blocking 0.75 -> 1.06 s, ... — consistent across both close
+    * runs on a box reading 8% FASTER overall); a sub-256MB frame
+    * through one window task is exactly the case the byShard dispatch
+    * already carved out. Gates and probes pin the at-scale shape with
+    * `-1`, as they do for [[byShardOrdered]].
     */
   def globalRowNumber(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
-                      outCol: String): DataFrame = {
+                      outCol: String,
+                      smallInputBytes: Long = SmallInputBytes): DataFrame = {
     val spark = df.sparkSession
+    val threshold = resolvedThreshold(spark, smallInputBytes)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
+      // nullif(·, -1) never fires (ranks are ≥ 1) — it only makes the
+      // declared schema nullable, matching the scan path's output so a
+      // query's schema cannot flip with the plan-time size estimate
+      return df.withColumn(outCol,
+        org.apache.spark.sql.functions.nullif(
+          org.apache.spark.sql.functions.row_number().over(w).cast(LongType),
+          org.apache.spark.sql.functions.lit(-1L)))
+    }
     val parts = spark.sessionState.conf.numShufflePartitions
     // materialize once: repartitionByRange's sampling job would re-run
     // the caller's upstream a second time (the byShardOrdered rule;

@@ -208,8 +208,12 @@ class PlanShapeSpec extends SparkSpec {
     // second ShuffleExchange means the join started scattering doc_id
     // partials corpus-wide; an InMemoryTableScan means the measured
     // 5x-per-decade columnar cache fill crept back (PLANS.md, the BPE
-    // cache whale).
-    val plan = staticPlan(graft.queries.TextStatsQueries.bpeEncode.fn(spark, sf0001))
+    // cache whale). The vocab rank's at-scale shape is pinned by
+    // forcing the PrefixSum scan dispatch (round-14: the size-estimate
+    // fast path legitimately keeps a lazy rank window at sandbox SFs).
+    spark.conf.set(graft.operators.PrefixSum.ThresholdConf, "-1")
+    val plan = try staticPlan(graft.queries.TextStatsQueries.bpeEncode.fn(spark, sf0001))
+      finally spark.conf.unset(graft.operators.PrefixSum.ThresholdConf)
     val smj = plan.collect {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
     assert(smj.isEmpty, "token->id join regressed to a corpus-sorted SMJ")
@@ -356,6 +360,12 @@ class PlanShapeSpec extends SparkSpec {
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // pin the AT-SCALE shape of every PrefixSum call site: the
+    // size-estimate fast path legitimately keeps a lazy (possibly
+    // unpartitioned) window at sandbox SFs — the gate must judge the
+    // shape the dispatch produces at corpus scale (the seq_pack_bpe
+    // test's precedent, now registry-wide)
+    spark.conf.set(graft.operators.PrefixSum.ThresholdConf, "-1")
     // the four offense classes (forced broadcast / cartesian /
     // buffering aggregate / unpartitioned window) live in ONE shared
     // checker — BroadcastAudit.planOffenders — so the adversarial
@@ -369,6 +379,7 @@ class PlanShapeSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset(graft.operators.PrefixSum.ThresholdConf)
     }
     val bad = offenders.result()
     assert(bad.isEmpty,

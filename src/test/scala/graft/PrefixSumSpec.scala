@@ -161,11 +161,11 @@ class PrefixSumSpec extends SparkSpec {
       s"cap message must name the contract, got: ${e.getMessage}")
   }
 
-  test("globalRowNumber equals the unpartitioned row_number window") {
+  test("globalRowNumber (scan path) equals the unpartitioned row_number window") {
     val t = Tables(spark, sf0001, "documents")
       .select(col("lang"), col("doc_id"))
     val got = PrefixSum.globalRowNumber(t,
-        Seq(col("lang").desc, col("doc_id").asc), "rn")
+        Seq(col("lang").desc, col("doc_id").asc), "rn", smallInputBytes = -1L)
       .select("lang", "doc_id", "rn").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val want = t.withColumn("rn", row_number().over(
@@ -173,6 +173,23 @@ class PrefixSumSpec extends SparkSpec {
       .select("lang", "doc_id", "rn").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == want && got.nonEmpty)
+  }
+
+  test("globalRowNumber dispatch: lazy window on small input, RDD scan when forced") {
+    val t = Tables(spark, sf0001, "documents").select(col("lang"), col("doc_id"))
+    val ord = Seq(col("lang").desc, col("doc_id").asc)
+    val fast = PrefixSum.globalRowNumber(t, ord, "rn")
+    assert(fast.queryExecution.optimizedPlan.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty,
+      "small input must stay a lazy window (no checkpoint, no extra jobs)")
+    val scan = PrefixSum.globalRowNumber(t, ord, "rn", smallInputBytes = -1L)
+    assert(scan.queryExecution.optimizedPlan.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      "-1 must force the two-pass scan shape")
+    // both paths: identical values AND identical declared schema
+    assert(fast.schema == scan.schema,
+      s"schema flips with the dispatch: ${fast.schema} vs ${scan.schema}")
+    assert(fast.collect().map(_.toSeq).toSet == scan.collect().map(_.toSeq).toSet)
   }
 
   test("globalRowNumber re-shard determinism: 3 vs 17 shuffle partitions") {
@@ -183,7 +200,8 @@ class PrefixSumSpec extends SparkSpec {
       s2.conf.set("spark.sql.shuffle.partitions", parts)
       import org.apache.spark.sql.GraftShim
       val d2 = GraftShim.rebind(s2, df.localCheckpoint(true))
-      PrefixSum.globalRowNumber(d2, Seq(col("tok").asc, col("doc_id").asc), "rn")
+      PrefixSum.globalRowNumber(d2, Seq(col("tok").asc, col("doc_id").asc), "rn",
+          smallInputBytes = -1L)
         .select("tok", "doc_id", "rn").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     }
