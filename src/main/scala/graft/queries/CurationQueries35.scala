@@ -6,9 +6,10 @@ import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions.tokens
 
 /** Thirty-fifth curation batch (round 14): the Pareto-frontier document
-  * selector (distributed 2-D skyline), blocked fuzzy record linkage,
-  * the SCD2 change-history builder, and the encoding anomaly audit —
-  * four pipeline stages a corpus curation run needs that were not yet
+  * selector (distributed 2-D skyline), blocked fuzzy record linkage and
+  * its connected-component entity ids, the SCD2 change-history builder,
+  * the encoding anomaly audit, and the water-filling budget allocator —
+  * six pipeline stages a corpus curation run needs that were not yet
   * first-class queries.
   */
 object CurationQueries35 {
