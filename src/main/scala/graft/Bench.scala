@@ -42,7 +42,14 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query subset — the
+    // round-15 creep-decomposition knob (benching today's HEAD over an
+    // OLDER round's query set isolates registry-size JVM pressure from
+    // per-query cost accretion; see PLANS.md round 15)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val pass1 = names.map(n => n -> timed(n)).toMap
     val pass2 = names.map(n => n -> timed(n)).toMap
     val results = names.map(n => n -> math.min(pass1(n), pass2(n)))

@@ -320,7 +320,13 @@ object PrefixSum {
     * Same size-estimate dispatch as [[byShardOrdered]]: at or below
     * [[SmallInputBytes]] (or the [[ThresholdConf]] override) the rank
     * stays a plain LAZY unpartitioned `row_number` window — identical
-    * values (same total order), zero extra jobs. The scan path's
+    * values, zero extra jobs. The value identity between the two paths
+    * REQUIRES `orderCols` to be a unique total order (the same
+    * precondition the scan path states above): on ties the window path
+    * ranks in encounter order while the scan path ranks in range-split
+    * order, so a non-total order would let the plan-time size estimate
+    * flip per-row ranks. Every registry call site passes a key-complete
+    * order. The scan path's
     * localCheckpoint + sampling + counts collect is a fixed ~0.3-0.4 s
     * scheduler tax PER CALL that the round-14 close bench caught on all
     * five registry call sites (q_seq_pack_bpe 1.13 -> 1.48 s,

@@ -74,7 +74,12 @@ object CurationQueries35 {
   /** BLOCKED FUZZY RECORD LINKAGE — the entity-resolution candidate
     * generator: a self-join of `customer` restricted to a blocking key
     * (nation × market segment × 14-char name prefix), scored by name
-    * edit distance and account-balance distance in exact cents. The
+    * edit distance and account-balance distance in cents — DETERMINISTIC
+    * cents under the shared double representation (both engines floor
+    * the same parquet double, so parity is exact; but `c_acctbal` is FP,
+    * so `floor(x * 100)` can land one cent under the printed decimal —
+    * e.g. 121.65 → 12164 — and a true-decimal pipeline would round
+    * before flooring). The
     * Fellegi–Sunter shape: blocking bounds the candidate space,
     * per-pair field comparisons feed a match score downstream.
     *
@@ -96,8 +101,8 @@ object CurationQueries35 {
     * [[recordLinkage]] (the scored pair report) and [[linkageClusters]]
     * (the entity-id assignment).
     */
-  private def linkagePairs(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame = {
+  private[queries] def linkagePairs(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): org.apache.spark.sql.DataFrame = {
     val c = Tables(spark, dir, "customer").select(
       col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
       substring(col("c_name"), 1, 14).as("blk"),
@@ -118,7 +123,7 @@ object CurationQueries35 {
       .filter(col("name_dist") >= 0)
   }
 
-  private val LinkagePairsSql =
+  private[queries] val LinkagePairsSql =
     """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
       |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
       |       CAST(abs(floor(a.c_acctbal * 100) - floor(b.c_acctbal * 100)) AS BIGINT)

@@ -83,13 +83,27 @@ object DedupStreams {
     *
     * Keyed on the batch [[graft.operators.Dedup.contentKey]] fields
     * (xxhash64 + md5 + length — never the raw text), computed map-side;
-    * state per distinct content key is one boolean. The standing-state
-    * bound is Θ(distinct texts), the same ledger class as the LSH
-    * bucket anchors above; a production deployment expires idle keys
-    * with `ProcessingTimeTimeout` exactly like the other detectors.
+    * state per distinct content key is one boolean.
+    *
+    * STATE BOUND: with `idleTtl = None` the standing state is
+    * Θ(distinct texts) — the same ledger class as the LSH bucket
+    * anchors above, fine for a bounded backfill, unbounded on a true
+    * 100-TB crawl. Passing `idleTtl = Some("30 minutes")` switches the
+    * operator to `ProcessingTimeTimeout`: a content key whose last
+    * arrival (first copy OR later duplicate — every arrival refreshes
+    * the clock) is older than the TTL is DROPPED from state at the
+    * next micro-batch. The CONTRACT CHANGE is explicit, not
+    * hand-waved: once a key expires, the next copy of that text is
+    * re-admitted and re-emitted — the output is then "distinct within
+    * any TTL-wide window", not globally distinct, and equality with
+    * the batch dedup holds only for corpora whose duplicate spacing
+    * fits inside the TTL (StreamingSpec pins both the drop and the
+    * re-admit on a real clock).
     */
-  def exactDedupDocs(docs: DataFrame): Dataset[DocRow] = {
+  def exactDedupDocs(docs: DataFrame, idleTtl: Option[String] = None): Dataset[DocRow] = {
     import docs.sparkSession.implicits._
+    val timeoutConf = if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     docs
       .select(col("lang"), col("doc_id"), col("text"),
         xxhash64(col("text")).as("h64"),
@@ -98,11 +112,20 @@ object DedupStreams {
       .as[CkDoc]
       .groupByKey(d => (d.h64, d.h128, d.len))
       .flatMapGroupsWithState[Boolean, DocRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: (Long, String, Int), rows: Iterator[CkDoc], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop the ledger entry. No emit — the
+            // NEXT copy of this text re-enters the branch below and is
+            // re-admitted (the documented TTL contract).
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            idleTtl.foreach(state.setTimeoutDuration) // arrival refreshes the clock
+            Iterator.empty
+          } else {
             state.update(true)
+            idleTtl.foreach(state.setTimeoutDuration)
             val first = rows.minBy(_.doc_id)
             Iterator.single(DocRow(first.lang, first.doc_id, first.text))
           }

@@ -65,13 +65,19 @@ object LinkageStreams {
           // intra-batch pairs emit deterministically (once, min-first)
           batch.toArray.sortBy(_.c_custkey).foreach { r =>
             val suffix = r.c_name.drop(14)
-            members.foreach { case (k, name, bal) =>
-              val d = boundedLev(name.drop(14), suffix, maxDist)
-              if (d >= 0)
-                out += LinkPair(math.min(k, r.c_custkey), math.max(k, r.c_custkey),
-                  d.toLong, math.abs(bal - r.bal_cents))
+            // a replayed/duplicate arrival of the same key must neither
+            // match its own earlier copy (a (k,k) self-pair at distance 0
+            // would break the batch contract key_a < key_b) nor re-enter
+            // block state (which would double every later pair)
+            if (!members.exists(_._1 == r.c_custkey)) {
+              members.foreach { case (k, name, bal) =>
+                val d = boundedLev(name.drop(14), suffix, maxDist)
+                if (d >= 0)
+                  out += LinkPair(math.min(k, r.c_custkey), math.max(k, r.c_custkey),
+                    d.toLong, math.abs(bal - r.bal_cents))
+              }
+              members = (r.c_custkey, r.c_name, r.bal_cents) :: members
             }
-            members = (r.c_custkey, r.c_name, r.bal_cents) :: members
           }
           state.update(BlockMembers(members))
           out.iterator

@@ -250,11 +250,18 @@ object OverlapProbe {
     val passes = args.drop(1).headOption.map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("GRAFT_PROF_CPUS", "16")
     val parts = sys.env.getOrElse("GRAFT_PROF_PARTITIONS", "64")
+    // GRAFT_PROF_CODEC: shuffle/spill block codec under measurement —
+    // the round-15 zstd receipt flips this to zstd on the r13 arm
+    // (lz4 is Spark's default; the claim PLANS.md:4186 promised to
+    // measure is that zstd moves shuffle BYTES where re-keying cannot)
+    val codec = sys.env.getOrElse("GRAFT_PROF_CODEC", "lz4")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.io.compression.codec", codec)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    println(s"[probe] io.compression.codec = $codec")
     spark.sparkContext.setLogLevel("ERROR")
     val listener = new Metrics
     spark.sparkContext.addSparkListener(listener)

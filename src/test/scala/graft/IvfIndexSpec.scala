@@ -39,6 +39,67 @@ class IvfIndexSpec extends SparkSpec {
     assert(probe.select("vec_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("pruneVersions keeps current + previous; an in-flight read on the previous pointer survives") {
+    val root = java.nio.file.Files.createTempDirectory("ivfprune").toString
+    for (v <- Seq("v1", "v2", "v3")) {
+      IvfIndex.publishVersion(emb, seeds, root, v)
+      // force a strict mtime order regardless of fs timestamp granularity
+      new java.io.File(root, v).setLastModified(1700000000000L +
+        v.drop(1).toLong * 60000L)
+    }
+    assert(IvfIndex.currentVersion(spark, root) == "v3")
+    // a reader planned against the PREVIOUS pointer before the prune
+    val inflight = IvfIndex.probe(spark, s"$root/v2/index", Seq(0L, 1L))
+    val doomed = IvfIndex.pruneVersions(spark, root, keep = 2)
+    assert(doomed == Seq("v1"), s"expected only v1 pruned, got $doomed")
+    val left = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(left.sorted.toSeq == Seq("v2", "v3"))
+    // the in-flight plan still reads intact files
+    assert(inflight.count() == 6L)
+    assert(IvfIndex.currentVersion(spark, root) == "v3")
+  }
+
+  test("pruneVersions never deletes the MANIFEST target, even when it is the oldest") {
+    val root = java.nio.file.Files.createTempDirectory("ivfprune2").toString
+    for (v <- Seq("v1", "v2", "v3")) {
+      IvfIndex.publishVersion(emb, seeds, root, v)
+      new java.io.File(root, v).setLastModified(1700000000000L +
+        v.drop(1).toLong * 60000L)
+    }
+    IvfIndex.publishManifest(spark, root, "v1") // roll BACK the pointer
+    val doomed = IvfIndex.pruneVersions(spark, root, keep = 1)
+    // v3 survives as most-recent, v1 survives as the pointer target
+    assert(doomed == Seq("v2"), s"expected only v2 pruned, got $doomed")
+    assert(IvfIndex.probe(spark, s"$root/v1/index", Seq(0L)).count() > 0)
+  }
+
+  test("appendVectors raises on the lost-update race (pointer moved mid-append)") {
+    val root = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    IvfIndex.publishVersion(emb, seeds, root, "v1")
+    // a UDF inside the appended frame flips the MANIFEST while the
+    // append job is running — the post-write re-check must throw so
+    // the caller re-appends into the new version
+    // write through raw java.nio AND drop the Hadoop checksum shadow —
+    // LocalFileSystem would otherwise fail the re-read with a
+    // ChecksumException instead of reaching the lost-update check
+    val manifest = java.nio.file.Paths.get(root, "MANIFEST")
+    val crc = java.nio.file.Paths.get(root, ".MANIFEST.crc")
+    val flip = udf { (id: Long) =>
+      java.nio.file.Files.write(manifest, "v2".getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(crc); id
+    }
+    val sneaky = emb.select(flip(col("vec_id")).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalStateException](IvfIndex.appendVectors(sneaky, root))
+    assert(e.getMessage.contains("lost-update"))
+    // the happy path still appends and reports the version it used
+    java.nio.file.Files.write(manifest, "v1".getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(crc)
+    val before = spark.read.parquet(s"$root/v1/index").count()
+    assert(IvfIndex.appendVectors(
+      emb.select(col("vec_id") + 100 as "vec_id", col("embedding")), root) == "v1")
+    assert(spark.read.parquet(s"$root/v1/index").count() == before + 6)
+  }
+
   test("nprobe artifact serve equals the in-session nprobe probe row-for-row") {
     // round 13 (verdict item 6): the persisted-centroid serve path at
     // nprobe=2 — save→load→widened probe must be bit-identical to the
