@@ -168,6 +168,19 @@ object IvfIndex {
     * embedding, ...). SCALE: one broadcast-codebook argmin + one
     * append write — Θ(new rows), regardless of index size.
     *
+    * WHEN TO COMPACT (measured, `tools.HotAddProbe`, PLANS.md round
+    * 15): the trigger is DRIFT, not append fraction. I.i.d. appends
+    * are recall-neutral at any measured fraction (stale vs fresh
+    * codebook within ±5 recall points at 10/50/100% appends), but
+    * DRIFTED appends cost 25–55 recall@10 points on drift-region
+    * queries already at 10% — the stale codebook has no cells where
+    * the new mode lives. Monitor each appended batch's cluster-
+    * assignment histogram (free: it is this function's own argmin
+    * output, Θ(new rows)) against the version's build-time histogram;
+    * retrain via [[publishVersion]] when it shifts. A fraction-based
+    * "compact at X%" rule is NOT supported by the numbers — it fires
+    * needlessly on i.i.d. ingest and far too late under drift.
+    *
     * CONCURRENCY: append assumes a SINGLE INGEST OWNER — the process
     * that appends is the process that retrains (the usual index-ingest
     * topology; readers are unlimited). The race it closes defensively:

@@ -60,6 +60,10 @@ object HotAddProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // GRAFT_HOTADD_SHIFT=0 runs the i.i.d.-append CONTROL: no
+    // distribution shift, so stale ≈ fresh by symmetry — separating
+    // what staleness costs (nothing, i.i.d.) from what DRIFT costs
+    val shift = sys.env.get("GRAFT_HOTADD_SHIFT").map(_.toDouble).getOrElse(0.35)
     val cpus = sys.env.getOrElse("GRAFT_PROF_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -81,7 +85,7 @@ object HotAddProbe {
       val appends = base.filter(col("vec_id") < nApp)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"),
-            (x, i) => x + when(i < 8, lit(0.35)).otherwise(lit(0.0))).as("embedding"))
+            (x, i) => x + when(i < 8, lit(shift)).otherwise(lit(0.0))).as("embedding"))
         .localCheckpoint()
       val corpus = base.unionByName(appends).localCheckpoint()
       val queries = appends.filter(col("vec_id") % 7 === 0).limit(32)
