@@ -1159,6 +1159,41 @@ class StreamingSpec extends SparkSpec {
       "no pair spans the restart boundary — recovery untested")
   }
 
+  test("streaming linkage: a replayed record neither self-pairs nor doubles later pairs") {
+    // ADVICE r14: a duplicate arrival of the same c_custkey used to
+    // match its own standing copy — a (k,k) pair at distance 0,
+    // breaking the batch contract key_a < key_b — and re-entered block
+    // state, doubling every later pair. Replay is the at-least-once
+    // delivery norm, so the skip is contract, not nicety.
+    import graft.streaming.LinkageStreams
+    val srcDir = Files.createTempDirectory("link-replay-src").toString
+    val a = LinkageStreams.CustRecord(1L, "Customer#00000A001", 7, "BUILDING", 100L)
+    val b = LinkageStreams.CustRecord(2L, "Customer#00000A002", 7, "BUILDING", 250L)
+    def put(recs: LinkageStreams.CustRecord*): Unit = {
+      recs.toDS().toDF().coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(1100)
+    }
+    put(a)
+    put(b)       // completes the block: pair (1,2) emits
+    put(a)       // REPLAY of key 1: must be a no-op
+    put(b.copy(c_custkey = 3L, c_name = "Customer#00000A003", bal_cents = 400L))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .as[LinkageStreams.CustRecord]
+    val q = LinkageStreams.linkagePairs(stream)
+      .writeStream.outputMode("append").format("memory").queryName("linkreplay").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT key_a, key_b, name_dist FROM linkreplay")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      // had the replay re-entered state, (1,3)/(2,3) would appear twice
+      // and a (1,1) self-pair would precede them
+      assert(got == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)),
+        s"replay broke pair semantics: $got")
+    } finally q.stop()
+  }
+
   test("streaming SCD2: closed intervals equal the batch history across a restart") {
     val srcDir = Files.createTempDirectory("scd2-src").toString
     val ckpt = Files.createTempDirectory("scd2-ckpt").toString
