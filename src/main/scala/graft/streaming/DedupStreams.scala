@@ -21,9 +21,9 @@ import graft.functions.HashExpressions.shingleHashesFast
   * band bucket anchors it; every later doc landing in the bucket emits
   * a candidate pair (doc, anchor). This is the unbounded-stream analog
   * of the batch banded equi-join — candidates only within buckets,
-  * never all-pairs. A production deployment bounds state with
-  * `GroupStateTimeout.ProcessingTimeTimeout` (expire buckets no crawl
-  * shard has touched lately); the fixture tests keep NoTimeout.
+  * never all-pairs. Both ledgers here are CONTENT-IDENTITY class under
+  * the repo state-retention policy ([[StateTtl]]): unbounded on an
+  * endless crawl, bounded in production by the `idleTtl` leg.
   */
 object DedupStreams {
 
@@ -53,17 +53,45 @@ object DedupStreams {
   /** Streaming candidate pairs: (doc, anchor, band) in append mode.
     * A pair sharing several bands emits once per band — candidates feed
     * a verify stage (exact Jaccard / cosine), which dedups anyway.
+    *
+    * STATE BOUND: the anchor ledger is Θ(occupied band buckets) — the
+    * LARGEST content-identity ledger in the engine (four band keys per
+    * distinct document), unbounded on a 100-TB crawl with `idleTtl =
+    * None`. `idleTtl = Some("30 minutes")` switches to
+    * `ProcessingTimeTimeout`: a bucket no arrival has touched within
+    * the TTL drops its anchor at the next micro-batch. The CONTRACT
+    * CHANGE ([[StateTtl]] class 1, identical shape to
+    * [[exactDedupDocs]]): after a bucket expires, the next document
+    * landing in it becomes the NEW anchor and emits nothing — so a
+    * near-dup pair is detected only when the two documents hit a
+    * shared bucket within one TTL window ("candidates against a
+    * TTL-fresh anchor", not against the all-time first occupant).
+    * Recall vs the batch operator holds exactly when duplicate spacing
+    * fits inside the TTL — the dedup-as-you-crawl deployment's shard
+    * locality makes that the common case, and the downstream verify
+    * stage is unaffected (it only ever sees emitted candidates).
+    * StreamingSpec pins both the state drop and the re-anchor on a
+    * real clock.
     */
-  def nearDupCandidates(docs: DataFrame): Dataset[DupCandidate] = {
+  def nearDupCandidates(docs: DataFrame,
+                        idleTtl: Option[String] = None): Dataset[DupCandidate] = {
     import docs.sparkSession.implicits._
     bandKeys(docs).as[BandHit]
       .groupByKey(h => (h.band, h.x, h.y))
       .flatMapGroupsWithState[Long, DupCandidate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, StateTtl.conf(idleTtl)) {
         (key: (Int, Long, Long), hits: Iterator[BandHit], state: GroupState[Long]) =>
-          val ids = hits.map(_.doc_id).toSeq.distinct.sorted
-          val anchor = state.getOption.getOrElse { val a = ids.head; state.update(a); a }
-          ids.filter(_ != anchor).map(d => DupCandidate(d, anchor, key._1)).iterator
+          if (state.hasTimedOut) {
+            // bucket idle past the TTL: drop the anchor. No emit — the
+            // bucket's NEXT occupant re-anchors it below.
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = hits.map(_.doc_id).toSeq.distinct.sorted
+            val anchor = state.getOption.getOrElse { val a = ids.head; state.update(a); a }
+            idleTtl.foreach(state.setTimeoutDuration) // any arrival refreshes the clock
+            ids.filter(_ != anchor).map(d => DupCandidate(d, anchor, key._1)).iterator
+          }
       }
   }
 
@@ -86,8 +114,9 @@ object DedupStreams {
     * state per distinct content key is one boolean.
     *
     * STATE BOUND: with `idleTtl = None` the standing state is
-    * Θ(distinct texts) — the same ledger class as the LSH bucket
-    * anchors above, fine for a bounded backfill, unbounded on a true
+    * Θ(distinct texts) — content-identity class under the repo
+    * state-retention policy ([[StateTtl]]), same as the LSH bucket
+    * anchors above: fine for a bounded backfill, unbounded on a true
     * 100-TB crawl. Passing `idleTtl = Some("30 minutes")` switches the
     * operator to `ProcessingTimeTimeout`: a content key whose last
     * arrival (first copy OR later duplicate — every arrival refreshes
@@ -102,8 +131,6 @@ object DedupStreams {
     */
   def exactDedupDocs(docs: DataFrame, idleTtl: Option[String] = None): Dataset[DocRow] = {
     import docs.sparkSession.implicits._
-    val timeoutConf = if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-                      else GroupStateTimeout.NoTimeout
     docs
       .select(col("lang"), col("doc_id"), col("text"),
         xxhash64(col("text")).as("h64"),
@@ -112,7 +139,7 @@ object DedupStreams {
       .as[CkDoc]
       .groupByKey(d => (d.h64, d.h128, d.len))
       .flatMapGroupsWithState[Boolean, DocRow](
-        OutputMode.Append, timeoutConf) {
+        OutputMode.Append, StateTtl.conf(idleTtl)) {
         (_: (Long, String, Int), rows: Iterator[CkDoc], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) {
             // idle past the TTL: drop the ledger entry. No emit — the
@@ -149,8 +176,9 @@ object DedupStreams {
     * guarantee of the 4×14 banding carries over verbatim, and the
     * verify stage costs one xor/popcount instead of a downstream join.
     * State per occupied bucket = two longs, bounded by distinct hashes
-    * seen, not by stream length; production bounds it further with a
-    * processing-time timeout exactly like the MinHash detector.
+    * seen, not by stream length — content-identity class
+    * ([[StateTtl]]): when a deployment needs a hard bound, the
+    * `idleTtl` recipe of [[nearDupCandidates]] applies verbatim.
     */
   def imageNearDups(media: DataFrame): Dataset[PhashDup] = {
     import media.sparkSession.implicits._

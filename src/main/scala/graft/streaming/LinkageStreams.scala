@@ -15,8 +15,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * SCALE: state per block is its member list — Θ(block size), bounded
   * by the BLOCKING KEY design exactly like the batch join's pair mass
-  * (the name-prefix component keeps blocks bounded at any N; the
-  * LSH-anchor ledger class). The per-arrival cost is |block| banded
+  * (the name-prefix component keeps blocks bounded at any N). The
+  * TOTAL ledger is Θ(occupied blocks) — content-identity class under
+  * the repo state-retention policy ([[StateTtl]]): unbounded on an
+  * endless crawl, and the `idleTtl` recipe of
+  * [[DedupStreams.nearDupCandidates]] applies verbatim when a
+  * deployment needs the bound (contract weakens to pairs-within-a-
+  * TTL-window the same way). The per-arrival cost is |block| banded
   * comparisons on the prefix-stripped remainders — the same
   * common-prefix-stripping argument as the batch form.
   */

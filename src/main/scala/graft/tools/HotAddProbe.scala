@@ -27,9 +27,11 @@ import graft.streaming.AnnStreams
   *
   *   runMain graft.tools.HotAddProbe [sfDir]
   *
-  * The measured numbers drive the "compact when appends exceed X%"
-  * rule documented on [[IvfIndex.appendVectors]]; PLANS.md round 15
-  * carries the table.
+  * The measured numbers KILLED the naive "compact when appends exceed
+  * X%" rule (i.i.d. appends are recall-neutral at any fraction) and
+  * derived the ASSIGNMENT-HISTOGRAM-DRIFT trigger documented on
+  * [[IvfIndex.appendVectors]] and enforced by
+  * [[IvfIndex.needsCompaction]]; PLANS.md round 15 carries the table.
   */
 object HotAddProbe {
 

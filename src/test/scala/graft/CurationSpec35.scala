@@ -45,6 +45,27 @@ class CurationSpec35 extends SparkSpec {
     assert(rel.map(_.getLong(3)).sum == 44L)
   }
 
+  test("kanon release: an orphaned nationkey routes to suppressed, conservation survives a broken dim") {
+    // nationkey 9 has NO nation row: its sub-k records cannot
+    // generalize (their region is unknown), so they must land in the
+    // withheld ledger — the round-15 ADVICE found the old inner join
+    // dropped them from BOTH branches, silently breaking conservation
+    // exactly when the dimension table is incomplete
+    val dir = java.nio.file.Files.createTempDirectory("kanon-orphan").toString
+    val rows =
+      (1 to 40).map(i => (i.toLong, s"Customer#${"%09d".format(i)}", 0, "BUILDING", 1.0)) ++
+        (41 to 43).map(i => (i.toLong, s"Customer#${"%09d".format(i)}", 9, "MACHINERY", 1.0))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((0, 0)).toDF("n_nationkey", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    val rel = graft.queries.CurationQueries37.kanonRelease.fn(spark, dir).collect()
+    val sup = rel.filter(_.getString(0) == "suppressed")
+    assert(sup.length == 1 && sup.head.getLong(3) == 3L,
+      s"orphaned records must be withheld, got ${rel.mkString(", ")}")
+    assert(rel.map(_.getLong(3)).sum == 43L, "conservation must hold with a broken dim")
+  }
+
   test("linkage pass 2 catches the prefix-region typo pass 1 provably misses") {
     val dir = java.nio.file.Files.createTempDirectory("linkage2").toString
     Seq(

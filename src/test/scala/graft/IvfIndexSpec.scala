@@ -66,11 +66,52 @@ class IvfIndexSpec extends SparkSpec {
       new java.io.File(root, v).setLastModified(1700000000000L +
         v.drop(1).toLong * 60000L)
     }
+    assert(IvfIndex.prevVersion(spark, root).contains("v2"))
     IvfIndex.publishManifest(spark, root, "v1") // roll BACK the pointer
+    // the rollback's own swap records the outgoing pointer — serving
+    // HISTORY, which diverges from mtime order exactly here
+    assert(IvfIndex.prevVersion(spark, root).contains("v3"))
     val doomed = IvfIndex.pruneVersions(spark, root, keep = 1)
-    // v3 survives as most-recent, v1 survives as the pointer target
+    // v3 survives as the previously-SERVED version (MANIFEST.prev — an
+    // in-flight reader may still be bound to it), v1 as the pointer
+    // target; only v2, adjacent in mtime but not in pointer history,
+    // is prunable (round-15 ADVICE: retention follows pointer history)
     assert(doomed == Seq("v2"), s"expected only v2 pruned, got $doomed")
     assert(IvfIndex.probe(spark, s"$root/v1/index", Seq(0L)).count() > 0)
+    assert(IvfIndex.probe(spark, s"$root/v3/index", Seq(0L)).count() > 0,
+      "the previously-served version must survive the prune")
+  }
+
+  test("drift trigger: i.i.d. appends stay under threshold, a drifted mode crosses it, retrain resets") {
+    val root = java.nio.file.Files.createTempDirectory("ivfdrift").toString
+    IvfIndex.publishVersion(emb, seeds, root, "v1")
+    // build_hist froze the build-time routing: 3 vectors per cluster
+    val bh = spark.read.parquet(s"$root/v1/build_hist")
+      .as[(Long, Long)].collect().toMap
+    assert(bh == Map(0L -> 3L, 1L -> 3L))
+    assert(IvfIndex.driftStat(spark, root) == 0.0, "no appends yet")
+    // i.i.d.-shaped append: same vectors under fresh ids routes 3/3 —
+    // the append distribution equals the build distribution exactly
+    IvfIndex.appendVectors(
+      emb.select(col("vec_id") + 100 as "vec_id", col("embedding")), root)
+    assert(IvfIndex.driftStat(spark, root) == 0.0)
+    assert(!IvfIndex.needsCompaction(spark, root))
+    // drifted mode: batches of 3 vectors all nearest cluster 1 — after
+    // three, the cumulative append distribution is (3, 12)/15 = (0.2,
+    // 0.8) vs build (0.5, 0.5): TV = 0.3, past the 0.25 threshold
+    for (_ <- 1 to 3)
+      IvfIndex.appendVectors(
+        emb.filter(col("vec_id") >= 3)
+          .select(col("vec_id") + 200 as "vec_id",
+            array(lit(0.0), lit(1.0)).as("embedding")), root)
+    assert(IvfIndex.driftStat(spark, root) > 0.25,
+      s"drifted appends must cross: ${IvfIndex.driftStat(spark, root)}")
+    assert(IvfIndex.needsCompaction(spark, root))
+    // the rule's action: retrain + swap — the fresh version has no
+    // appends yet, so the stat resets and the trigger re-arms
+    IvfIndex.publishVersion(emb, seeds, root, "v2")
+    assert(IvfIndex.driftStat(spark, root) == 0.0)
+    assert(!IvfIndex.needsCompaction(spark, root))
   }
 
   test("appendVectors raises on the lost-update race (pointer moved mid-append)") {

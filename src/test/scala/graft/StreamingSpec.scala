@@ -1301,4 +1301,128 @@ class StreamingSpec extends SparkSpec {
         emitted() == Seq(1L, 2L, 5L, 6L))
     } finally q.stop()
   }
+
+  test("LSH anchor TTL: idle buckets drop from state and an expired bucket re-anchors") {
+    // round-15 verdict item 2: the band-bucket anchor ledger is the
+    // LARGEST content-identity ledger (Θ(occupied buckets), 4 band
+    // keys per distinct doc) — apply the proven TTL harness to it and
+    // pin ITS contract change: after a bucket expires, the next
+    // occupant becomes the NEW anchor and emits nothing, so candidate
+    // pairs exist only against a TTL-fresh anchor. Same continuous-
+    // trigger + condition-polling shape as the exact-dedup TTL test
+    // (ProcessingTimeTimeout streams never settle by design).
+    import graft.streaming.DedupStreams
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("lsh-ttl").toString
+    val text = "alpha beta gamma delta epsilon zeta"
+    def put(n: Int, rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/src/c$n")
+    put(0, (1L, text))
+    val schema = spark.read.parquet(s"$base/src/c0").schema
+    val in = spark.readStream.schema(schema).parquet(s"$base/src/*")
+    val q = DedupStreams.nearDupCandidates(in, idleTtl = Some("10 seconds")).toDF()
+      .writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet").option("path", s"$base/out").start()
+    def pairs(): Set[(Long, Long)] =
+      try spark.read.parquet(s"$base/out").select("doc_id", "anchor_id")
+        .distinct().as[(Long, Long)].collect().toSet
+      catch { case _: Exception => Set.empty }
+    def stateRows(): Long =
+      q.recentProgress.lastOption.flatMap(_.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(-1L)
+    def waitUntil(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime < deadline, s"timed out waiting for: $what")
+        Thread.sleep(250)
+      }
+    }
+    try {
+      // doc 1 anchors its 4 band buckets (identical text → all bands
+      // collide, the deterministic full-collision fixture)
+      waitUntil("anchor's 4 buckets materialize in state")(stateRows() == 4L)
+      put(1, (2L, text)) // same text INSIDE the TTL
+      waitUntil("in-TTL duplicate emits candidates against the anchor")(
+        pairs() == Set((2L, 1L)))
+      Thread.sleep(12000) // idle past the TTL for every standing bucket
+      // (a) state actually drops: all 4 anchor rows are gone
+      waitUntil("expired buckets leave the state store")(stateRows() == 0L)
+      put(2, (3L, text)) // same text, bucket EXPIRED
+      // (b) the contract change, pinned: doc 3 re-anchors — no pair
+      // against the all-time first occupant — and the buckets restand
+      waitUntil("expired bucket re-anchors silently")(stateRows() == 4L)
+      assert(pairs() == Set((2L, 1L)),
+        "a post-expiry occupant must re-anchor, not pair with the expired anchor")
+      put(3, (4L, text)) // inside the NEW anchor's TTL window
+      waitUntil("candidates emit against the fresh anchor")(
+        pairs() == Set((2L, 1L), (4L, 3L)))
+    } finally q.stop()
+  }
+
+  test("exact-dedup TTL x checkpoint: state and timers survive restart; downtime expiry drops on resume") {
+    // round-15 verdict item 7: the TTL test proves expiry on a live
+    // stream; this proves the CHECKPOINT contract — (a) ledger state
+    // recovers across a restart (an in-TTL duplicate arriving after
+    // the restart is still dropped), (b) timeout TIMERS recover too:
+    // keys whose TTL lapsed while the stream was DOWN are dropped by
+    // the first post-restart batches, and a later copy re-admits.
+    import graft.streaming.DedupStreams
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("dedup-ttl-restart").toString
+    def put(n: Int, rows: (String, Long, String)*): Unit =
+      rows.toDF("lang", "doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/src/c$n")
+    def start() = DedupStreams.exactDedupDocs(
+        spark.readStream.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "lang string, doc_id bigint, text string"))
+          .parquet(s"$base/src/*"),
+        idleTtl = Some("15 seconds")).toDF()
+      .writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet").option("path", s"$base/out").start()
+    def emitted(): Seq[Long] =
+      try spark.read.parquet(s"$base/out").select("doc_id").as[Long].collect().sorted.toSeq
+      catch { case _: Exception => Nil }
+    def waitUntil(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime < deadline, s"timed out waiting for: $what")
+        Thread.sleep(250)
+      }
+    }
+    put(0, ("en", 1L, "alpha text"), ("en", 2L, "beta text"))
+    val q1 = start()
+    try waitUntil("first run emits both keys")(emitted() == Seq(1L, 2L))
+    finally q1.stop()
+    // restart immediately: the ledger must come back from the state
+    // store, not from reprocessing (the offset log skips c0)
+    val q2 = start()
+    try {
+      val mark2 = Option(q2.lastProgress).map(_.batchId).getOrElse(-1L)
+      put(1, ("en", 3L, "alpha text")) // in-TTL duplicate, post-restart
+      waitUntil("post-restart duplicate batch consumed")(
+        q2.recentProgress.exists(p => p.batchId > mark2 && p.numInputRows > 0))
+      assert(emitted() == Seq(1L, 2L),
+        "recovered ledger must still drop an in-TTL duplicate")
+    } finally q2.stop()
+    // both keys' timers lapse while the stream is DOWN (alpha's clock
+    // was refreshed by doc 3 moments ago; 17s > 15s TTL covers both)
+    Thread.sleep(17000)
+    val q3 = start()
+    try {
+      // (b) timers recovered: the first post-restart batches expire the
+      // ledger rows that timed out during downtime
+      waitUntil("downtime-expired keys leave the state store")(
+        q3.recentProgress.lastOption.flatMap(_.stateOperators.headOption)
+          .exists(_.numRowsTotal == 0L))
+      put(2, ("en", 6L, "beta text")) // copy of a downtime-expired key
+      waitUntil("downtime-expired key re-admits its copy")(
+        emitted() == Seq(1L, 2L, 6L))
+    } finally q3.stop()
+  }
 }
