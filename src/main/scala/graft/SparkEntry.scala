@@ -71,7 +71,8 @@ object SparkEntry {
       graft.queries.PerceptualQueries.all ++
       graft.queries.CurationQueries35.all ++
       graft.queries.CurationQueries36.all ++
-      graft.queries.CurationQueries37.all
+      graft.queries.CurationQueries37.all ++
+      graft.queries.CurationQueries38.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
