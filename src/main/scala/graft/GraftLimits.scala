@@ -84,6 +84,58 @@ object GraftLimits {
     dim
   }
 
+  /** Minimum corpus size before [[requireGrowingKeyDomain]] fires: at
+    * fixture scales a low distinct-ratio is just small-sample noise;
+    * past ~10⁶ rows it is structure.
+    */
+  val KeyDomainMinRows: Long = 1L << 20
+
+  /** The distinct-per-row floor for a blocking key: below 0.01 the
+    * AVERAGE block exceeds 100 rows, so a blocked self-join's pair
+    * mass exceeds 100× the row count and grows ∝ N² once the key
+    * domain has saturated — the suffix-key failure mode
+    * `q_record_linkage2`'s scaladoc prices at ~10⁹ records (a 7-char
+    * digit suffix has a ~10⁷ domain).
+    */
+  val KeyDomainMinDistinctPerRow: Double = 0.01
+
+  /** BLOCKING-KEY SATURATION GUARD (round-16, verdict item 5): assert
+    * that a linkage/dedup blocking key's distinct-count still tracks
+    * the corpus — i.e. its domain has NOT saturated. A blocking key
+    * only bounds a blocked self-join while distinct(key) grows with N;
+    * a saturating key (low-order chars, small enums) silently turns
+    * the "blocked" join quadratic. Until round 16 that precondition
+    * lived in scaladoc (`CurationQueries37.linkagePairs2`); this makes
+    * the multi-pass blocking pattern self-policing like the vocab
+    * collect gate above.
+    *
+    * Cost: ONE map-side-combined aggregate over the key expression
+    * (count + approx_count_distinct — a column-pruned scan, no
+    * shuffle beyond the 1-row partial merge), run eagerly at query
+    * construction. The HLL estimate's ±2% error is noise against the
+    * order-of-magnitude gap the guard looks for. Below [[KeyDomainMinRows]]
+    * the ratio is measured but not enforced (small fixtures are all
+    * noise). Returns `df` so call sites stay expressions.
+    */
+  def requireGrowingKeyDomain(df: org.apache.spark.sql.DataFrame,
+                              key: org.apache.spark.sql.Column, what: String,
+                              minDistinctPerRow: Double = KeyDomainMinDistinctPerRow,
+                              minRows: Long = KeyDomainMinRows): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(count(lit(1)).as("n"), approx_count_distinct(key).as("d")).head()
+    val (n, d) = (r.getLong(0), r.getLong(1))
+    if (n >= minRows)
+      require(d >= minDistinctPerRow * n,
+        s"$what: blocking key has ~$d distinct values over $n rows " +
+          f"(ratio ${d.toDouble / n}%.5f, floor $minDistinctPerRow) — the key domain has " +
+          "SATURATED, so average block size exceeds 1/floor rows and the blocked " +
+          "self-join's pair mass grows quadratically from here. Swap this pass to a " +
+          "higher-entropy key (phone/address hash — any field whose distinct-count " +
+          "tracks the corpus); the pattern is the union of independently-blocked " +
+          "passes, not this particular key (q_record_linkage2 scaladoc).")
+    df
+  }
+
   /** Assert `w` is feature-grid-sized before it rides a task closure. */
   def requireBoundedWeights(w: Seq[Long], what: String): Seq[Long] = {
     require(w.size <= MaxLiteralWeights,

@@ -115,18 +115,25 @@ object CurationQueries37 {
     * key. The prefix key's cardinality tracks the data (high-order
     * name chars ∝ N); the suffix key is LOW-order chars, whose domain
     * saturates (~10⁷ digit suffixes here), so pass-2 block sizes grow
-    * ∝ N past ~10⁹ records — at that scale a production run swaps the
-    * second key to another high-entropy field (phone/address hash);
-    * the pattern (union of independently-blocked passes) is what this
-    * operator pins, and recall gained is measured by the spec's
-    * injected prefix-typo corpus and the PLANS.md receipt.
+    * ∝ N past ~10⁹ records. That precondition is now ENFORCED, not
+    * narrated: [[graft.GraftLimits.requireGrowingKeyDomain]] measures
+    * the composite blocking key's distinct-per-row ratio at query
+    * construction and refuses the pass once the domain saturates,
+    * naming the cure (swap the second key to another high-entropy
+    * field — phone/address hash; the pattern is the union of
+    * independently-blocked passes, not this key). Recall gained is
+    * measured by the spec's injected prefix-typo corpus and the
+    * PLANS.md receipt.
     */
   private[queries] def linkagePairs2(spark: org.apache.spark.sql.SparkSession,
                                      dir: String): org.apache.spark.sql.DataFrame = {
-    val c = Tables(spark, dir, "customer").select(
-      col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
-      expr("right(c_name, 7)").as("blk"),
-      floor(col("c_acctbal") * 100).as("bal_cents"))
+    val c = graft.GraftLimits.requireGrowingKeyDomain(
+      Tables(spark, dir, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+        expr("right(c_name, 7)").as("blk"),
+        floor(col("c_acctbal") * 100).as("bal_cents")),
+      struct(col("c_nationkey"), col("c_mktsegment"), col("blk")),
+      "q_record_linkage2 suffix pass")
     val a = c.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"),
       col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
       col("blk").as("blk_a"), col("bal_cents").as("bal_a"))

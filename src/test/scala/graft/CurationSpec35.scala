@@ -90,6 +90,26 @@ class CurationSpec35 extends SparkSpec {
     assert(p2 == p1 + ((1L, 2L)), s"union must add exactly the prefix-typo pair: $p2 vs $p1")
   }
 
+  test("a saturated blocking key is refused with the measured rationale") {
+    // round-15 verdict item 5: the suffix key's ~10^9-record saturation
+    // was a scaladoc note; now GraftLimits.requireGrowingKeyDomain
+    // makes multi-pass blocking self-policing. Injected saturated key:
+    // corpus-sized input, constant key -> ratio ~0 -> refused by name.
+    val n = GraftLimits.KeyDomainMinRows + 1
+    val e = intercept[IllegalArgumentException](
+      GraftLimits.requireGrowingKeyDomain(
+        spark.range(0, n).select(lit("X").as("blk")), col("blk"), "spec"))
+    assert(e.getMessage.contains("SATURATED"), e.getMessage)
+    assert(e.getMessage.contains("higher-entropy"), "message must name the cure")
+    // a healthy key at the same size passes (distinct tracks rows)...
+    GraftLimits.requireGrowingKeyDomain(
+      spark.range(0, n).toDF("id"), col("id"), "spec")
+    // ...and below the floor a saturated FIXTURE is not refused (small
+    // samples are all noise — the gate is a scale guard, not a linter)
+    GraftLimits.requireGrowingKeyDomain(
+      spark.range(0, 100).select(lit("X").as("blk")), col("blk"), "spec")
+  }
+
   test("linkage2 union dedups pairs both passes find, keeping one tuple") {
     // names equal except a mid-prefix typo AND sharing both block keys
     // is impossible (a shared prefix block pins chars 1-14); a pair both

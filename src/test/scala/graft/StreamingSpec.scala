@@ -1302,6 +1302,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift-triggered compaction: stale codebook misses the drifted mode; needsCompaction fires; rebuild restores serving recall") {
+    // round-15 verdict item 1, the serving half: the drift stat is not
+    // just arithmetic (IvfIndexSpec) — it triggers exactly when probe
+    // RECALL is at risk. A drifted ingest mode lands near a stale cell
+    // boundary: appends route to cluster 1, a query from the same mode
+    // routes to cluster 0, so nprobe=1 serving MISSES the appended
+    // near-duplicates entirely. driftStat crosses, the operator
+    // retrains + swaps (the enforced rule's action), and the SAME
+    // query served post-swap finds its near-duplicates at ~0 distance
+    // — without restarting the serving stream.
+    import graft.operators.IvfIndex
+    import graft.streaming.AnnStreams
+    val root = Files.createTempDirectory("ann-drift").toString
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.9, 0.1)), (3L, Seq(0.8, 0.0)),
+      (4L, Seq(0.1, 0.9)), (5L, Seq(0.0, 0.8))
+    ).toDF("vec_id", "embedding")
+    val seeds = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    IvfIndex.publishVersion(emb, seeds, root, "v1")
+    // the drifted mode: (0.5, 0.52) sits just past the v1 cell boundary
+    // -> all 6 appends route to cluster 1 (d2 0.4804 < 0.5204)
+    val drifted = (200L to 205L).map(i => (i, Seq(0.5, 0.52)))
+      .toDF("vec_id", "embedding")
+    assert(IvfIndex.appendVectors(drifted, root) == "v1")
+    // a query from the same mode, just INSIDE the boundary: routes to
+    // cluster 0 (d2 0.4804 vs 0.5204 mirrored) — the stale-recall trap
+    val queries = Seq((50L, Seq(0.5, 0.48))).toDF("qid", "qv")
+    val srcDir = s"$root/qsrc"
+    queries.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/c0")
+    new java.io.File(s"$srcDir/c0").listFiles().foreach(_.setLastModified(1700000000000L))
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val sq = AnnStreams.serveRotating(stream, root, 3, 1, s"$root/out", s"$root/ckpt")
+    try {
+      sq.processAllAvailable() // batch 1: served under the stale v1
+      // the operational loop the receipt derived: appends (0,6) vs
+      // build (3,3) -> TV = 0.5 exactly; the trigger fires
+      assert(IvfIndex.driftStat(spark, root) == 0.5)
+      assert(IvfIndex.needsCompaction(spark, root))
+      // the rule's action: retrain WITH the appends, a cell for the new
+      // mode, atomic swap — the stream keeps running
+      val seeds2 = seeds.unionByName(
+        Seq((2L, Seq(0.5, 0.5))).toDF("cluster", "cv"))
+      IvfIndex.publishVersion(emb.unionByName(drifted), seeds2, root, "v2")
+      assert(!IvfIndex.needsCompaction(spark, root), "retrain must re-arm the trigger")
+      queries.select((col("qid") + 100L).as("qid"), col("qv")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/c1")
+      new java.io.File(s"$srcDir/c1").listFiles().foreach(_.setLastModified(1700000060000L))
+      sq.processAllAvailable() // batch 2: same query vector under v2
+    } finally sq.stop()
+    val out = spark.read.parquet(s"$root/out")
+    val pre = out.filter(col("qid") === 50L)
+      .select("nid", "dist", "rank", "index_version")
+      .as[(Long, Double, Long, String)].collect().sortBy(_._3)
+    val post = out.filter(col("qid") === 150L)
+      .select("nid", "dist", "rank", "index_version")
+      .as[(Long, Double, Long, String)].collect().sortBy(_._3)
+    // stale serve: v1, probes the query's own cell — ZERO of the 6
+    // appended near-duplicates are reachable, rank-1 is a far base
+    // vector (the 25-55-point recall loss of the probe, in miniature)
+    assert(pre.nonEmpty && pre.forall(_._4 == "v1"))
+    assert(pre.forall(_._1 < 200L), s"stale codebook must miss the drifted mode: ${pre.toSeq}")
+    assert(pre.head._2 > 0.1, s"stale rank-1 is a far neighbor: ${pre.head}")
+    // post-rebuild serve: v2, the new cell owns the mode — rank-1 is an
+    // appended near-duplicate at ~0 distance. Recall recovered, live.
+    assert(post.nonEmpty && post.forall(_._4 == "v2"))
+    assert(post.head._1 >= 200L && post.head._2 < 0.01,
+      s"rebuild must restore serving recall: ${post.toSeq}")
+  }
+
   test("LSH anchor TTL: idle buckets drop from state and an expired bucket re-anchors") {
     // round-15 verdict item 2: the band-bucket anchor ledger is the
     // LARGEST content-identity ledger (Θ(occupied buckets), 4 band
