@@ -92,38 +92,58 @@ object CorpusMerge {
   def merge(spark: SparkSession, dir: String, delta: DataFrame, keyCol: String,
             versionCol: String = "version", deletedCol: String = "deleted",
             nBuckets: Int = 64): Seq[Long] = {
+    // materialize the delta ONCE: three jobs consume it (precondition
+    // scan, merged write, surviving-bucket set) and the caller's delta
+    // plan can be arbitrarily expensive (q_corpus_merge derives it from
+    // a multi-branch scan) — Θ(delta) bytes by the operator's own
+    // contract, so the checkpoint is small by construction
     val d = delta.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
-    // the touched-bucket set: Θ(delta) distinct-agg, ≤ nBuckets values
-    // to the driver — the probe-set class of collect, never row-scaled
-    val touched = d.select("bucket").distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
-    if (touched.isEmpty) return touched
-    // standard MERGE precondition, ENFORCED (ANSI MERGE errors on
-    // multiple matches too): two delta rows for one key would make the
-    // survivor join-order-dependent. Θ(delta) partial-agg check.
-    val dup = d.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"merge delta has multiple rows for key ${dup.headOption.map(_.get(0))} — " +
-        "collapse the delta to one winning row per key first (e.g. max-version)")
+      .localCheckpoint()
+    // ONE Θ(delta) partial-agg pass yields BOTH preconditions: the
+    // touched-bucket set (≤ nBuckets values to the driver — the
+    // probe-set class of collect, never row-scaled) and the standard
+    // MERGE uniqueness check (ANSI MERGE errors on multiple matches
+    // too): two delta rows for one key would make the survivor
+    // join-order-dependent. (Formerly two separate jobs.)
+    val pre = d.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), first(col("bucket")).as("bucket"))
+      .agg(max(col("n")).as("max_n"), collect_set(col("bucket")).as("buckets"))
+      .head()
+    if (pre.isNullAt(0)) return Seq.empty // empty delta
+    if (pre.getLong(0) > 1L) {
+      // failure path only: name one offending key for the error
+      val dup = d.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge delta has multiple rows for key ${dup.headOption.map(_.get(0))} — " +
+          "collapse the delta to one winning row per key first (e.g. max-version)")
+    }
+    val touched = pre.getSeq[Long](1).sorted
     val base = prunedBase(spark, dir, touched)
     val outCols = base.columns.filterNot(_ == "bucket")
     val deltaWins = col(s"d.$keyCol").isNotNull &&
       (col(s"b.$keyCol").isNull || col(s"d.$versionCol") >= col(s"b.$versionCol"))
-    val merged = base.alias("b")
-      .join(d.alias("d"), col(s"b.$keyCol") === col(s"d.$keyCol"), "full_outer")
+    def mergeJoin(b: DataFrame, dd: DataFrame) = b.alias("b")
+      .join(dd.alias("d"), col(s"b.$keyCol") === col(s"d.$keyCol"), "full_outer")
       // a winning tombstone deletes; a stale one is ignored below like
       // any stale delta (deltaWins is false -> the base row survives)
       .filter(!(deltaWins && col(s"d.$deletedCol")))
+    val merged = mergeJoin(base, d)
       .select(outCols.map(c =>
         when(deltaWins, col(s"d.$c")).otherwise(col(s"b.$c")).as(c)) :+
         coalesce(col("d.bucket"), col("b.bucket")).as("bucket"): _*)
     // a bucket whose every key was tombstoned vanishes from `merged`,
     // and dynamic overwrite would silently leave its stale files in
-    // place — compute the surviving-bucket set first (second Θ(touched)
-    // pass; the write below is the first) and delete the difference
-    val remaining = merged.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSet
+    // place — compute the surviving-bucket set first from a
+    // COLUMN-PRUNED twin of the merge join (key/version/deleted/bucket
+    // only; survival never depends on the payload), so the payload-
+    // carrying join runs ONCE, for the write (formerly the full join
+    // was computed twice)
+    val remaining = mergeJoin(
+        base.select(col(keyCol), col(versionCol), col("bucket")),
+        d.select(col(keyCol), col(versionCol), col(deletedCol), col("bucket")))
+      .select(coalesce(col("d.bucket"), col("b.bucket")).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(dir)

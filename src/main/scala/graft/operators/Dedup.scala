@@ -158,12 +158,29 @@ object Dedup {
 
   /** LSH candidate pairs from 8-value signatures, 4 bands of 2 rows:
     * (ida, idb) with ida < idb, distinct.
+    *
+    * ROUND-16 SHAPE (guide §2.4): one BUCKET AGGREGATE, not a banded
+    * self-join. The join form shuffled the band rows TWICE (once per
+    * side) and computed the entire signature chain (scan → shingle
+    * kernel → minhash) twice — no exchange reuse fires across the
+    * differently-aliased sides. Grouping by (band, x, y) shuffles the
+    * band rows ONCE, computes signatures once, and emits each bucket's
+    * ordered 2-combinations map-free; `sort_array` makes ida < idb by
+    * construction. Aggregate state is Θ(bucket) ids — linear in the
+    * bucket, where the join's OUTPUT is already Θ(bucket²) by
+    * definition, so the collect does not change the asymptotic cost
+    * class (and the collapsed variants bound bucket size upstream).
     */
   def lshCandidates(sig: DataFrame, idCol: String): DataFrame =
-    bandRows(sig, idCol, "ida")
-      .join(bandRows(sig, idCol, "idb"), Seq("band", "x", "y"))
-      .filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
+    bandRows(sig, idCol, "id")
+      .groupBy("band", "x", "y")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> named_struct('ida', a, 'idb', b))))")).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb")).distinct()
 
   /** LSH candidate pairs between a NEW batch and an existing corpus —
     * incremental dedup (dedup a fresh crawl against the standing

@@ -126,19 +126,24 @@ object IvfIndex {
     * `root/MANIFEST` at it. Also freezes the version's BUILD-TIME
     * cluster histogram (`build_hist`): the reference distribution the
     * drift-based compaction trigger ([[driftStat]] / [[needsCompaction]])
-    * compares append batches against. The histogram is computed from
-    * the just-written index with an empty projection (only the `cluster`
-    * partition column is read — metadata-cheap at any index size).
+    * compares append batches against. ONE argmin feeds both consumers —
+    * the partitioned index write and the histogram: the assignment is
+    * checkpointed once (Θ(N) narrow (id, cluster) rows) and aggregated
+    * from there, the same never-recompute-the-argmin shape
+    * [[appendVectors]] uses. (The first cut re-read the just-written
+    * index as a second job — a listing + footer pass over every part
+    * file per publish that the rotation query paid twice.)
     */
   def publishVersion(emb: DataFrame, seeds: DataFrame, root: String,
                      version: String): Unit = {
     val spark = emb.sparkSession
-    build(emb, seeds, s"$root/$version/index")
+    val asg = assign(emb, seeds).localCheckpoint()
+    emb.join(asg, "vec_id")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/$version/index")
     seeds.write.mode("overwrite").parquet(s"$root/$version/centroids")
-    // cast: the partition column reads back type-inferred from the
-    // directory names (int) — the histogram schema is pinned to long
-    spark.read.parquet(s"$root/$version/index")
-      .groupBy(col("cluster").cast("long").as("cluster"))
+    // cast: seeds built from ids are long already, but the histogram
+    // schema is PINNED to long regardless of the caller's cluster type
+    asg.groupBy(col("cluster").cast("long").as("cluster"))
       .agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$root/$version/build_hist")
     publishManifest(spark, root, version)

@@ -250,21 +250,30 @@ object CurationQueries13 {
     // same hash algebra as q_hll_sketch / SketchStreams, with event_id
     // carried through for the parity split
     val r = graft.streaming.SketchStreams.hllPrepWithId(ev)
-    def regs(f: org.apache.spark.sql.Column) = r.filter(f)
-      .groupBy("event_type", "idx").agg(max("rho").as("m"))
-    val ra = regs(col("event_id") % 2 === 0)
-    val rb = regs(col("event_id") % 2 === 1)
-    val rw = regs(lit(true))
-    val merged = ra.unionAll(rb).groupBy("event_type", "idx").agg(max("m").as("m"))
-    val diff = rw.as("w").join(merged.as("mg"),
-        col("w.event_type") === col("mg.event_type") && col("w.idx") === col("mg.idx"),
-        "left")
-      .groupBy(col("w.event_type").as("event_type"))
-      .agg(count(when(coalesce(col("mg.m"), lit(-1)) =!= col("w.m"), 1)).as("n_diff"),
+    // ROUND-16 SHAPE (guide §2.3/§2.4): ONE corpus pass computes all
+    // three register sets as conditional maxes of one (type, idx)
+    // aggregate — the half-split registers are max(rho) over the even/
+    // odd rows of the SAME group, so ra/rb/rw never needed separate
+    // passes (the first cut ran three register builds plus a fourth
+    // scan for the type grid — 10 scans / 20 exchanges). The merged
+    // register is greatest(ma, mb) per group — the union+re-aggregate
+    // disappears. The (types × 256)-bounded frame is materialized once
+    // and feeds the diff, the grid, and the estimator (localCheckpoint;
+    // single-JVM durability note as per the q_ivf_kmeans site).
+    val regs = r.groupBy("event_type", "idx")
+      .agg(max(when(col("event_id") % 2 === 0, col("rho"))).as("ma"),
+        max(when(col("event_id") % 2 === 1, col("rho"))).as("mb"),
+        max(col("rho")).as("m"))
+      .localCheckpoint()
+    val diff = regs
+      .groupBy(col("event_type"))
+      .agg(count(when(coalesce(greatest(col("ma"), col("mb")), lit(-1)) =!= col("m"), 1))
+          .as("n_diff"),
         count(lit(1)).as("n_regs"))
-    val grid = ev.select("event_type").distinct()
+    val grid = regs.select("event_type").distinct()
       .crossJoin(spark.range(256).select(col("id").as("idx")))
-    val fullReg = grid.join(rw, Seq("event_type", "idx"), "left")
+    val fullReg = grid.join(regs.select(col("event_type"), col("idx"), col("m")),
+        Seq("event_type", "idx"), "left")
       .select(col("event_type"), coalesce(col("m"), lit(0)).as("m"))
     val alphaM2 = lit(0.7213) / (lit(1) + lit(1.079) / 256) * 65536
     val est = fullReg.groupBy("event_type")

@@ -81,11 +81,17 @@ object CurationQueries18 {
     val wnd = Window.partitionBy("doc_id").orderBy(col("score").desc, col("c").asc)
     val r = CurationQueries16.nbScores(spark, dir)
       .withColumn("rn", row_number().over(wnd))
-    val t1 = r.filter(col("rn") === 1)
-      .select(col("doc_id"), col("actual"), col("c").as("pred"), col("score").as("s1"))
-    val t2 = r.filter(col("rn") === 2)
-      .select(col("doc_id").as("d2"), col("score").as("s2"))
-    t1.join(t2, col("doc_id") === col("d2"))
+    // top1/top2 fold out of ONE doc-keyed aggregate over the rn<=2 rows
+    // — the previous t1-join-t2 self-join replayed the entire nbScores
+    // chain per side (guide §2.4). The inner join dropped docs lacking
+    // an rn=2 row; the isNotNull filter preserves that contract.
+    r.filter(col("rn") <= 2)
+      .groupBy("doc_id")
+      .agg(max(when(col("rn") === 1, col("actual"))).as("actual"),
+        max(when(col("rn") === 1, col("c"))).as("pred"),
+        max(when(col("rn") === 1, col("score"))).as("s1"),
+        max(when(col("rn") === 2, col("score"))).as("s2"))
+      .filter(col("s2").isNotNull)
       .select(expr("least((s1 - s2) DIV 250000, 19)").as("bin"),
         (col("actual") === col("pred")).as("ok"))
       .groupBy("bin")

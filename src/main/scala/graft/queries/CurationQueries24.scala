@@ -55,18 +55,27 @@ object CurationQueries24 {
       |FROM (SELECT * FROM e1, f1 UNION ALL
       |      SELECT * FROM e2, f2 UNION ALL
       |      SELECT * FROM e3, f3) u""".stripMargin) { (spark, dir) =>
+    // ROUND-16 SHAPE (guide §2.4): ONE left join per edge feeds the
+    // whole audit — per-key counts first (a key's left-join rows are
+    // its inner-join fan-out when matched, its orphan rows when not;
+    // the two are never mixed because equal keys match equal parent
+    // sets), then a 1-row fold. The first cut ran TWO joins per edge
+    // (orphan pass + fan-out pass), each re-scanning both sides — 24
+    // scans / 42 exchanges across the 3-edge union.
     def edge(rel: String, child: DataFrame, ck: String,
              parent: DataFrame, pk: String): DataFrame = {
       val j = child.join(parent, child(ck) === parent(pk), "left")
-      val e = j.agg(count(lit(1)).as("n_child"),
-        countDistinct(child(ck)).as("n_keys"),
-        count(when(parent(pk).isNull, 1)).as("n_orphans"))
-      val f = child.join(parent, child(ck) === parent(pk))
-        .groupBy(child(ck)).agg(count(lit(1)).as("c"))
-        .agg(max("c").as("mx"), sum("c").as("sc"), count(lit(1)).as("np"))
-      e.crossJoin(broadcast(f)).select(lit(rel).as("rel"), col("n_child"), col("n_keys"),
-        col("n_orphans"), col("mx").as("max_fanout"),
-        expr("sc * 100 DIV np").as("avg_fanout_x100"))
+      val g = j.groupBy(child(ck).as("k"))
+        .agg(count(lit(1)).as("n"), count(when(parent(pk).isNull, 1)).as("n_null"))
+      g.agg(sum(col("n")).as("n_child"),
+          count(col("k")).as("n_keys"),
+          sum(col("n_null")).as("n_orphans"),
+          max(when(col("n_null") === 0, col("n"))).as("mx"),
+          sum(when(col("n_null") === 0, col("n"))).as("sc"),
+          count(when(col("n_null") === 0, 1)).as("np"))
+        .select(lit(rel).as("rel"), col("n_child"), col("n_keys"),
+          col("n_orphans"), col("mx").as("max_fanout"),
+          expr("sc * 100 DIV np").as("avg_fanout_x100"))
     }
     def t(n: String): DataFrame = Tables(spark, dir, n)
     edge("lineitem->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey")

@@ -69,18 +69,21 @@ object CurationQueries38 {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
     CorpusMerge.writeBase(docs.withColumn("version", lit(0L)), "doc_id", root, 32)
-    val delta = docs.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), concat(col("text"), lit(" [rev]")).as("text"),
-        col("lang"), lit(1L).as("version"), lit(false).as("deleted"))
-      .unionByName(docs.filter(col("doc_id") % 10 === 2)
-        .select(col("doc_id"), lit("STALE").as("text"), col("lang"),
-          lit(-1L).as("version"), lit(false).as("deleted")))
-      .unionByName(docs.filter(col("doc_id") % 10 === 5)
-        .select(col("doc_id"), lit("").as("text"), col("lang"),
-          lit(1L).as("version"), lit(true).as("deleted")))
-      .unionByName(docs.filter(col("doc_id") % 10 === 7)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
-          col("lang"), lit(1L).as("version"), lit(false).as("deleted")))
+    // ONE scan, not a 4-way union of scans: the four delta branches are
+    // keyed on disjoint doc_id residues, so a single filtered projection
+    // with per-branch CASEs emits the identical row set (oracle-proven)
+    // while reading the corpus once
+    val m = col("doc_id") % 10
+    val delta = docs.filter(m.isin(0, 2, 5, 7))
+      .select(
+        when(m === 7, col("doc_id") + 10000000L).otherwise(col("doc_id")).as("doc_id"),
+        when(m === 0, concat(col("text"), lit(" [rev]")))
+          .when(m === 2, lit("STALE"))
+          .when(m === 5, lit(""))
+          .otherwise(col("text")).as("text"),
+        col("lang"),
+        when(m === 2, lit(-1L)).otherwise(lit(1L)).as("version"),
+        (m === 5).as("deleted"))
     CorpusMerge.merge(spark, root, delta, "doc_id", nBuckets = 32)
     spark.read.parquet(root).select(col("doc_id"), col("version"), col("lang"),
       md5(col("text").cast("binary")).as("content_md5"),

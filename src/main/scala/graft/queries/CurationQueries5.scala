@@ -203,25 +203,37 @@ object CurationQueries5 {
     val toks = split(col("text"), " ")
     val tok = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"), size(toks).cast("long").as("nt"))
-    val s1 = tok
-      .withColumn("uniq_bp",
-        floor(size(array_distinct(toks)) * 10000.0 / col("nt")).cast("long"))
-      .withColumn("stop_bp",
-        floor(size(filter(toks, t => t === "a" || t === "the")) * 10000.0 / col("nt"))
-          .cast("long"))
-      .filter(col("nt") >= 20 && col("uniq_bp") >= 4000 && col("stop_bp") <= 1000)
-      .select("doc_id", "text", "nt")
-    // keeper ids via the narrow content key — never group by raw text
+    val qpred = col("nt") >= 20 &&
+      floor(size(array_distinct(toks)) * 10000.0 / col("nt")).cast("long") >= 4000 &&
+      floor(size(filter(toks, t => t === "a" || t === "the")) * 10000.0 / col("nt"))
+        .cast("long") <= 1000
+    // ROUND-16 SHAPE (guide §2.4): the first cut union-ed five
+    // per-stage aggregates, each replaying everything upstream — 34
+    // parquet scans / 52 exchanges in the physical plan for a 5-row
+    // funnel. Now: (a) stages 00+10 fold into ONE conditional aggregate
+    // over one scan; (b) the exact-dedup keeper is a window min over
+    // the content key — one exchange, no groupBy+self-join replay;
+    // (c) the train/held bucket is a pure function of text (polyhash),
+    // a COLUMN on the deduped frame, not a join back to a re-scan;
+    // (d) the post-dedup frame is materialized ONCE (localCheckpoint —
+    // single-JVM durability note as per the q_ivf_kmeans site) and the
+    // last three stages fold into one conditional aggregate over it.
+    // 2 corpus scans total; same 5 rows (oracle unchanged, still green).
+    val early = tok.select(col("nt"), qpred.as("q"))
+      .agg(count(lit(1)).as("n0"), sum(col("nt")).cast("long").as("t0"),
+        count(when(col("q"), 1)).as("n1"),
+        sum(when(col("q"), col("nt"))).cast("long").as("t1"))
+    val s1 = tok.filter(qpred)
+    // keeper via the narrow content key — never group by raw text
     // (the Dedup.contentKey shuffle discipline)
-    val ex = s1.select(col("doc_id"),
-        graft.operators.Dedup.contentKey(col("text")).as("ck"))
-      .groupBy("ck").agg(min(col("doc_id")).as("kdoc"))
-      .select(col("kdoc").as("doc_id"))
-    val s2 = s1.join(ex, "doc_id")
-    val sp = tok.select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))
-    val s3 = s2.join(sp.filter(col("bucket") < 90).select("doc_id"), "doc_id")
-    val held = s2.join(sp.filter(col("bucket") >= 90).select("doc_id"), "doc_id")
-      .select("doc_id")
+    val s2 = s1.withColumn("m", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(
+          graft.operators.Dedup.contentKey(col("text")))))
+      .filter(col("doc_id") === col("m"))
+      .select(col("doc_id"), col("text"), col("nt"),
+        (polyHash(col("text")) % 100 < 90).as("train"))
+      .localCheckpoint()
+    val held = s2.filter(!col("train")).select("doc_id")
     val hs8 = Dedup.shingleHashTable(s2, "doc_id", "text", 8)
     // df-cap via count-over-window on ONE h-keyed exchange (round-12
     // containment-family cut — was a groupBy + anti-join double shuffle)
@@ -233,15 +245,21 @@ object CurationQueries5 {
       .join(held.select(col("doc_id").as("bdoc")), "bdoc")
       .filter(col("adoc") =!= col("bdoc"))
       .select(col("adoc").as("doc_id")).distinct()
-    val s4 = s3.join(contam, Seq("doc_id"), "left_anti")
-    def stage(name: String, df: org.apache.spark.sql.DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("n_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-    stage("00_raw", tok)
-      .unionAll(stage("10_quality", s1))
-      .unionAll(stage("20_exact_dedup", s2))
-      .unionAll(stage("30_train_split", s3))
-      .unionAll(stage("40_decontam", s4))
+    val late = s2.join(contam.withColumn("contam", lit(true)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n2"), sum(col("nt")).cast("long").as("t2"),
+        count(when(col("train"), 1)).as("n3"),
+        sum(when(col("train"), col("nt"))).cast("long").as("t3"),
+        count(when(col("train") && col("contam").isNull, 1)).as("n4"),
+        sum(when(col("train") && col("contam").isNull, col("nt"))).cast("long").as("t4"))
+    def rows(df: org.apache.spark.sql.DataFrame,
+             stages: Seq[(String, String, String)]) =
+      df.select(explode(array(stages.map { case (s, n, t) =>
+          struct(lit(s).as("stage"), col(n).as("n_docs"), col(t).as("n_tokens"))
+        }: _*)).as("r"))
+        .select(col("r.stage"), col("r.n_docs"), col("r.n_tokens"))
+    rows(early, Seq(("00_raw", "n0", "t0"), ("10_quality", "n1", "t1")))
+      .unionAll(rows(late, Seq(("20_exact_dedup", "n2", "t2"),
+        ("30_train_split", "n3", "t3"), ("40_decontam", "n4", "t4"))))
   }
 
   /** The Zipf fit's head-only serving variant (round 13 — written as

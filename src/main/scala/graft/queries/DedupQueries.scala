@@ -95,7 +95,12 @@ object DedupQueries {
        |$SigCte,
        |$BandsCte,
        |${interJaccardSql(BandCandCte, 0.2)}""".stripMargin) { (spark, dir) =>
+    // the per-doc set frame feeds the signature chain AND both ends of
+    // the pair verify — materialize it once (round 16; was three full
+    // scan+shingle-kernel replays). DURABILITY: lineage-severed,
+    // non-replicated (PLANS.md round-12 ledger class).
     val sets = Dedup.shingleSets(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+      .localCheckpoint()
     val sig = Dedup.minhashFromSets(sets, "doc_id")
     val cand = Dedup.lshCandidates(sig, "doc_id")
     Dedup.jaccardForPairsSets(cand, sets, "doc_id")
@@ -174,10 +179,13 @@ object DedupQueries {
       .localCheckpoint()
     val repSig = cl.filter(col("hasSh"))
       .select(Seq(col("rid")) ++ (0 until 8).map(i => col(s"sig.m$i").as(s"m$i")): _*)
+    // both verify ends read the set frame — one materialization
+    // (round 16; durability: round-12 ledger class)
     val sets = docs.select(col("doc_id").as("rid"),
       sort_array(graft.functions.HashExpressions.shingleHashesFast(
         tokens(col("text")), 3)).as("hset"))
       .filter(size(col("hset")) >= 1)
+      .localCheckpoint()
     val e = Dedup.jaccardForPairsSets(
         Dedup.lshCandidates(repSig, "rid"), sets, "rid")
       .filter(col("jaccard") >= 0.2)
@@ -232,9 +240,14 @@ object DedupQueries {
        |FROM est e JOIN inter i ON i.ida = e.ida AND i.idb = e.idb
        |           JOIN card ca ON ca.doc_id = e.ida
        |           JOIN card cb ON cb.doc_id = e.idb""".stripMargin) { (spark, dir) =>
+    // sets feeds the signature chain AND both verify ends; cand feeds
+    // the estimate join AND the verify — one materialization each
+    // (round 16; was 3x scan+kernel and 2x candidate-generation
+    // replays). DURABILITY: round-12 ledger class (lineage-severed).
     val sets = Dedup.shingleSets(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+      .localCheckpoint()
     val sig = Dedup.minhashFromSets(sets, "doc_id")
-    val cand = Dedup.lshCandidates(sig, "doc_id")
+    val cand = Dedup.lshCandidates(sig, "doc_id").localCheckpoint()
     val sa = sig.select(col("doc_id").as("ida") +:
       (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
     val sb = sig.select(col("doc_id").as("idb") +:
@@ -315,7 +328,10 @@ object DedupQueries {
           Dedup.contentKey(col("text")))))
       .filter(col("doc_id") === col("m"))
       .select(col("doc_id"), col("text"))
-    val sets = Dedup.shingleSets(reps, "doc_id", "text", 3)
+    // rep set frame feeds the signature chain AND both verify ends —
+    // one materialization (round 16; was 3x collapse+kernel replays).
+    // DURABILITY: round-12 ledger class (lineage-severed).
+    val sets = Dedup.shingleSets(reps, "doc_id", "text", 3).localCheckpoint()
     val sig = Dedup.minhashFromSets(sets, "doc_id")
     val cand = Dedup.lshCandidates(sig, "doc_id")
     Dedup.jaccardForPairsSets(cand, sets, "doc_id")
@@ -837,10 +853,13 @@ object DedupQueries {
       .localCheckpoint()
     val repSig = cl.filter(col("hasSh"))
       .select(Seq(col("rid")) ++ (0 until 8).map(i => col(s"sig.m$i").as(s"m$i")): _*)
+    // both verify ends read the set frame — one materialization
+    // (round 16; durability: round-12 ledger class)
     val sets = docs.select(col("doc_id").as("rid"),
       sort_array(graft.functions.HashExpressions.shingleHashesFast(
         tokens(col("text")), 3)).as("hset"))
       .filter(size(col("hset")) >= 1)
+      .localCheckpoint()
     val wts = cl.select(col("rid"), col("split"), col("n"))
     val ew = Dedup.jaccardForPairsSets(
         Dedup.lshCandidates(repSig, "rid"), sets, "rid")

@@ -520,11 +520,23 @@ object EventQueries {
     val c = b.groupBy("period", "bucket").agg(count(lit(1)).as("c"))
     val g = spark.range(2).select(col("id").as("period"))
       .crossJoin(spark.range(20).select(col("id").as("bucket")))
+    // the 2x20 completed grid is consumed SIX times downstream (both
+    // sides of the bucket join, both period totals, and the final
+    // projection's totals again) — without materialization each
+    // consumer replays the corpus scan + aggregate (measured: 24 scans
+    // / 80 exchanges in the physical plan for a 1-row PSI). One
+    // localCheckpoint of the 40-row grid cuts that to the two
+    // irreducible corpus passes (min/max split point, bucket counts);
+    // guide §2.4 / §5 (single-JVM durability note as per q_ivf_kmeans).
     val cc = g.join(c, Seq("period", "bucket"), "left")
       .select(col("period"), col("bucket"), coalesce(col("c"), lit(0L)).as("c"))
-    val n = cc.groupBy("period").agg(sum(col("c")).as("n"))
-    val na = n.filter(col("period") === 0).select(col("n").as("na"))
-    val nb = n.filter(col("period") === 1).select(col("n").as("nb"))
+      .localCheckpoint()
+    // keyless (structurally 1-row) aggregates: the broadcast-boundedness
+    // gate proves global aggregates bounded by shape; the former
+    // groupBy(period)+filter form is semantically <=1 row but sits on a
+    // checkpoint leaf the prover cannot see through
+    val na = cc.filter(col("period") === 0).agg(sum(col("c")).as("na"))
+    val nb = cc.filter(col("period") === 1).agg(sum(col("c")).as("nb"))
     val pa = (col("ca") + 1).cast("double") / (col("na") + 20).cast("double")
     val pb = (col("cb") + 1).cast("double") / (col("nb") + 20).cast("double")
     val t = cc.filter(col("period") === 0).select(col("bucket"), col("c").as("ca"))

@@ -268,6 +268,13 @@ object BroadcastAudit {
   private val RankLimited =
     "rank-limited collect: a row_number ≤ k filter (map-side WindowGroupLimit) bounds " +
       "the rows entering the collect to k per group"
+  private val BandBucket =
+    "LSH band-bucket collect (round-16 lshCandidates shape): per-group state is the " +
+      "bucket's member-id list — Θ(bucket), while the candidate PAIRS the operator " +
+      "exists to emit are Θ(bucket²), so the buffer is strictly dominated by the " +
+      "query's own output class; the raw pair enumerators are the adjudicated " +
+      "Θ(output) diagnostics, and the collapsed/df-capped variants bound bucket size " +
+      "upstream (exact-dup collapse before any pair machinery)"
 
   /** (query name, aggregate signature) → documented bound for
     * unbounded-buffer collectors over UNPROVEN-bounded inputs. The
@@ -289,6 +296,12 @@ object BroadcastAudit {
     ("q_containment", "groupBy(h) agg[collect_list]") -> CapRecollect,
     ("q_ngram_jaccard", "groupBy(h) agg[collect_list]") -> CapRecollect,
     ("q_postings", "groupBy(tok) agg[collect_list]") -> RankLimited,
+    ("q_minhash_lsh_pairs", "groupBy(band, x, y) agg[collect_list]") -> BandBucket,
+    ("q_minhash_est", "groupBy(band, x, y) agg[collect_list]") -> BandBucket,
+    ("q_edit_distance", "groupBy(band, x, y) agg[collect_list]") -> BandBucket,
+    ("q_neardup_collapsed", "groupBy(band, x, y) agg[collect_list]") -> BandBucket,
+    ("q_source_overlap", "groupBy(band, x, y) agg[collect_list]") -> BandBucket,
+    ("q_split_leakage", "groupBy(band, x, y) agg[collect_list]") -> BandBucket,
   )
 
   /** The registry gate's PER-PLAN check, factored out of the

@@ -18,8 +18,13 @@ object Prof {
     spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_PROF_LOG", "ERROR"))
     args.tail.foreach { name =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
-      println(f"$name -> $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // noop sink, not count(): count() lets Catalyst prune columns (and
+      // sometimes whole subtrees), so map-heavy queries would time the
+      // bare scan instead of their compute — the same full-evaluation
+      // sink Bench uses (optimization guide §1.4)
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"$name -> noop sink in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }
