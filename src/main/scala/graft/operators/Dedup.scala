@@ -388,18 +388,28 @@ object Dedup {
   def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int,
                    bandBits: Int = 15): DataFrame = {
     // one posexplode pass — a per-band unionAll would replicate the
-    // signature projection per band per join side
+    // signature projection per band per join side.
+    // ROUND-16 SHAPE (the lshCandidates cut): one BUCKET AGGREGATE on
+    // (band, key) instead of a banded self-join — the join form shuffled
+    // the band rows twice and computed the signature chain (the 60-sum
+    // simhash aggregate) twice. Per-group state is Θ(bucket) (id, sig)
+    // pairs, strictly dominated by the operator's own Θ(bucket²) pair
+    // output; hamming is computed inside the combination transform.
     val bands = sig.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until 2).map(b =>
         shiftright(col("simhash"), bandBits * b)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*))
         .as(Seq("band", "key")))
-    val a = bands.select(col("id").as("ida"), col("band"), col("key"), col("simhash").as("sha"))
-    val bb = bands.select(col("id").as("idb"), col("band"), col("key"), col("simhash").as("shb"))
-    a.join(bb, Seq("band", "key"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
-        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
+    bands.groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash").as("sh")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(xs, (a, i) -> " +
+          "transform(slice(xs, i + 2, size(xs) - i - 1), " +
+          "b -> named_struct('ida', a.id, 'idb', b.id, " +
+          "'hamming', bit_count(a.sh ^ b.sh)))))")).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"),
+        col("p.hamming").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -442,7 +452,17 @@ object Dedup {
       packSignBits(col(vecCol), bitsPerBand * nBands).as("pack"))
     // one posexplode pass over the packed column (not a per-band
     // unionAll, which would re-scan + re-pack per band per join side)
-    val bands = packed.select(col("id"),
+    // ROUND-16: the bucket-aggregate rewrite that won for the minhash/
+    // simhash families was MEASURED SLOWER here (ABAB subset bench:
+    // q_embed_neardup 0.44 → 0.66, q_pagerank 1.75 → 1.93) — the sign
+    // pack is one cheap codegen kernel over a narrow frame, so there is
+    // no expensive chain to deduplicate, and the collect+HOF emission
+    // trades a codegen join for an interpreted ObjectHashAggregate.
+    // Instead the packed frame is materialized once (id + one long) so
+    // the kernel runs once and BOTH band sides read it — the join stays
+    // whole-stage-codegen (durability: round-12 ledger class).
+    val packedCp = packed.localCheckpoint()
+    val bands = packedCp.select(col("id"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("pack"), bitsPerBand * b).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "key")))

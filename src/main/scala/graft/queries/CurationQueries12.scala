@@ -47,7 +47,10 @@ object CurationQueries12 {
        |             JOIN card cb ON cb.doc_id = i.idb
        |WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= 0.7""".stripMargin) {
     (spark, dir) =>
+      // hs feeds the df build AND the per-doc sort join — one explode
+      // pass (round 16; durability: round-12 ledger class)
       val hs = Dedup.shingleHashTable(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+        .localCheckpoint()
       // df stays the groupBy + re-join form HERE deliberately (round 12
       // measured both): the count-over-window cut saves one corpus
       // shuffle but concentrates each hot shingle into ONE window task
@@ -64,18 +67,23 @@ object CurationQueries12 {
         .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"),
           count(lit(1)).as("c"))
       // prefix size |d| - ceil(0.7|d|) + 1; ceil(7n/10) = (7n+9) DIV 10
+      // prefix frame feeds both self-join ends — one df-join + sort
+      // chain, not two (round 16; durability: round-12 ledger class)
       val pref = sorted.select(col("doc_id"), col("c"),
         explode(expr("slice(sh, 1, CAST(size(sh) - (7 * size(sh) + 9) DIV 10 + 1 AS INT))"))
           .as("p"))
         .select(col("doc_id"), col("c"), col("p.h").as("h"))
+        .localCheckpoint()
       val cand = pref.select(col("doc_id").as("ida"), col("c").as("pca"), col("h"))
         .join(pref.select(col("doc_id").as("idb"), col("c").as("pcb"), col("h")), "h")
         .filter(col("ida") < col("idb") &&
           col("pca") * 7 <= col("pcb") * 10 && col("pcb") * 7 <= col("pca") * 10)
         .select("ida", "idb").distinct()
-      // verify from map-side sets: no corpus aggregation in the verify
+      // verify from map-side sets: no corpus aggregation in the verify;
+      // both verify ends read one materialized set frame (round 16)
       Dedup.jaccardForPairsSets(cand,
-          Dedup.shingleSets(Tables(spark, dir, "documents"), "doc_id", "text", 3), "doc_id")
+          Dedup.shingleSets(Tables(spark, dir, "documents"), "doc_id", "text", 3)
+            .localCheckpoint(), "doc_id")
         .filter(col("jaccard") >= 0.7)
         .select(col("ida"), col("idb"), col("jaccard"))
   }

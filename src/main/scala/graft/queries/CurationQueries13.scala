@@ -84,9 +84,11 @@ object CurationQueries13 {
       .select(least(col("pid"), col("fid")).as("ida"),
         greatest(col("pid"), col("fid")).as("idb"))
       .distinct()
-    // verify from map-side sets: no corpus aggregation in the verify
+    // verify from map-side sets: no corpus aggregation in the verify.
+    // Both verify ends read the set frame — one materialization
+    // (round 16; durability: round-12 ledger class)
     Dedup.jaccardForPairsSets(cand,
-        Dedup.shingleSets(docs, "doc_id", "text", 3), "doc_id")
+        Dedup.shingleSets(docs, "doc_id", "text", 3).localCheckpoint(), "doc_id")
       .withColumn("cont", col("i").cast("double") / least(col("ca"), col("cb")))
       .filter(col("cont") >= 0.8)
       .select(col("ida"), col("idb"), col("cont"))
@@ -164,7 +166,11 @@ object CurationQueries13 {
     // (the shared round-13 two-exchange backbone — see containmentEdges)
     val repDocs = docs.join(cl.select(col("rid")),
       docs("doc_id") === col("rid"), "left_semi")
-    val edges = containmentEdges(repDocs)
+    // the verified edge set feeds BOTH direction legs of the partner
+    // rollup — one materialization, or the whole prefix-join + verify
+    // pipeline replays per leg (round 16; edge-bounded; durability:
+    // round-12 ledger class)
+    val edges = containmentEdges(repDocs).localCheckpoint()
     // per-rep external partner mass and best cross containment (no
     // broadcast hint — the weight frame is Θ(texts), AQE decides)
     val wts = cl.select(col("rid"), col("n"))

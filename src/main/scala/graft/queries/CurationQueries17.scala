@@ -127,9 +127,15 @@ object CurationQueries17 {
       .filter(size(col("toks")) >= 8)
     val h = t.select(col("doc_id"), col("text"),
       polyHash(array_join(slice(col("toks"), 1, 8), " ")).as("h8"))
-    val kept = h.groupBy("h8").agg(count(lit(1)).as("dfh"))
-      .filter(col("dfh") <= 64).select("h8")
-    val hk = h.join(kept, "h8")
+    // ROUND-16 SHAPE: df-cap via count-over-window on ONE h8-keyed
+    // exchange (the round-12 containment-family cut — was a groupBy +
+    // join whose `kept` side replayed the union+tokenize+hash chain),
+    // then ONE materialization feeding both self-join ends (was 4 chain
+    // replays; durability: round-12 ledger class).
+    val hk = h.withColumn("dfh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h8"))))
+      .filter(col("dfh") <= 64).drop("dfh")
+      .localCheckpoint()
     hk.as("a").join(hk.as("b"),
         col("a.h8") === col("b.h8") && col("a.doc_id") =!= col("b.doc_id") &&
           length(col("a.text")) < length(col("b.text")) &&

@@ -48,10 +48,14 @@ object CurationQueries21 {
        |       CAST(sum(exact_bp) // count(*) AS BIGINT) AS avg_exact_bp
        |FROM ev GROUP BY 1""".stripMargin) { (spark, dir) =>
     val toks = split(col("text"), " ")
+    // consumed THREE times (candidate chain + both verify ends) — one
+    // winnow+shingle kernel pass, not three (round 16; durability:
+    // round-12 ledger class)
     val sides = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         winnowFast(toks, 3, 4).as("fp"),
         shingleHashesFast(toks, 3).as("sh"))
+      .localCheckpoint()
     // capped collect (round-13 aggkeys sweep, same fix as
     // q_winnow_overlap): exact count n + at most 65 buffered ids, so
     // the 2..64 df filter sees identical groups while a boilerplate

@@ -76,10 +76,15 @@ object CurationQueries25 {
       .select(col("doc_id"),
         shingleHashesFast(toks, 8).as("allh"),
         winnowFast(toks, 8, 4).as("selh"))
+    // rows feeds the per-hash aggregate AND the test-side flag join;
+    // hAgg feeds the flag join AND the index-size fold — materialize
+    // each once or the double shingle+winnow kernel replays three
+    // times (round 16; durability: round-12 ledger class)
     val rows = sides
       .select(col("doc_id"), explode(col("allh")).as("h"), col("selh"))
       .select(col("doc_id"), col("h"),
         array_contains(col("selh"), col("h")).cast("int").as("sel"))
+      .localCheckpoint()
     val isTrain = (pmod(col("doc_id"), lit(5L)) =!= 0).cast("int")
     val hAgg = rows.groupBy("h").agg(
         count(lit(1)).as("dfh"),
@@ -87,6 +92,7 @@ object CurationQueries25 {
         max(isTrain * col("sel")).as("tr_sel"),
         max(col("sel")).as("any_sel"))
       .filter(col("dfh") <= 64)
+      .localCheckpoint()
     val flags = rows.filter(pmod(col("doc_id"), lit(5L)) === 0)
       .join(hAgg, "h")
       .groupBy("doc_id").agg(

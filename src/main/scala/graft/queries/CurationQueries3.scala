@@ -371,6 +371,10 @@ object CurationQueries3 {
           sequence(lit(0), ((size(toks) - 1) / lit(8)).cast("int")),
           wi => slice(toks, wi * 8 + 1, lit(16)))).as(Seq("w", "win")))
       .select(col("doc_id"), col("w"), col("nt"), polyHash(array_join(col("win"), " ")).as("fp"))
+      // narrow (id, w, nt, fp) frame consumed by the boilerplate filter
+      // AND the coverage join — one tokenize+fingerprint pass, not two
+      // (round 16; durability: round-12 ledger class)
+      .localCheckpoint()
     val b = w.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("fp").as("bfp"))
     val cov = w.join(b, col("bfp") === col("fp"))

@@ -106,9 +106,14 @@ object CurationQueries32 {
       incremental: Boolean): DataFrame = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
+    // every greedy round re-reads the quantized frame (K argmax jobs,
+    // plus each literal-form round recomputes it under the fold) — one
+    // scan+quantize pass, materialized (round 16; Θ(N·d) longs;
+    // durability: round-12 ledger class)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"),
         x => floor(x.cast("double") * lit(Q20)).cast("long")).as("e"))
+      .localCheckpoint()
     val seed = emb.orderBy("vec_id").limit(1).collect()(0)
     var centers = Vector((seed.getLong(0), seed.getSeq[Long](1).toArray))
     var out = Vector((1L, seed.getLong(0), 0L))

@@ -65,6 +65,10 @@ object CurationQueries9 {
         "transform(sequence(1, size(toks) - 1)," +
           " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bg"))
       .select(col("doc_id"), col("tgt"), pmod(polyHash(col("bg")), lit(1024L)).as("b"))
+      // bucketed bigram frame feeds the 1024-bucket stats AND the
+      // per-doc score join — one explode pass, not two (round 16;
+      // durability: round-12 ledger class)
+      .localCheckpoint()
     val tc = big.groupBy("b")
       .agg(count(when(col("tgt"), 1)).as("ct"), count(lit(1)).as("cr"))
     val tot = tc.agg(sum("ct").cast("long").as("nt"), sum("cr").cast("long").as("nr"))
@@ -263,8 +267,12 @@ object CurationQueries9 {
           .mkString(",\n")}
          |FROM g1 JOIN g2 USING (source) JOIN g3 USING (source)""".stripMargin) {
       (spark, dir) =>
+        // three gram sizes each replay the scan+tokenize otherwise —
+        // one materialized token frame feeds all three aggregates
+        // (round 16; durability: round-12 ledger class)
         val tk = Tables(spark, dir, "documents")
           .select(col("source"), tokens(col("text")).as("toks"))
+          .localCheckpoint()
         def grams(n: Int) = {
           val g = if (n == 1) explode(col("toks"))
             else explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +

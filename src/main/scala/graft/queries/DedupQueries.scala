@@ -1203,7 +1203,10 @@ object DedupQueries {
           |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
           |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)""".stripMargin, 0.2)}""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
-    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    // sets feeds the signature chain (twice: batch + corpus side) AND
+    // both verify ends — one materialization (round 16; durability:
+    // round-12 ledger class)
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3).localCheckpoint()
     val sig = Dedup.minhashFromSets(sets, "doc_id")
     val cand = Dedup.lshCandidatesAcross(
       sig.filter(col("doc_id") % 5 === 0), sig.filter(col("doc_id") % 5 =!= 0), "doc_id")

@@ -258,11 +258,17 @@ object TextStatsQueries {
                          dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // both narrow frames have two consumers (dl: corpus stats + the
+    // score join; tf: document frequency + the score join) — one
+    // tokenize/explode pass each instead of two (round 16; durability:
+    // round-12 ledger class). dl is 16 B/doc; tf is ≤ |terms| rows/doc.
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .localCheckpoint()
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
       .filter(col("tok").isin(Bm25Terms: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val contrib = tf
       .join(dl, "doc_id")
@@ -534,6 +540,10 @@ object TextStatsQueries {
         i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // the bigram table feeds the model build AND the scoring join —
+      // one explode pass, not two (round 16; durability: round-12
+      // ledger class)
+      .localCheckpoint()
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     // cu derived from cb (sum of bigram counts per first token) — one
     // fewer pass over the exploded bigram table, identical value
@@ -583,19 +593,27 @@ object TextStatsQueries {
     import org.apache.spark.sql.functions.{log => lnf}
     val toks = col("toks")
     val docs = Tables(spark, dir, "documents")
-    val sp = docs.select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))
+    // ROUND-16 SHAPE: the split bucket is a pure function of text, so
+    // it rides the bigram projection as a COLUMN — the sp join (two
+    // corpus joins, one per split leg) disappears; the bigram table is
+    // materialized once for its two split legs, and the train model
+    // once for its three consumers (counts, w1 totals, w2 vocabulary).
+    // Durability: round-12 ledger class.
     val bg = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(transform(
+      .select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("bucket"), explode(transform(
         sequence(lit(1), size(toks) - 1),
         i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
         .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val trb = bg.join(sp.filter(col("bucket") < 80), "doc_id")
+      .select(col("doc_id"), col("bucket"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    val trb = bg.filter(col("bucket") < 80)
       .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
     val tru = trb.groupBy("w1").agg(sum(col("cb")).as("cu"))
     val v = trb.agg((countDistinct(col("w2")) + 1).as("v"))
-    val te = bg.join(sp.filter(col("bucket") >= 90), "doc_id")
+    val te = bg.filter(col("bucket") >= 90)
       .select(col("doc_id"), col("w1"), col("w2"))
     te.join(trb, Seq("w1", "w2"), "left")
       .join(tru, Seq("w1"), "left")

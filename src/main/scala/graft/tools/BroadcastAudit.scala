@@ -302,6 +302,13 @@ object BroadcastAudit {
     ("q_neardup_collapsed", "groupBy(band, x, y) agg[collect_list]") -> BandBucket,
     ("q_source_overlap", "groupBy(band, x, y) agg[collect_list]") -> BandBucket,
     ("q_split_leakage", "groupBy(band, x, y) agg[collect_list]") -> BandBucket,
+    // simhash band buckets — the same shape on (band, key). (The sign-
+    // LSH embed family measured SLOWER under this rewrite — cheap pack
+    // kernel, no chain to deduplicate — and keeps the codegen join over
+    // a checkpointed pack; see Dedup.embeddingNearDupCandidates.)
+    ("q_simhash_pairs", "groupBy(band, key) agg[collect_list]") -> BandBucket,
+    ("q_triangle_count", "groupBy(band, key) agg[collect_list]") -> BandBucket,
+    ("q_source_dup_matrix", "groupBy(band, key) agg[collect_list]") -> BandBucket,
   )
 
   /** The registry gate's PER-PLAN check, factored out of the
