@@ -771,9 +771,12 @@ object AnnQueries {
        |       CAST(min(s_q20) AS BIGINT) AS min_s_q20,
        |       CAST(max(s_q20) AS BIGINT) AS max_s_q20
        |FROM s GROUP BY 1""".stripMargin) { (spark, dir) =>
+    // ed feeds the centroid build AND the distance join — one explode
+    // pass (round 16; durability: round-12 ledger class)
     val ed = Tables.embeddings(spark, dir)
       .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
       .select(col("label"), col("vec_id"), (col("i0") + 1).as("i"), col("x"))
+      .localCheckpoint()
     val cent = ed
       .select(col("label"), col("i"), floor(col("x") * S52d).cast("long").as("ix"))
       .groupBy("label", "i")

@@ -39,11 +39,19 @@ object CurationQueries26 {
        |       CAST(n * n // 2000000014 AS BIGINT) AS expected_h1,
        |       CAST(n - d2 AS BIGINT) AS pair_collisions
        |FROM a""".stripMargin) { (spark, dir) =>
+    // ROUND-16 SHAPE: the former single aggregate mixed one plain count
+    // with TWO distinct groups, which Spark plans as an Expand — every
+    // distinct-shingle row tripled into the aggregate exchange. Grouping
+    // by the hash PAIR first partial-aggregates map-side (16 B keys),
+    // and all three statistics fold out of the pair-group table:
+    // n = Σ cnt, d2 = |groups|, d1 = |distinct h1 among groups| — one
+    // narrow exchange instead of a 3x-expanded one, same values.
     val sh = Tables(spark, dir, "documents")
       .select(explode(shingles(tokens(col("text")), 3)).as("s")).distinct()
     sh.select(polyHash(col("s")).as("h1"), polyHashMul(col("s"), 37).as("h2"))
-      .agg(count(lit(1)).as("n"), countDistinct("h1").as("d1"),
-        countDistinct("h1", "h2").as("d2"))
+      .groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n"), countDistinct("h1").as("d1"),
+        count(lit(1)).as("d2"))
       .select(col("n").as("n_items"),
         (col("n") - col("d1")).as("h1_collisions"),
         expr("n * n DIV 2000000014").as("expected_h1"),

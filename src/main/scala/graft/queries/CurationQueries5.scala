@@ -43,11 +43,15 @@ object CurationQueries5 {
       |FROM r GROUP BY d0""".stripMargin) { (spark, dir) =>
     val ud = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-    val c = ud.groupBy("user_id").agg(min(col("d")).as("d0"))
-    val r = c.join(ud, "user_id")
-      .groupBy(col("user_id"), col("d0"))
-      .agg(max(when(col("d") === date_add(col("d0"), 1), 1).otherwise(0)).as("r1"),
-        max(when(col("d") === date_add(col("d0"), 7), 1).otherwise(0)).as("r7"))
+    // ROUND-16 SHAPE (guide §2.4): ONE per-user aggregate carries the
+    // cohort day and the active-day set (horizon-bounded, the
+    // HourRollup class — it grows with wall-clock days, not bytes), so
+    // the cohort-join replay of the distinct pass disappears.
+    val r = ud.groupBy("user_id")
+      .agg(min(col("d")).as("d0"), collect_set(col("d")).as("ds"))
+      .select(col("user_id"), col("d0"),
+        array_contains(col("ds"), date_add(col("d0"), 1)).cast("int").as("r1"),
+        array_contains(col("ds"), date_add(col("d0"), 7)).cast("int").as("r7"))
     r.groupBy(col("d0").as("cohort_day"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("r1")).cast("long").as("d1_retained"),

@@ -290,6 +290,7 @@ object BroadcastAudit {
     ("q_map_funcs", "groupBy(user_id) agg[collect_list]") -> PerEntityCollect,
     ("q_event_itemsets", "groupBy(user_id, session_window) agg[collect_set]") -> PerEntityCollect,
     ("q_ewma", "groupBy(event_type) agg[collect_list]") -> HourRollup,
+    ("q_retention", "groupBy(user_id) agg[collect_set]") -> HourRollup,
     ("q_holt", "groupBy(event_type) agg[collect_list]") -> HourRollup,
     ("q_kmeans", "groupBy(cluster) agg[collect_list]") -> Centroids,
     ("q_centroid_classify", "groupBy(cluster) agg[collect_list]") -> Centroids,
