@@ -12,6 +12,15 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // rag-repl reads stdin through the forked JVM
+// The driver parses the bench's one-line JSON from the sbt stdout tail.
+// By default sbt logs the forked JVM's output through its logger, which
+// prefixes every line with "[info] " and appends a "[success] Total time"
+// line — that broke the driver's parse in every round r01-r16
+// (BENCH_*.json parsed:null). StdoutOutput passes the forked process's
+// stdout through verbatim, and showSuccess drops the trailing banner, so
+// the bare JSON is the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
