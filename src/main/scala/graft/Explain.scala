@@ -2,13 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan inspection utility: dumps the formatted physical plan of one or
-  * all registered queries. `runMain graft.Explain <sfDir> [queryName]`.
+/** Plan inspection utility: dumps the formatted physical plan of one,
+  * several, or all registered queries.
+  * `runMain graft.Explain <sfDir> [queryName ...]`.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val only = args.drop(1).headOption
+    val only = Option(args.drop(1).toSet).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +26,7 @@ object Explain {
     // queries with small outputs — collect is driver-side.
     val run = sys.env.get("GRAFT_EXPLAIN_RUN").contains("1")
     SparkEntry.registry
-      .filter(q => only.forall(_ == q.name))
+      .filter(q => only.forall(_.contains(q.name)))
       .foreach { q =>
         println(s"\n========== ${q.name} ==========")
         try {

@@ -135,9 +135,16 @@ object IvfIndex {
     * file per publish that the rotation query paid twice.)
     */
   def publishVersion(emb: DataFrame, seeds: DataFrame, root: String,
-                     version: String): Unit = {
+                     version: String,
+                     precomputedAssign: Option[DataFrame] = None): Unit = {
     val spark = emb.sparkSession
-    val asg = assign(emb, seeds).localCheckpoint()
+    // `precomputedAssign`: a caller that publishes SEVERAL versions over
+    // the same corpus (index rotation) can compute all versions'
+    // argmins in ONE fan-out pass and hand each publish its (vec_id,
+    // cluster) slice — the assignment must equal assign(emb, seeds)
+    // (same quantized-L2 argmin, ties to the lower cluster id) and be
+    // already materialized (this function consumes it twice)
+    val asg = precomputedAssign.getOrElse(assign(emb, seeds).localCheckpoint())
     emb.join(asg, "vec_id")
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/$version/index")
     seeds.write.mode("overwrite").parquet(s"$root/$version/centroids")

@@ -284,14 +284,39 @@ object AnnQueries2 {
        |SELECT 'v2', qid, rank, nid, dist FROM rkd_v2 WHERE rank <= 5""".stripMargin) {
     (spark, dir) =>
       import graft.operators.IvfIndex
+      import graft.functions.QuantizedL2Expr
       val base = s"/tmp/graft_artifacts/${spark.sparkContext.applicationId}/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + "/rotate"
+      // ROUND 17 (guide §2.4, duplicate-subtree elimination): the
+      // rotation runs TWO full publishes + serves over the same corpus —
+      // the embedding scan used to replay ~8x (per-version assign
+      // fan-out, index-write join, seed filters, query frames). One
+      // materialization feeds every consumer (durability: round-12
+      // ledger class — a failed publish restarts the query).
       val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
       def seeds(pred: org.apache.spark.sql.Column) = emb.filter(pred)
         .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
       val queries = emb.filter(col("vec_id") < 4)
         .select(col("vec_id").as("qid"),
           col("embedding").cast("array<double>").as("qv"))
+      // ONE argmin fan-out for BOTH versions (round 17): the two
+      // codebooks differ only in seed set, so one crossJoin over the 16
+      // version-tagged seeds + a (vec_id, ver)-grouped argmin computes
+      // both assignments in a single corpus pass — identical values to
+      // the per-version assign (same quantized-L2 struct-min, ties to
+      // the lower cluster id, evaluated per version tag).
+      val taggedSeeds = emb.filter(col("vec_id") < 16)
+        .select(when(col("vec_id") < 8, lit("v1")).otherwise(lit("v2")).as("ver"),
+          col("vec_id").as("cluster"), col("embedding").as("cv"))
+      val asgBoth = emb.crossJoin(broadcast(taggedSeeds))
+        .select(col("vec_id"), col("ver"),
+          struct(QuantizedL2Expr.column(col("embedding"), col("cv"), 45).as("d2"),
+            col("cluster").as("cell")).as("dc"))
+        .groupBy("vec_id", "ver").agg(min("dc").as("m"))
+        .select(col("vec_id"), col("ver"), col("m.cell").as("cluster"))
+        .localCheckpoint()
+      def asgFor(ver: String) = asgBoth.filter(col("ver") === ver).drop("ver")
       // serve through the POINTER, never a hard-coded version path —
       // the read-back is the thing under test
       def serveCurrent() = {
@@ -300,11 +325,13 @@ object AnnQueries2 {
         graft.streaming.AnnStreams.servedTopK(queries, cents, s"$base/$ver/index", 5, 2)
           .withColumn("index_version", lit(ver))
       }
-      IvfIndex.publishVersion(emb, seeds(col("vec_id") < 8), base, "v1")
+      IvfIndex.publishVersion(emb, seeds(col("vec_id") < 8), base, "v1",
+        Some(asgFor("v1")))
       val r1 = serveCurrent()
       // the "retrain": new codebook, full rebuild, atomic pointer swap
       IvfIndex.publishVersion(emb,
-        seeds(col("vec_id") >= 8 && col("vec_id") < 16), base, "v2")
+        seeds(col("vec_id") >= 8 && col("vec_id") < 16), base, "v2",
+        Some(asgFor("v2")))
       val r2 = serveCurrent()
       r1.unionByName(r2)
         .select(col("index_version"), col("qid"), col("rank"), col("nid"), col("dist"))

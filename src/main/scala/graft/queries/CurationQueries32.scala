@@ -264,7 +264,44 @@ object CurationQueries32 {
         .groupBy("span").agg(count(lit(1)).as("n_occ"))
         .filter(col("n_occ") >= 2)
     }
-    def repeatedAt(s: Int): Boolean = !verifiedSpans(s).isEmpty
+    // BATCHED PROBES (round 17, guide §1/§2: fewer driver round-trips,
+    // no duplicate kernel runs): each bisection step evaluates up to
+    // `ProbesPerPass` candidate widths in ONE pass. The per-width
+    // window frames are unioned and materialized once, so the rolling
+    // shingle kernel runs ONCE per width per pass — the lazy
+    // per-probe shape computed it twice (once under the candidate
+    // aggregate, once again as the join-back side; no exchange reuse
+    // fires across those differently-shaped subtrees) and paid a
+    // scheduler round-trip per width. The interval shrinks ~4x per
+    // pass instead of 2x. Monotonicity of the verified predicate
+    // makes the multi-point update sound: lo := max(repeating
+    // probes), hi := min(non-repeating) - 1. Durability of the
+    // per-pass checkpoint: round-12 ledger class (a lost executor
+    // restarts the query).
+    // Width 7: the exchange/join count of a pass is INDEPENDENT of the
+    // batch width (one unioned frame), so widening the batch trades
+    // map-side kernel work (cheap, embarrassingly parallel) for whole
+    // passes: ~log8(L) passes instead of log2(L) probes, with total
+    // kernel work ~unchanged (7 widths x log8 ~= 2 x log2 evaluations).
+    val ProbesPerPass = 7
+    def repeatedIn(ss: Seq[Int]): Set[Int] = {
+      val wAll = ss.map { s =>
+        tk.filter(size(col("toks")) >= s)
+          .select(lit(s).as("s"), col("doc_id"),
+            explode(positionalShinglesFast(col("toks"), s)).as("pf"))
+          .select(col("s"), col("doc_id"), col("pf.p").as("p"), col("pf.fp").as("fp"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val cand = wAll.groupBy("s", "fp").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      wAll.join(cand, Seq("s", "fp"))
+        .join(tk, "doc_id")
+        .select(col("s"),
+          array_join(slice(col("toks"), col("p"), col("s")), " ").as("span"))
+        .groupBy("s", "span").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= 2)
+        .select("s").distinct()
+        .collect().map(_.getInt(0)).toSet
+    }
 
     val empty = Seq.empty[(Long, Long, String)].toDF("lrs_len", "n_occ", "span")
     val maxLen = tk.agg(max(size(col("toks"))).as("m")).collect()(0).getInt(0)
@@ -276,12 +313,24 @@ object CurationQueries32 {
       // final verifiedSpans(1) comes back empty
       var lo = 1; var hi = maxLen
       while (lo < hi) {
-        val mid = (lo + hi + 1) / 2
-        if (repeatedAt(mid)) lo = mid else hi = mid - 1
+        val w = hi - lo
+        val n = math.min(ProbesPerPass, w)
+        val ps = (1 to n)
+          .map(i => lo + math.max(1L, w.toLong * i / (n + 1)).toInt)
+          .distinct.filter(p => p > lo && p <= hi)
+        val reps = repeatedIn(ps)
+        if (reps.nonEmpty) lo = reps.max
+        val nonRep = ps.filterNot(reps)
+        if (nonRep.nonEmpty) hi = nonRep.min - 1
       }
+      // materialize the 1-row answer: the lo==1 emptiness check and the
+      // caller's own evaluation would otherwise each replay the full
+      // width-lo verification pass (round 17; durability: round-12
+      // ledger class)
       val win = verifiedSpans(lo)
         .orderBy("span").limit(1)
         .select(lit(lo.toLong).as("lrs_len"), col("n_occ"), col("span"))
+        .localCheckpoint()
       if (lo == 1 && win.isEmpty) empty else win
     }
   }
