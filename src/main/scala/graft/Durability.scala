@@ -20,6 +20,17 @@ import org.apache.spark.sql.DataFrame
   * AQE still sees exact materialized sizes at the downstream joins),
   * one config line, no query rewrite. DurabilitySpec pins both claims:
   * bit-equal output and node-identical physical plans across modes.
+  *
+  * COVERAGE (round 17, stated explicitly): only the long-lived
+  * iterative/contraction stages route through [[stage]]. REGISTRY
+  * QUERIES' in-query materializations call `localCheckpoint()` raw,
+  * DELIBERATELY, per the round-12 ledger rule: a bench/oracle query is
+  * retried from scratch on failure, so replicating its intermediates
+  * buys nothing and costs the checkpoint write every run — each such
+  * site cites its ledger class at the call. Library WRITE-path
+  * operators that checkpoint internally (`CorpusMerge.merge`,
+  * `IvfIndex.publishVersion`/`appendVectors`) document the same
+  * retry-from-scratch assumption in their own contracts.
   */
 object Durability {
 

@@ -96,7 +96,15 @@ object CorpusMerge {
     // scan, merged write, surviving-bucket set) and the caller's delta
     // plan can be arbitrarily expensive (q_corpus_merge derives it from
     // a multi-branch scan) — Θ(delta) bytes by the operator's own
-    // contract, so the checkpoint is small by construction
+    // contract, so the checkpoint is small by construction.
+    // DURABILITY CONTRACT: localCheckpoint blocks are executor-local and
+    // unreplicated, so an executor loss MID-MERGE fails the merge job;
+    // the merge is atomic at bucket granularity (dynamic overwrite
+    // commits whole buckets) and idempotent per delta, so the documented
+    // recovery is RE-RUN THE MERGE — the retry-from-scratch class of the
+    // round-12 ledger. A deployment that cannot re-run (preemptible
+    // fleet, non-replayable delta) should stage the delta to a reliable
+    // store first and pass that frame in.
     val d = delta.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .localCheckpoint()
     // ONE Θ(delta) partial-agg pass yields BOTH preconditions: the

@@ -176,11 +176,17 @@ object Dedup {
       .groupBy("band", "x", "y")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "b -> named_struct('ida', a, 'idb', b))))")).as("p"))
-      .select(col("p.ida").as("ida"), col("p.idb").as("idb")).distinct()
+      // PER-ANCHOR emission (round 17): posexplode the bucket once and
+      // slice each anchor's ordered partners from the shared array —
+      // per-row state stays Θ(bucket). The previous single
+      // flatten(transform(...)) materialized the bucket's ENTIRE
+      // Θ(bucket²) pair array as one row value before exploding, which
+      // on a degenerate hot bucket risks executor OOM / the 2^31
+      // array-element cap where the streamed form merely runs long.
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "ida")))
+      .select(col("ida"), explode(slice(col("ids"), col("pos") + lit(2),
+        size(col("ids")) - col("pos") - lit(1))).as("idb"))
+      .select(col("ida"), col("idb")).distinct()
 
   /** LSH candidate pairs between a NEW batch and an existing corpus —
     * incremental dedup (dedup a fresh crawl against the standing
@@ -403,13 +409,14 @@ object Dedup {
     bands.groupBy("band", "key")
       .agg(sort_array(collect_list(struct(col("id"), col("simhash").as("sh")))).as("xs"))
       .filter(size(col("xs")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(xs, (a, i) -> " +
-          "transform(slice(xs, i + 2, size(xs) - i - 1), " +
-          "b -> named_struct('ida', a.id, 'idb', b.id, " +
-          "'hamming', bit_count(a.sh ^ b.sh)))))")).as("p"))
-      .select(col("p.ida").as("ida"), col("p.idb").as("idb"),
-        col("p.hamming").cast("long").as("hamming"))
+      // per-anchor emission, Θ(bucket) per-row state — see
+      // [[lshCandidates]] (the single flattened pair array risked OOM /
+      // the 2^31 array cap on a degenerate hot bucket)
+      .select(col("xs"), posexplode(col("xs")).as(Seq("pos", "a")))
+      .select(col("a"), explode(slice(col("xs"), col("pos") + lit(2),
+        size(col("xs")) - col("pos") - lit(1))).as("b"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -133,6 +133,16 @@ object IvfIndex {
     * [[appendVectors]] uses. (The first cut re-read the just-written
     * index as a second job — a listing + footer pass over every part
     * file per publish that the rotation query paid twice.)
+    *
+    * DURABILITY CONTRACT (round-16 ADVICE): the assignment checkpoint
+    * is executor-local and unreplicated, so an executor loss
+    * mid-publish fails the publish job. That is safe BY CONSTRUCTION:
+    * the manifest pointer swaps only after every write lands, so a
+    * failed publish leaves the previous version serving intact and the
+    * documented recovery is re-run the publish (retry-from-scratch,
+    * the round-12 ledger class — same contract in [[appendVectors]]
+    * and `CorpusMerge.merge`). On a preemptible fleet, stage the
+    * assignment reliably and pass it via `precomputedAssign`.
     */
   def publishVersion(emb: DataFrame, seeds: DataFrame, root: String,
                      version: String,

@@ -67,9 +67,12 @@ object CurationQueries24 {
       val j = child.join(parent, child(ck) === parent(pk), "left")
       val g = j.groupBy(child(ck).as("k"))
         .agg(count(lit(1)).as("n"), count(when(parent(pk).isNull, 1)).as("n_null"))
-      g.agg(sum(col("n")).as("n_child"),
+      // coalesce(. , 0): on an EMPTY child table sum() over zero groups
+      // is NULL where the oracle's keyless count(*) is 0 — the fold must
+      // preserve the pre-round-16 empty-table contract (round-16 ADVICE)
+      g.agg(coalesce(sum(col("n")), lit(0L)).as("n_child"),
           count(col("k")).as("n_keys"),
-          sum(col("n_null")).as("n_orphans"),
+          coalesce(sum(col("n_null")), lit(0L)).as("n_orphans"),
           max(when(col("n_null") === 0, col("n"))).as("mx"),
           sum(when(col("n_null") === 0, col("n"))).as("sc"),
           count(when(col("n_null") === 0, 1)).as("np"))

@@ -50,7 +50,9 @@ object CurationQueries26 {
       .select(explode(shingles(tokens(col("text")), 3)).as("s")).distinct()
     sh.select(polyHash(col("s")).as("h1"), polyHashMul(col("s"), 37).as("h2"))
       .groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
-      .agg(sum(col("cnt")).as("n"), countDistinct("h1").as("d1"),
+      // coalesce: sum over an empty pair-group table is NULL where the
+      // oracle's count(*) is 0 (round-16 ADVICE — empty-corpus contract)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"), countDistinct("h1").as("d1"),
         count(lit(1)).as("d2"))
       .select(col("n").as("n_items"),
         (col("n") - col("d1")).as("h1_collisions"),

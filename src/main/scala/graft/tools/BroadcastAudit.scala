@@ -274,7 +274,12 @@ object BroadcastAudit {
       "exists to emit are Θ(bucket²), so the buffer is strictly dominated by the " +
       "query's own output class; the raw pair enumerators are the adjudicated " +
       "Θ(output) diagnostics, and the collapsed/df-capped variants bound bucket size " +
-      "upstream (exact-dup collapse before any pair machinery)"
+      "upstream (exact-dup collapse before any pair machinery). Pair EMISSION is " +
+      "per-anchor since round 17 (posexplode + ordered slice of the shared array): " +
+      "per-ROW state downstream of the aggregate is Θ(bucket) too — the former " +
+      "flatten(transform(...)) built the whole Θ(bucket²) pair array as one row " +
+      "value, an OOM/2^31-element exposure on a degenerate hot bucket (round-16 " +
+      "ADVICE item)"
 
   /** (query name, aggregate signature) → documented bound for
     * unbounded-buffer collectors over UNPROVEN-bounded inputs. The
