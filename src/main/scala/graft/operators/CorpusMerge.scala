@@ -142,19 +142,20 @@ object CorpusMerge {
         coalesce(col("d.bucket"), col("b.bucket")).as("bucket"): _*)
     // a bucket whose every key was tombstoned vanishes from `merged`,
     // and dynamic overwrite would silently leave its stale files in
-    // place — compute the surviving-bucket set first from a
-    // COLUMN-PRUNED twin of the merge join (key/version/deleted/bucket
-    // only; survival never depends on the payload), so the payload-
-    // carrying join runs ONCE, for the write (formerly the full join
-    // was computed twice)
-    val remaining = mergeJoin(
-        base.select(col(keyCol), col(versionCol), col("bucket")),
-        d.select(col(keyCol), col(versionCol), col(deletedCol), col("bucket")))
-      .select(coalesce(col("d.bucket"), col("b.bucket")).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).toSet
-    merged.write.mode("overwrite")
+    // place — the surviving-bucket set RIDES THE WRITE as an observe()
+    // metric (round 17, guide §1.5/§2.4): the write emits exactly the
+    // surviving rows, so collect_set(bucket) over the written stream IS
+    // the survivor set — ≤ nBuckets values, driver-bounded. (Round 16
+    // computed it from a column-pruned twin of the merge join — one
+    // extra join job re-reading the pruned base per merge; round 15 ran
+    // the full payload join twice.)
+    val obs = new org.apache.spark.sql.Observation()
+    merged.observe(obs, collect_set(col("bucket")).as("buckets"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(dir)
+    val remaining: Set[Long] = Option(obs.get.getOrElse("buckets", null))
+      .map(_.asInstanceOf[scala.collection.Seq[Long]].toSet).getOrElse(Set.empty)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     touched.filterNot(remaining).foreach { b =>
